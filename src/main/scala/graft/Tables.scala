@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet fixture loaders (TESTDATA.md / FIXTURES.md §B).
+  *
+  * All declared queries read these tables; at cluster scale the same code
+  * reads the production lake — `spark.read.parquet` gives partition pruning,
+  * predicate pushdown and column pruning for free via the Parquet DSv2 source.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
+    // Verify/Bench/test builders) so it arrives as a nanos long. Truncate to
+    // micros (integer DIV — a double roundtrip would lose precision at 2^63)
+    // exactly as DuckDB truncates ns→µs, so both engines see the same instant.
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Register every fixture as a temp view so declared queries can use
+    * `spark.sql` where the DataFrame API is clumsier (GROUPING SETS etc.). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** One declared operator query: a Spark implementation plus (usually) an
+  * equivalent ANSI-SQL oracle the driver runs in DuckDB over the same parquet.
+  * `oracle == None` → driver records a weaker rows-only check (reserved for
+  * ops DuckDB cannot express, e.g. Murmur3 hash embeddings).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sqlBoth(name: String, sparkSql: String, duckSql: String): QueryDef =
+    QueryDef(name, (s, dir) => { Tables.registerViews(s, dir); s.sql(sparkSql) }, Some(duckSql))
+}
