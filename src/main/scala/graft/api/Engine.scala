@@ -1,0 +1,221 @@
+package graft.api
+
+import java.time.Instant
+import java.util.UUID
+
+import graft.functions.{vec, HashEmbed}
+import graft.graph.{Bfs, GraphOps}
+import graft.hybrid.HybridSearch
+import graft.model._
+import graft.search.Bm25
+import graft.store.TableCatalog
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The engine facade — the reference's full 14-endpoint capability surface
+  * (SURVEY §2.A O21-O23, app.py:753-940) as plain Scala methods over Spark
+  * plans. HTTP status contracts map to Option/Boolean returns (404 → None).
+  */
+final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDim) {
+  private val spark = catalog.spark
+  import spark.implicits._
+
+  private def now(): String = Instant.now().toString
+  private def newId(prefix: String): String = s"$prefix-${UUID.randomUUID()}"
+
+  def this(spark: org.apache.spark.sql.SparkSession) = this(new TableCatalog(spark))
+
+  // ------------------------------------------------------------ node CRUD
+  /** POST /nodes (O21, app.py:753-782). Embedding precedence: explicit >
+    * auto_embed > none (app.py:761-769). */
+  def createNode(text: String, metadata: Map[String, String] = Map.empty,
+                 autoEmbed: Boolean = true,
+                 embedding: Option[Seq[Float]] = None): NodeDetails = {
+    val id = newId("node")
+    val ts = now()
+    catalog.upsertNode(Node(id, text, metadata, ts, ts))
+    val emb = embedding.orElse(
+      if (autoEmbed) Some(HashEmbed.encode(text, dim).toSeq) else None)
+    emb.foreach(v => catalog.upsertEmbedding(EmbeddingRow(id, v, v.length)))
+    getNode(id).get
+  }
+
+  /** GET /nodes/{id} (O3, app.py:163-202): details + has_embedding +
+    * outgoing/incoming edges. */
+  def getNode(id: String): Option[NodeDetails] = {
+    val n = catalog.nodes.filter($"id" === id).as[Node].collect().headOption
+    n.map { node =>
+      val emb = catalog.embeddings.filter($"node_id" === id)
+        .as[EmbeddingRow].collect().headOption
+      val out = edgeInfos(catalog.edges.filter($"source" === id))
+      val in = edgeInfos(catalog.edges.filter($"target" === id))
+      NodeDetails(node.id, node.text, node.metadata, node.created_at,
+        node.updated_at, emb.nonEmpty, emb.map(_.vector), out, in)
+    }
+  }
+
+  private def edgeInfos(df: DataFrame): Seq[EdgeInfo] =
+    df.orderBy($"id").as[EdgeRow].collect()
+      .map(e => EdgeInfo(e.id, e.source, e.target, e.etype, e.weight)).toSeq
+
+  /** PUT /nodes/{id} (O2+O21, app.py:794-821): partial update; embedding
+    * precedence explicit > regen (re-encode of the NEW text) > keep. */
+  def updateNode(id: String, text: Option[String] = None,
+                 metadata: Option[Map[String, String]] = None,
+                 regenEmbedding: Boolean = false,
+                 embedding: Option[Seq[Float]] = None): Option[NodeDetails] = {
+    catalog.nodes.filter($"id" === id).as[Node].collect().headOption.map { old =>
+      val newText = text.getOrElse(old.text)
+      catalog.upsertNode(old.copy(
+        text = newText,
+        metadata = metadata.getOrElse(old.metadata),
+        updated_at = now()))
+      embedding match {
+        case Some(v) => catalog.upsertEmbedding(EmbeddingRow(id, v, v.length))
+        case None if regenEmbedding =>
+          val v = HashEmbed.encode(newText, dim).toSeq
+          catalog.upsertEmbedding(EmbeddingRow(id, v, v.length))
+        case None => ()
+      }
+      getNode(id).get
+    }
+  }
+
+  /** DELETE /nodes/{id} (O4, app.py:824-834): cascade per TC-API-04. */
+  def deleteNode(id: String): Boolean = {
+    val exists = !catalog.nodes.filter($"id" === id).isEmpty
+    if (exists) catalog.deleteNode(id)
+    exists
+  }
+
+  def getAllNodes(): Seq[(String, String, Map[String, String])] =
+    catalog.nodes.select($"id", $"text", $"metadata")
+      .as[(String, String, Map[String, String])].collect().toSeq
+
+  // ------------------------------------------------------------ edge CRUD
+  /** POST /edges (O22, app.py:839-850): both endpoints must exist. */
+  def createEdge(source: String, target: String, etype: String,
+                 weight: Double = 1.0): Option[EdgeInfo] = {
+    val endpoints = catalog.nodes.filter($"id".isin(source, target))
+      .select($"id").as[String].collect().toSet
+    if (!(endpoints.contains(source) && endpoints.contains(target))) None
+    else {
+      val e = EdgeRow(newId("edge"), source, target, etype, weight, now())
+      catalog.upsertEdge(e)
+      Some(EdgeInfo(e.id, e.source, e.target, e.etype, e.weight))
+    }
+  }
+
+  def getEdge(id: String): Option[EdgeInfo] =
+    catalog.edges.filter($"id" === id).as[EdgeRow].collect().headOption
+      .map(e => EdgeInfo(e.id, e.source, e.target, e.etype, e.weight))
+
+  /** PUT /edges/{id} (O8, app.py:288-308): partial, coalesce-with-current. */
+  def updateEdge(id: String, etype: Option[String] = None,
+                 weight: Option[Double] = None): Option[EdgeInfo] = {
+    catalog.edges.filter($"id" === id).as[EdgeRow].collect().headOption.map { old =>
+      val updated = old.copy(
+        etype = etype.getOrElse(old.etype),
+        weight = weight.getOrElse(old.weight))
+      catalog.upsertEdge(updated)
+      EdgeInfo(updated.id, updated.source, updated.target, updated.etype, updated.weight)
+    }
+  }
+
+  def deleteEdge(id: String): Boolean = {
+    val exists = !catalog.edges.filter($"id" === id).isEmpty
+    if (exists) catalog.deleteEdge(id)
+    exists
+  }
+
+  // -------------------------------------------------------------- search
+  /** POST /search/vector (O12, app.py:394-444): full-scan top-k with
+    * dim-mismatch skip and exact-match AND metadata filter. The reference
+    * post-filters after ranking; filtering before top-k yields identical
+    * results (truncation happens after filtering either way,
+    * app.py:427-442) and lets Catalyst push the predicate down. */
+  def vectorSearch(queryText: String, topK: Int = 10,
+                   metadataFilter: Map[String, String] = Map.empty): Seq[VectorHit] = {
+    val q = HashEmbed.encode(queryText, dim)
+    val scored = catalog.embeddings
+      .filter($"dim" === q.length)
+      .select($"node_id".as("id"),
+        vec.dot($"vector", typedlit(q.toSeq.map(_.toDouble))).as("vector_score"))
+      .join(catalog.nodes, "id")
+    val filtered = metadataFilter.foldLeft(scored) { case (df, (k, v)) =>
+      df.filter(element_at($"metadata", k) === v)
+    }
+    filtered
+      .orderBy($"vector_score".desc, $"id")
+      .limit(topK)
+      .select($"id", $"text", $"metadata", $"vector_score".as("vectorScore"))
+      .as[VectorHit].collect().toSeq
+  }
+
+  /** BM25 keyword search (O15). Declared capability: built + queryable even
+    * though no reference endpoint exposes it (app.py:670-672 keeps it out
+    * of hybrid; SURVEY authoritative-source note). */
+  def bm25Search(queryText: String, topK: Int = 10): Seq[Bm25Hit] = {
+    val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (terms.isEmpty) Seq.empty
+    else Bm25.score(catalog.nodes, "id", "text", terms.distinct, topK)
+      .as[(String, Double)].collect().map { case (i, s) => Bm25Hit(i, s) }.toSeq
+  }
+
+  /** GET /search/graph (O19, app.py:893-903): None when start missing. */
+  def graphSearch(startId: String, depth: Int = 2,
+                  edgeType: Option[String] = None): Option[GraphSearchResult] = {
+    if (catalog.nodes.filter($"id" === startId).isEmpty) None
+    else {
+      val bfs = Bfs.traverse(catalog.edges, lit(startId), depth,
+        srcCol = "source", dstCol = "target", weightCol = "weight",
+        edgeType = edgeType.map(("etype", _)))
+      val nodes = bfs.filter($"node" =!= startId) // start excluded, app.py:599
+        .join(catalog.nodes, $"node" === $"id")
+        .orderBy($"dist", $"node")
+        .select($"id", $"text", $"metadata", $"dist".as("distance"),
+          $"path_weight".as("pathWeight"))
+        .as[GraphNodeHit].collect().toSeq
+      val induced = GraphOps.inducedEdges(catalog.edges, bfs,
+        srcCol = "source", dstCol = "target")
+      Some(GraphSearchResult(startId, depth, edgeType, nodes, edgeInfos(induced)))
+    }
+  }
+
+  /** POST /search/hybrid (O20, app.py:657-736): weighted vector+graph
+    * fusion as one composed plan; BM25 deliberately not fused. */
+  def hybridSearch(queryText: String, vectorWeight: Double = 0.7,
+                   graphWeight: Double = 0.3, topK: Int = 10,
+                   graphStartId: Option[String] = None,
+                   graphDepth: Int = 2): Option[Seq[HybridHit]] = {
+    if (graphStartId.exists(s => catalog.nodes.filter($"id" === s).isEmpty))
+      None // 404 contract, app.py:909-910
+    else {
+      val q = HashEmbed.encode(queryText, dim)
+      val vecScores = catalog.embeddings
+        .filter($"dim" === q.length)
+        .select($"node_id".as("id"),
+          vec.dot($"vector", typedlit(q.toSeq.map(_.toDouble))).as("vector_score"))
+      val graphScores = graphStartId.map { start =>
+        // hybrid BFS ignores edge_type (app.py:712)
+        val bfs = Bfs.traverse(catalog.edges, lit(start), graphDepth,
+          srcCol = "source", dstCol = "target", weightCol = "weight")
+        GraphOps.closeness(bfs, lit(start), graphDepth)
+          .select($"node".as("id"), $"graph_score")
+      }
+      val fused = HybridSearch.fuse(catalog.nodes, vecScores, graphScores,
+        vectorWeight, graphWeight, topK)
+      Some(fused.join(catalog.nodes.select($"id", $"text"), Seq("id"))
+        .orderBy($"final_score".desc, $"id")
+        .select($"id", $"text", $"vec_norm".as("vectorScore"),
+          $"graph_score".as("graphScore"), $"final_score".as("finalScore"))
+        .as[HybridHit].collect().toSeq)
+    }
+  }
+
+  /** GET /stats (O23, app.py:929-940). */
+  def stats(): Stats = Stats(
+    catalog.nodes.count(),
+    catalog.embeddings.count(),
+    catalog.edges.count())
+}
