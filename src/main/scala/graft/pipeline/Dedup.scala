@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.functions.vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * Every operator is shuffle-shaped for 100 TB: exact dedup is one groupBy
+  * on a 128-bit digest (no text comparison after the hash); MinHash-LSH
+  * turns the quadratic all-pairs problem into |bands| equi-join shuffles on
+  * (band, band_key); SimHash reduces a document to one int64 so candidate
+  * generation is a bit-bucket join; only the final verification (n-gram
+  * Jaccard / embedding cosine) touches candidate pairs, whose cardinality
+  * LSH already bounded.
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact dedup: group by md5(text); keeper = min id per group.
+    * At scale: the only wide op is one hash-keyed groupBy — never compares
+    * full texts, never collects. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** MinHash signatures in row shape: (doc_id, i, mh) for i < numHashes,
+    * over word 3-shingles. Row shape keeps the plan one explode + one
+    * groupBy — no wide pivot until banding. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)))).as("s"))
+      .withColumn("hv", strHash(col("s")))
+    sh.select(col("doc_id"), col("hv"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(minhashPerm(col("hv"), col("i"))).as("mh"))
+  }
+
+  /** MinHash-LSH candidate pairs: band signatures → equi-join buckets →
+    * estimated Jaccard (matching-minhash fraction) ≥ threshold.
+    * rowsPerBand=4 over 16 hashes → 4 bands; est-Jaccard verification
+    * prunes band-collision false positives. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val mh = minhashSignatures(docs, idCol, textCol, numHashes)
+    val bands = mh
+      .groupBy(col("doc_id"), floor(col("i") / rowsPerBand).as("band"))
+      .agg(sum((col("i") % rowsPerBand + 1) * col("mh")).as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val ma = mh.select(col("doc_id").as("a"), col("i"), col("mh").as("mha"))
+    val mb = mh.select(col("doc_id").as("b"), col("i"), col("mh").as("mhb"))
+    cand.join(ma, "a").join(mb, Seq("b", "i"))
+      .groupBy(col("a"), col("b"))
+      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)) /
+        lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over unigram TF: bit b set iff Σ tf·(±1 by hash bit b)
+    * is positive. One doc → one int64; near-dups differ in few bits. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .withColumn("hv", strHash(col("t")))
+    tf.select(col("doc_id"), col("tf"), col("hv"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("tf") *
+        (expr("shiftright(hv, b)").bitwiseAND(1) * 2 - 1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Word-3-shingle Jaccard for given candidate pairs (a ⋈ b by id). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(tokens(col(textCol))).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup ranking: all pairs i<j scored, top-k most
+    * similar. The all-pairs cross join is the exact baseline; at scale the
+    * candidate set comes from Similarity.lshBuckets instead. */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           topK: Int, roundTo: Int = 6): DataFrame = {
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(vec.cosine(col("va"), col("vb")), roundTo).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque binary payload + typed metadata. */
+case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+    source: String)
+
+/** Per-item extracted features (deterministic; see decode STUB note). */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, digest: String,
+    format: String)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in per-partition batches.
+  *
+  * The heavy codec step is a **STUB**: this container has no image/audio
+  * libraries, so `extractFeatures` computes deterministic byte-level
+  * features (length + md5) where a real pipeline would decode pixels /
+  * samples. Everything around the stub — binary schema, partition-batched
+  * `mapPartitions` with per-partition resource init (the Scala analog of a
+  * Pandas UDF's batch shape), typed Dataset output — is real and tested;
+  * swapping the stub for a JNI/ONNX decoder changes only the map body.
+  */
+object Multimodal {
+
+  /** Derive a media table from the documents fixture: payload = UTF-8
+    * bytes standing in for encoded image/audio bytes. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/plain").as("format"),
+      col("source"))
+
+  /** Batch feature extraction: one MessageDigest per partition (resource
+    * init amortized over the batch — the mapInPandas pattern), rows
+    * streamed, no collect. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // per-partition init
+      rows.map { r =>
+        md.reset()
+        val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+        // STUB: real decode (pixels/samples/frames) would happen here
+        MediaFeatures(r.doc_id, r.payload.length, digest, r.format)
+      }
+    }
+  }
+}

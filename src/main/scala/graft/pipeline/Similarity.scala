@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.functions.vec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers (SURVEY cat 12 scale path):
+  *  - brute-force: exact, one corpus scan per query batch (queries
+  *    broadcast) — `graft.search.VectorSearch` / `rel.VectorQueries.vecKnn`
+  *  - sign-LSH buckets (here): 2^H random-hyperplane buckets; queries probe
+  *    only their own bucket, cutting scan work ~2^H× at recall < 1. The
+  *    bucket id is a plain int column → candidate generation is an
+  *    equi-join shuffle, the Spark-native IVF analog.
+  */
+object Similarity {
+
+  /** H fixed hyperplanes with exact-quarter components — deterministic
+    * across engines (no RNG; values in {-3/4..3/4} are exact doubles). */
+  def hyperplanes(h: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(h)(b => Seq.tabulate(dim)(j => (((j * (b + 3) + b) % 7) - 3) / 4.0))
+
+  /** Bucket id: bit b set iff dot(v, plane_b) > 0. */
+  def bucketCol(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(vec.dot(vecCol, typedlit(p)) > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k: per query, rank only same-bucket candidates by
+    * cosine. Returns (qid, cid, cos, rn). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 4,
+              roundTo: Int = 6): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      bucketCol(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      bucketCol(col(vecCol), planes).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(q), "bucket")
+      .withColumn("cos", round(vec.cosine(col("cv"), col("qv")), roundTo))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+}

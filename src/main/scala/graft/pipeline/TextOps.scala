@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-pipeline column kernels: tokenization, shingling, and the
+  * cross-engine string hash every dedup/fingerprint operator builds on.
+  *
+  * The hash spec is md5-prefix-as-int (first 15 hex digits → bigint, mod
+  * 2^31-1): md5 is identical in every engine, 15 hex digits fit int64, and
+  * the mod keeps products inside int64 for the affine MinHash permutations
+  * (a·h+b with a ≤ 33 → < 2^36). Pure built-ins → whole-stage codegen.
+  */
+object TextOps {
+  /** Modulus for all hash arithmetic: the Mersenne prime 2^31-1. */
+  val P = 2147483647L
+
+  /** Lowercase whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Deterministic cross-engine string hash in [0, P). */
+  def strHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
+
+  /** Word k-shingles (distinct), e.g. k=3: "a b c" sliding windows. */
+  def shingles(toks: Column, k: Int = 3): Column = {
+    val sh = transform(sequence(lit(0), size(toks) - k),
+      j => concat_ws(" ", (1 to k).map(o => element_at(toks, j + o)): _*))
+    array_distinct(when(size(toks) >= k, sh).otherwise(array()))
+  }
+
+  /** The i-th MinHash permutation applied to a hash value: (2i+1)·h + 7919i
+    * mod P — affine over the prime field, standard MinHash family. */
+  def minhashPerm(hv: Column, i: Column): Column =
+    ((lit(2L) * i + 1L) * hv + lit(7919L) * i) % P
+}

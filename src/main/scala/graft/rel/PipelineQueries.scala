@@ -1,0 +1,312 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Declared training-data-pipeline operator queries: dedup (exact, MinHash
+  * signatures + LSH pairs, SimHash, n-gram Jaccard, embedding cosine), ANN
+  * (LSH-bucketed), text analysis (langid, quality, tokens, fingerprint),
+  * multimodal feature plumbing.
+  *
+  * The fixtures contain no natural duplicates (max pairwise embedding
+  * cosine 0.479; consecutive-doc shingle Jaccard ≤ 0.024), so dedup queries
+  * PLANT deterministic duplicates inside the query (id+100000 copies,
+  * optionally text-mutated) — the operators then have real positives to
+  * find, and the DuckDB oracle plants identically.
+  */
+object PipelineQueries {
+
+  // ---- shared DuckDB fragments (mirror graft.pipeline.TextOps exactly) ----
+  private val P = TextOps.P
+  private def hvSql(x: String) =
+    s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT) % $P"
+  private val toksSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val shinglesCte =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(
+       |         CASE WHEN len(toks) >= 3
+       |              THEN list_transform(range(len(toks)-2),
+       |                     j -> toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3])
+       |              ELSE [] END) AS shs
+       |       FROM t)""".stripMargin
+  private val minhashCte = // requires corpus + shinglesCte
+    s"""hv AS (SELECT doc_id, ${hvSql("s")} AS hv
+       |       FROM (SELECT doc_id, unnest(shs) AS s FROM sh)),
+       |mh AS (SELECT doc_id, i, MIN(((2*i + 1) * hv + 7919*i) % $P) AS mh
+       |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i)
+       |       GROUP BY doc_id, i)""".stripMargin
+
+  // --------------------------------------------------------------- dedup
+  /** Exact dedup over corpus + 15 planted exact copies. */
+  val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 15).select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      Dedup.exactGroups(corpus, "doc_id", "text")
+        .filter($"n" > 1)
+        .select($"h", $"keep_id", $"n")
+        .orderBy($"keep_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 15)
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+            FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+            ORDER BY keep_id"""))
+
+  /** MinHash signatures (row shape) over word 3-shingles. */
+  val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.minhashSignatures(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id", $"i")
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+             $shinglesCte,
+             $minhashCte
+             SELECT doc_id, i, mh FROM mh ORDER BY doc_id, i"""))
+
+  /** MinHash-LSH candidate pairs over corpus + 20 planted near-copies
+    * (text || ' qq17 zz88'): bands → bucket join → est-Jaccard ≥ 0.5. */
+  val dedupMinhashPairs = QueryDef(
+    "q_dedup_minhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      Dedup.minhashPairs(corpus, "doc_id", "text")
+        .select($"a", $"b", round($"est_jaccard", 6).as("est_jaccard"))
+        .orderBy($"a", $"b")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             $minhashCte,
+             bands AS (SELECT doc_id, i // 4 AS band, SUM((i % 4 + 1) * mh) AS bkey
+                       FROM mh GROUP BY doc_id, i // 4),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+             est AS (SELECT c.a, c.b,
+                            SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                     FROM cand c
+                     JOIN mh ma ON ma.doc_id = c.a
+                     JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+                     GROUP BY c.a, c.b)
+             SELECT a, b, round(ej, 6) AS est_jaccard FROM est
+             WHERE ej >= 0.5 ORDER BY a, b"""))
+
+  /** 32-bit SimHash per document. */
+  val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+             t AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
+             tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+             h AS (SELECT doc_id, tf, ${hvSql("tok")} AS hv FROM tf),
+             bits AS (SELECT doc_id, b,
+                             SUM(tf * (CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS sig
+                      FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+                      GROUP BY doc_id, b)
+             SELECT doc_id,
+                    CAST(SUM(CASE WHEN sig > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** n-gram Jaccard verification on candidate pairs: each planted near-copy
+    * vs its original (high J) and consecutive docs (low J). */
+  val dedupNgram = QueryDef(
+    "q_dedup_ngram",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val pairs = docs.filter($"doc_id" < 20)
+        .select($"doc_id".as("a"), ($"doc_id" + 100000).as("b"))
+        .unionByName(docs.filter($"doc_id" < 20)
+          .select($"doc_id".as("a"), ($"doc_id" + 1).as("b")))
+      Dedup.ngramJaccard(corpus, "doc_id", "text", pairs)
+        .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"a", $"b")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id < 20
+                       UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id < 20),
+             j AS (SELECT p.a, p.b,
+                          len(list_intersect(sa.shs, sb.shs)) AS inter,
+                          len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS uni
+                   FROM pairs p
+                   JOIN sh sa ON sa.doc_id = p.a
+                   JOIN sh sb ON sb.doc_id = p.b)
+             SELECT a, b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+             FROM j ORDER BY a, b"""))
+
+  /** Embedding-cosine near-dup ranking: top-20 most-similar pairs. */
+  val dedupEmbCos = QueryDef(
+    "q_dedup_embcos",
+    (s, dir) => Dedup.embeddingCosinePairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", topK = 20),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                              round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                                              sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                                         ELSE list_dot_product(a.v, b.v) /
+                                              (sqrt(list_dot_product(a.v, a.v)) *
+                                               sqrt(list_dot_product(b.v, b.v))) END, 6) AS cos
+                       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT a, b, cos FROM p ORDER BY cos DESC, a, b LIMIT 20"""))
+
+  // ----------------------------------------------------------------- ANN
+  /** Sign-LSH bucketed ANN: 4 exact-literal hyperplanes → 16 buckets;
+    * queries (vec_id < 5) probe only their own bucket. */
+  val annLsh = QueryDef(
+    "q_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5)
+        .orderBy($"qid", $"rn")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |s AS (SELECT q.qid, c.vec_id AS cid,
+         |             round(CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
+         |                             sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0
+         |                        ELSE list_dot_product(c.v, q.qv) /
+         |                             (sqrt(list_dot_product(c.v, c.v)) *
+         |                              sqrt(list_dot_product(q.qv, q.qv))) END, 6) AS cos
+         |      FROM b c JOIN q ON c.bucket = q.bucket),
+         |r AS (SELECT qid, cid, cos,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |      FROM s)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    })
+
+  // --------------------------------------------------------- text analysis
+  val textLangId = QueryDef(
+    "q_text_langid",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+        val litList = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect(list_distinct($toksSql), $litList)) AS hits_$lang"
+      }.mkString(",\n                    ")
+      s"""WITH h AS (SELECT doc_id, $hits FROM documents)
+         |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+         |       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |            WHEN hits_es >= hits_fr THEN 'es'
+         |            ELSE 'fr' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
+  val textQuality = QueryDef(
+    "q_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val allStop = TextAnalysis.stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         len($toksSql) AS n_tokens,
+         |         length(text) AS n_chars,
+         |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
+         |         len(list_intersect(list_distinct($toksSql), $allStop)) AS n_stop
+         |  FROM documents),
+         |r AS (SELECT *,
+         |             n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+         |             n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio
+         |      FROM b)
+         |SELECT doc_id, n_tokens, n_chars, n_punct, n_stop, stop_ratio, punct_ratio,
+         |       round(0.4 * stop_ratio + 0.3 * least(n_tokens / 100.0, 1.0) +
+         |             0.3 * (1.0 - punct_ratio), 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin
+    })
+
+  val textTokens = QueryDef(
+    "q_text_tokens",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id,
+                    len($toksSql) AS ws_tokens,
+                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+                    length(text) AS n_chars
+             FROM documents ORDER BY doc_id"""))
+
+  val textFingerprint = QueryDef(
+    "q_text_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform($toksSql, x -> ${hvSql("x")})),
+                      (acc, h) -> (acc * 31 + h) % $P) AS fp
+             FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ multimodal
+  /** Binary-payload feature extraction through the mapPartitions batch
+    * plumbing (decode step stubbed — see Multimodal). */
+  val multimodal = QueryDef(
+    "q_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        .as[MediaRow]
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select($"doc_id", $"n_bytes", $"digest", $"format")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest,
+                   'text/plain' AS format
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
+    dedupEmbCos, annLsh,
+    textLangId, textQuality, textTokens, textFingerprint, multimodal)
+}

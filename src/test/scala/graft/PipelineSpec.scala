@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables(spark, sf, "documents")
+
+  test("exact dedup finds planted copies and nothing else") {
+    val corpus = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" < 15).select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text")
+      .filter($"n" > 1).collect()
+    assert(groups.length == 15)
+    assert(groups.forall(_.getAs[Long]("n") == 2))
+  }
+
+  test("minhash-LSH finds every planted near-copy pair with high est-jaccard") {
+    val corpus = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat($"text", lit(" qq17 zz88")).as("text")))
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(planted.length == 20, s"recall on planted pairs: ${planted.length}/20")
+    assert(planted.forall(_._3 >= 0.5))
+  }
+
+  test("simhash: near-dup texts within small hamming distance, unrelated far") {
+    val d = Seq(
+      (1L, "spark shuffle join window aggregate filter scan merge sort"),
+      (2L, "spark shuffle join window aggregate filter scan merge sorted"),
+      (3L, "completely different topic gardening flowers spring soil")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(d, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)),
+      s"near-dup must be closer: ${sh.toSeq}")
+  }
+
+  test("lsh ANN: same-bucket recall vs brute force on bucket-mates") {
+    val e = Tables(spark, sf, "embeddings")
+    val got = Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // every query finds itself at rank 1 (cosine 1.0 within its own bucket)
+    val self = got.filter(r => r._1 == r._2)
+    assert(self.length == 5 && self.forall(_._4 == 1), s"${self.toSeq}")
+  }
+
+  test("multimodal: mapPartitions feature extraction matches SQL-computable facts") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(10)).as[MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 10)
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    val raw = docs.limit(10).select($"doc_id", $"text").as[(Long, String)].collect()
+    raw.foreach { case (id, text) =>
+      assert(byId(id).n_bytes == text.getBytes("UTF-8").length)
+      assert(byId(id).digest.length == 32)
+      assert(byId(id).format == "text/plain")
+    }
+  }
+
+  test("fingerprint is order-sensitive (unlike minhash)") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("language id predicts via stopword hits deterministically") {
+    val d = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "el perro y los gatos es un animal")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(d, "doc_id", "text")
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"), s"$got")
+  }
+}
