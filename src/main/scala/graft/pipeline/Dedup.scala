@@ -25,18 +25,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
   /** MinHash signatures in row shape: (doc_id, i, mh) for i < numHashes,
-    * over word 3-shingles. Row shape keeps the plan one explode + one
-    * groupBy — no wide pivot until banding. */
+    * over word 3-shingles. Computed entirely MAP-SIDE by the compiled
+    * [[graft.functions.MinHashSig]] expression (one md5 per shingle, tight
+    * permutation loop) — the operator is shuffle-free; the only exploded
+    * rows are the numHashes output rows per doc. Empty docs (no shingles)
+    * yield no rows, matching the aggregate formulation. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)))).as("s"))
-      .withColumn("hv", strHash(col("s")))
-    sh.select(col("doc_id"), col("hv"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(minhashPerm(col("hv"), col("i"))).as("mh"))
-  }
+                        numHashes: Int = 16): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.text.minhashSig(
+          tokens(col(textCol)), 3, numHashes).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("mh"))
 
   /** MinHash-LSH candidate pairs: band signatures → equi-join buckets →
     * estimated Jaccard (matching-minhash fraction) ≥ threshold.
@@ -67,7 +68,7 @@ object Dedup {
     * is positive. One doc → one int64; near-dups differ in few bits. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"),
+    val tf = spread(docs).select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       .withColumn("hv", strHash(col("t")))
@@ -81,11 +82,16 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Word-3-shingle Jaccard for given candidate pairs (a ⋈ b by id). */
+  /** Word-3-shingle Jaccard for given candidate pairs (a ⋈ b by id).
+    * Shingles are computed only for docs that appear in a pair (semi-join
+    * pruning) — candidate sets are tiny relative to the corpus. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol))).as("sh"))
+    val ids = pairs.select(col("a").as("pid"))
+      .unionByName(pairs.select(col("b").as("pid"))).distinct()
+    val sh = docs
+      .join(broadcast(ids), col(idCol) === col("pid"), "left_semi")
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol))).as("sh"))
     pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
@@ -100,11 +106,17 @@ object Dedup {
     * candidate set comes from Similarity.lshBuckets instead. */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            topK: Int, roundTo: Int = 6): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // per-row precompute on each side: float→double cast and norm happen
+    // |rows| times, so the O(n²) pair loop does exactly one dot per pair
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val a = emb.select(col(idCol).as("a"), vd.as("va"), vec.norm(vd).as("na"))
+    val b = emb.select(col(idCol).as("b"), vd.as("vb"), vec.norm(vd).as("nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(vec.cosine(col("va"), col("vb")), roundTo).as("cos"))
+        round(when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+          roundTo).as("cos"))
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(topK)
   }

@@ -15,6 +15,14 @@ object TextOps {
   /** Modulus for all hash arithmetic: the Mersenne prime 2^31-1. */
   val P = 2147483647L
 
+  /** Small files arrive as one scan partition; fan CPU-heavy per-row work
+    * across the cluster before computing. (A semantic no-op: round-robin
+    * repartition, applied only when the input is under-parallelized.) */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+
   /** Lowercase whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")

@@ -1,0 +1,56 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the stream-shaped operators, run in batch mode —
+  * the transforms are shared verbatim with the streaming path
+  * (EventStreams), and StreamingSpec asserts streaming == batch on the same
+  * data. Oracles: epoch-aligned tumbling windows ≡ date_trunc; session
+  * windows ≡ gaps-and-islands (break when gap ≥ 30 min). */
+object StreamQueries {
+
+  val streamWindow = QueryDef(
+    "q_stream_window",
+    (s, dir) => {
+      import s.implicits._
+      EventStreams.windowedCounts(Tables(s, dir, "events"))
+        .select(date_format($"window_start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"event_type", $"n", $"total")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+            ORDER BY window_start, event_type"""))
+
+  val streamSession = QueryDef(
+    "q_stream_session",
+    (s, dir) => {
+      import s.implicits._
+      EventStreams.sessionCounts(Tables(s, dir, "events"))
+        .select(date_format($"session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          $"user_id", $"n", $"total")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH x AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk,
+                     event_id
+              FROM events),
+            y AS (SELECT user_id, ts, value,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM x)
+            SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM y GROUP BY user_id, sess
+            ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(streamWindow, streamSession)
+}

@@ -2,6 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.TextOps
 
 /** BM25-Okapi keyword scoring as pure DataFrame aggregation algebra
   * (reference O14-O15, app.py:453-489; formula per rank_bm25 0.2.2's
@@ -34,7 +35,7 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = docs
+    val base = TextOps.spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("dl", size($"toks"))
     // corpus stats: N and average doc length over ALL docs (empty included,

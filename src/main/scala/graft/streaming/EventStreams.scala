@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured-Streaming operators over the events stream (SURVEY §2.B.10 —
+  * an *extension* beyond the reference, which is request/response only).
+  *
+  * Every transform below is written against a plain DataFrame so the SAME
+  * code serves batch (finite parquet) and streaming (`readStream`) inputs —
+  * the streaming spec asserts streaming output == batch output on identical
+  * data. Watermarks bound state: at 100 TB/day the windowed aggregation
+  * state is O(active windows × groups), not O(stream length).
+  */
+object EventStreams {
+
+  /** events schema for readStream (ts arrives as nanos long with
+    * spark.sql.legacy.parquet.nanosAsLong=true; converted to micros
+    * timestamp exactly like graft.Tables). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window counts/sums per event type with a watermark. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("total"))
+
+  /** Custom state: per-user running totals via mapGroupsWithState — the
+    * KeyValueGroupedDataset stateful path (the engine's answer to any
+    * "custom state machine over a stream" requirement). */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select($"user_id", $"value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserRunningTotal]) =>
+          val prev = state.getOption.getOrElse(UserRunningTotal(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r._2 }
+          val next = UserRunningTotal(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

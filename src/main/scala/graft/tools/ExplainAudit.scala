@@ -1,0 +1,23 @@
+package graft.tools
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+/** Prints formatted physical plans for representative queries so plan
+  * regressions (lost pushdown, wrong join strategy, broken codegen) are
+  * visible. `sbt "runMain graft.tools.ExplainAudit [query...]"` */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_filter_pred", "q_join_broadcast", "q_topk", "q_vec_topk", "q1_agg")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}
