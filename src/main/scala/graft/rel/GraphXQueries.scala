@@ -1,0 +1,80 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.graph.GraphXOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared GraphX analytics queries over the events-derived graph
+  * (same edge table as GraphQueries). q_graphx_pregel_bfs shares its oracle
+  * with q_graph_bfs — two independent implementations (driver-loop joins vs
+  * Pregel fixpoint) checked against one recursive-CTE ground truth. */
+object GraphXQueries {
+
+  private def eventEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") % 15).as("dst"),
+        $"event_type".as("etype"), $"value".as("w0"))
+      .groupBy($"src", $"dst", $"etype")
+      .agg(max($"w0").as("weight"))
+  }
+
+  private val edgesCte =
+    """edges AS (
+      |  SELECT user_id AS src,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 15 AS dst,
+      |         event_type AS etype, MAX(value) AS w
+      |  FROM events GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Connected components (undirected min-label propagation). */
+  val graphxCc = QueryDef(
+    "q_graphx_cc",
+    (s, dir) => {
+      import s.implicits._
+      GraphXOps.connectedComponents(eventEdges(s, dir)).orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             und AS (SELECT src AS a, dst AS b FROM edges
+                     UNION SELECT dst, src FROM edges),
+             verts AS (SELECT DISTINCT a AS v FROM und),
+             reach(v, r) AS (
+               SELECT v, v FROM verts
+               UNION
+               SELECT r0.v, u.b FROM reach r0 JOIN und u ON u.a = r0.r)
+             SELECT v AS node, MIN(r) AS component FROM reach
+             GROUP BY v ORDER BY node"""))
+
+  /** Pregel BFS — same semantics and same oracle as q_graph_bfs. */
+  val graphxPregelBfs = QueryDef(
+    "q_graphx_pregel_bfs",
+    (s, dir) => {
+      import s.implicits._
+      GraphXOps.pregelBfs(eventEdges(s, dir), start = 0L, maxDepth = 3)
+        .select($"node", $"dist", round($"path_weight", 6).as("path_weight"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             walk(node, dist, pw) AS (
+               SELECT CAST(0 AS BIGINT), 0, CAST(0.0 AS DOUBLE)
+               UNION ALL
+               SELECT e.dst, w0.dist + 1, w0.pw + e.w
+               FROM walk w0 JOIN edges e ON e.src = w0.node
+               WHERE w0.dist < 3),
+             lab AS (SELECT node, dist, pw, MIN(dist) OVER (PARTITION BY node) AS md FROM walk),
+             bfs AS (SELECT node, dist, MAX(pw) AS pw FROM lab WHERE dist = md GROUP BY node, dist)
+             SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node"""))
+
+  /** Static PageRank (10 iterations, d=0.85): float-iterative → declared
+    * rows-only (deterministic within the engine, no cross-engine oracle). */
+  val graphxPageRank = QueryDef(
+    "q_graphx_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      GraphXOps.pageRank(eventEdges(s, dir)).orderBy($"node")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(graphxCc, graphxPregelBfs, graphxPageRank)
+}

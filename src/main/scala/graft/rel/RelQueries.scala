@@ -487,11 +487,44 @@ object RelQueries {
                         ELSE 'other' END AS kind
             FROM events ORDER BY event_id"""))
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate join (SURVEY §4: subquery decorrelation "free"). */
+  val scalarSubquery = QueryDef.sqlBoth(
+    "q_scalar_subquery",
+    """SELECT c_custkey, c_name,
+              (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+       FROM customer ORDER BY c_custkey""",
+    """SELECT c_custkey, c_name,
+              (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+       FROM customer ORDER BY c_custkey""")
+
+  /** NULL-handling scalars: coalesce / nullif / greatest / least. */
+  val fnNull = QueryDef(
+    "q_fn_null",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("st"),
+          greatest($"o_totalprice", lit(50000.0)).as("g"),
+          least($"o_totalprice", lit(50000.0)).as("l"),
+          when($"o_totalprice".isNull, 0.0).otherwise($"o_totalprice").as("nz"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st,
+                   greatest(o_totalprice, 50000.0::DOUBLE) AS g,
+                   least(o_totalprice, 50000.0::DOUBLE) AS l,
+                   CASE WHEN o_totalprice IS NULL THEN 0.0 ELSE o_totalprice END AS nz
+            FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     scanProject, filterPred, filterJson,
     joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti,
     q1Agg, aggDistinct, rollupAgg, cubeAgg, groupingSets,
     windowRank, windowRunning, windowMax,
     topK, unionAll, intersectOp, exceptOp,
-    fnString, fnDate, fnMath, fnArray, fnJson)
+    fnString, fnDate, fnMath, fnArray, fnJson,
+    scalarSubquery, fnNull)
 }
