@@ -70,7 +70,7 @@ object PipelineQueries {
     Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
              $shinglesCte,
              $minhashCte
-             SELECT doc_id, i, mh FROM mh ORDER BY doc_id, i"""))
+             SELECT doc_id, CAST(i AS INT) AS i, mh FROM mh ORDER BY doc_id, i"""))
 
   /** MinHash-LSH candidate pairs over corpus + 20 planted near-copies
     * (text || ' qq17 zz88'): bands → bucket join → est-Jaccard ≥ 0.5. */
@@ -207,7 +207,7 @@ object PipelineQueries {
          |r AS (SELECT qid, cid, cos,
          |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
          |      FROM s)
-         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+         |SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     })
 
   // --------------------------------------------------------- text analysis
@@ -221,7 +221,7 @@ object PipelineQueries {
     Some {
       val hits = TextAnalysis.stopwords.map { case (lang, words) =>
         val litList = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_intersect(list_distinct($toksSql), $litList)) AS hits_$lang"
+        s"CAST(len(list_intersect(list_distinct($toksSql), $litList)) AS INT) AS hits_$lang"
       }.mkString(",\n                    ")
       s"""WITH h AS (SELECT doc_id, $hits FROM documents)
          |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
@@ -244,10 +244,10 @@ object PipelineQueries {
         .map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH b AS (
          |  SELECT doc_id,
-         |         len($toksSql) AS n_tokens,
-         |         length(text) AS n_chars,
-         |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct,
-         |         len(list_intersect(list_distinct($toksSql), $allStop)) AS n_stop
+         |         CAST(len($toksSql) AS INT) AS n_tokens,
+         |         CAST(length(text) AS INT) AS n_chars,
+         |         CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         |         CAST(len(list_intersect(list_distinct($toksSql), $allStop)) AS INT) AS n_stop
          |  FROM documents),
          |r AS (SELECT *,
          |             n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
@@ -267,9 +267,9 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id,
-                    len($toksSql) AS ws_tokens,
-                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
-                    length(text) AS n_chars
+                    CAST(len($toksSql) AS INT) AS ws_tokens,
+                    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+                    CAST(length(text) AS INT) AS n_chars
              FROM documents ORDER BY doc_id"""))
 
   val textFingerprint = QueryDef(
@@ -300,7 +300,7 @@ object PipelineQueries {
         .orderBy($"doc_id")
     },
     Some("""SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                    md5(text) AS digest,
                    'text/plain' AS format
             FROM documents ORDER BY doc_id"""))

@@ -274,7 +274,7 @@ object RelQueries {
         .select($"o_custkey", $"o_orderkey", $"rnk", $"rn")
         .orderBy($"o_custkey", $"rn")
     },
-    Some("""SELECT o_custkey, o_orderkey, rnk, rn FROM (
+    Some("""SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk, CAST(rn AS INT) AS rn FROM (
               SELECT o_custkey, o_orderkey,
                      RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
                      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
@@ -383,7 +383,7 @@ object RelQueries {
           element_at(split($"p_name", " "), 1).as("tok0"))
         .orderBy($"p_partkey")
     },
-    Some("""SELECT p_partkey, lower(p_name) AS lname, length(p_name) AS len,
+    Some("""SELECT p_partkey, lower(p_name) AS lname, CAST(length(p_name) AS INT) AS len,
                    p_brand || '#' || p_type AS tag,
                    substr(p_name, 1, 5) AS pre,
                    string_split(p_name, ' ')[1] AS tok0

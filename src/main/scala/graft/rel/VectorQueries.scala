@@ -77,7 +77,7 @@ object VectorQueries {
                  r AS (SELECT qid, cid, cos,
                               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
                        FROM s)
-            SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+            SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
   /** BM25-Okapi keyword scores over documents (O15) for a fixed query. */
   val bm25Terms = Seq("spark", "vector", "join")

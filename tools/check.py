@@ -37,6 +37,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {gcols} vs {ecols}")
         fail += 1
         continue
+    dt = [c for c in gcols if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt:
+        print(f"FAIL {name}: dtype mismatch " +
+              "; ".join(f"{c}: {got[c].dtype} vs {exp[c].dtype}" for c in dt))
+        fail += 1
+        continue
     got, exp = got[gcols], exp[ecols]
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
