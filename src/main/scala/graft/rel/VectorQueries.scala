@@ -125,5 +125,24 @@ object VectorQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(vecTopK, vecCosineTopK, vecKnn, bm25, hashEmbedQ)
+  /** Attribute-filtered vector top-k — the fixture analog of O12's
+    * metadata-filtered search (app.py:427-442): filter first (pushed to the
+    * scan), THEN truncate — same results as the reference's post-filter
+    * order, Catalyst-optimal plan. */
+  val vecTopKFiltered = QueryDef(
+    "q_vec_topk_filtered",
+    (s, dir) => {
+      import s.implicits._
+      VectorSearch.topK(
+        Tables(s, dir, "embeddings").filter($"label" % 3 === 0),
+        "vec_id", "embedding", queryVec, k = 20,
+        scoreCol = "score", roundTo = Some(6))
+    },
+    Some(s"""SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
+             FROM embeddings
+             WHERE label % 3 = 0 AND len(embedding) = 64
+             ORDER BY score DESC, vec_id LIMIT 20"""))
+
+  val all: Seq[QueryDef] =
+    Seq(vecTopK, vecCosineTopK, vecTopKFiltered, vecKnn, bm25, hashEmbedQ)
 }
