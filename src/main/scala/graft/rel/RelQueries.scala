@@ -519,12 +519,72 @@ object RelQueries {
                    CASE WHEN o_totalprice IS NULL THEN 0.0 ELSE o_totalprice END AS nz
             FROM orders ORDER BY o_orderkey"""))
 
+  /** lag/lead navigation within a partition (with explicit default). */
+  val windowLag = QueryDef(
+    "q_window_lag",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1, -1.0).over(w).as("next_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice, 1, -1.0::DOUBLE) OVER w AS next_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** Pivot — groupBy + pivot with pinned values; absent combos coalesced
+    * to 0 to match the FILTER-count oracle formulation. */
+  val pivotQ = QueryDef(
+    "q_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .select($"l_linestatus",
+          coalesce($"A", lit(0L)).as("r_a"),
+          coalesce($"N", lit(0L)).as("r_n"),
+          coalesce($"R", lit(0L)).as("r_r"))
+        .orderBy($"l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+                   COUNT(*) FILTER (l_returnflag = 'A') AS r_a,
+                   COUNT(*) FILTER (l_returnflag = 'N') AS r_n,
+                   COUNT(*) FILTER (l_returnflag = 'R') AS r_r
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Lateral explode with position (generator / UNNEST WITH ORDINALITY). */
+  val explodePos = QueryDef(
+    "q_explode_pos",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" < 10)
+        .select($"doc_id", posexplode(graft.pipeline.TextOps.tokens($"text")))
+        .select($"doc_id", $"pos", $"col".as("tok"))
+        .orderBy($"doc_id", $"pos")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 10)
+            SELECT doc_id, CAST(u.j AS INT) AS pos, toks[u.j + 1] AS tok
+            FROM t, unnest(range(len(toks))) AS u(j)
+            ORDER BY doc_id, pos"""))
+
   val all: Seq[QueryDef] = Seq(
     scanProject, filterPred, filterJson,
     joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti,
     q1Agg, aggDistinct, rollupAgg, cubeAgg, groupingSets,
-    windowRank, windowRunning, windowMax,
+    windowRank, windowRunning, windowMax, windowLag,
     topK, unionAll, intersectOp, exceptOp,
     fnString, fnDate, fnMath, fnArray, fnJson,
-    scalarSubquery, fnNull)
+    scalarSubquery, fnNull, pivotQ, explodePos)
 }

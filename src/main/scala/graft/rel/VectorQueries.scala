@@ -79,8 +79,15 @@ object VectorQueries {
                        FROM s)
             SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
-  /** BM25-Okapi keyword scores over documents (O15) for a fixed query. */
-  val bm25Terms = Seq("spark", "vector", "join")
+  /** BM25-Okapi keyword scores over documents (O15) for a fixed query.
+    * Term choice matters on this synthetic corpus: 30 of its 31 vocab words
+    * appear in >75% of docs, so their idfs go negative and rank_bm25's
+    * epsilon floor (0.25 × avg_idf) is itself negative — a query of only
+    * common terms scores every doc ≤ 0 and the >0 filter empties the
+    * result (a vacuous oracle match). 'dup' is the one rare term (df≈5%):
+    * mixing it with common terms exercises positive idf, the negative
+    * floor, and the >0 filter with a non-empty, discriminating result. */
+  val bm25Terms = Seq("dup", "spark", "vector")
   val bm25 = QueryDef(
     "q_bm25",
     (s, dir) => Bm25.score(Tables(s, dir, "documents"), "doc_id", "text",
