@@ -45,14 +45,14 @@ object RelQueries {
     (s, dir) => {
       import s.implicits._
       Tables(s, dir, "lineitem")
-        .filter($"l_shipdate" < lit("1995-01-01").cast("timestamp") &&
+        .filter($"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
           $"l_discount".between(0.05, 0.07) && $"l_quantity" < 25.0)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
         .orderBy($"l_orderkey", $"l_linenumber")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem
-            WHERE l_shipdate < TIMESTAMP '1995-01-01'
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05::DOUBLE AND 0.07::DOUBLE
               AND l_quantity < 25.0::DOUBLE
             ORDER BY l_orderkey, l_linenumber"""))
@@ -141,19 +141,23 @@ object RelQueries {
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             ORDER BY c_custkey"""))
 
-  /** Left-anti join — NOT EXISTS (reference cascade delete shape, O4). */
+  /** Left-anti join — NOT EXISTS (reference cascade delete shape, O4).
+    * Every customer has orders in the fixtures, so the anti side is
+    * predicated (>250k) to keep the result non-empty at every SF. */
   val joinAnti = QueryDef(
     "q_join_anti",
     (s, dir) => {
       import s.implicits._
       val c = Tables(s, dir, "customer")
-      val o = Tables(s, dir, "orders")
+      val o = Tables(s, dir, "orders").filter($"o_totalprice" > 250000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select($"c_custkey", $"c_name", $"c_acctbal")
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 250000.0::DOUBLE)
             ORDER BY c_custkey"""))
 
   // ---------------------------------------------------------------- cat 4: aggs
@@ -361,11 +365,14 @@ object RelQueries {
     (s, dir) => {
       import s.implicits._
       val a = Tables(s, dir, "customer").select($"c_custkey".as("k"))
-      val b = Tables(s, dir, "orders").select($"o_custkey".as("k"))
+      val b = Tables(s, dir, "orders")
+        .filter($"o_totalprice" > 250000.0).select($"o_custkey".as("k"))
       a.except(b).orderBy($"k")
     },
     Some("""SELECT c_custkey AS k FROM customer
-            EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k"""))
+            EXCEPT SELECT o_custkey AS k FROM orders
+                   WHERE o_totalprice > 250000.0::DOUBLE
+            ORDER BY k"""))
 
   // ------------------------------------------------------ cat 8: scalar functions
   /** String functions (reference: lower/split tokenization, app.py:365-366). */
