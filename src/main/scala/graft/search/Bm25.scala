@@ -35,33 +35,40 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = TextOps.spread(docs)
+    // The TF table is read by three downstream consumers (corpus stats,
+    // per-term DF, scoring) — checkpoint it so tokenization runs ONCE.
+    // This is the operator's "index build"; callers that search repeatedly
+    // should build it once and invalidate on write (the reference's
+    // rebuild-on-mutation contract, app.py:772-773, amortized).
+    val tf = TextOps.spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("dl", size($"toks"))
-    // corpus stats: N and average doc length over ALL docs (empty included,
-    // matching BM25Okapi's corpus_size/avgdl)
-    val stats = base.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
-
-    val tf = base
       .select($"doc_id", $"dl", explode($"toks").as("t"))
       .groupBy($"doc_id", $"t")
       .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
+      .localCheckpoint()
+
+    // corpus stats: N over ALL docs (token-less included, matching
+    // BM25Okapi's corpus_size/avgdl); sum(dl) from the TF table is
+    // unaffected by token-less docs (they contribute 0)
+    val n = docs.count()
+    val sumDl = tf.select($"doc_id", $"dl").distinct()
+      .agg(sum($"dl")).as[Long].head()
+    val avgdl = sumDl.toDouble / n
 
     val idfRaw = tf.groupBy($"t").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_raw", log(($"n" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("idf_raw", log((lit(n.toDouble) - $"df" + 0.5) / ($"df" + 0.5)))
     val avgIdf = idfRaw.agg(avg($"idf_raw").as("avg_idf"))
     val idf = idfRaw.crossJoin(broadcast(avgIdf))
       .select($"t",
-        when($"idf_raw" < 0, lit(Epsilon) * $"avg_idf").otherwise($"idf_raw").as("idf"),
-        $"avgdl")
+        when($"idf_raw" < 0, lit(Epsilon) * $"avg_idf").otherwise($"idf_raw").as("idf"))
 
     val q = terms.toDF("t")
     tf.join(broadcast(q), "t")
       .join(broadcast(idf), "t")
       .withColumn("contrib",
         $"idf" * ($"tf" * (K1 + 1.0)) /
-          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")))
+          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / lit(avgdl))))
       .groupBy($"doc_id")
       .agg(round(sum($"contrib"), 6).as("score"))
       .filter($"score" > 0)
