@@ -63,6 +63,25 @@ final class TableCatalog(val spark: SparkSession) {
     edgesSnap = edgesSnap.filter($"id" =!= id).localCheckpoint()
   }
 
+  /** Bulk upsert of node rows (same last-write-wins contract as
+    * [[upsertNode]], one anti-join for the whole batch) — the sink for
+    * streaming mutation ingestion (EventStreams.ingestNodes) and any batch
+    * ETL append path. */
+  def upsertNodes(batch: DataFrame): Unit = synchronized {
+    nodesSnap = nodesSnap
+      .join(batch.select("id"), Seq("id"), "left_anti")
+      .unionByName(batch.select(nodesSnap.columns.map(col): _*))
+      .localCheckpoint()
+  }
+
+  /** Bulk upsert of edge rows (streaming edge ingestion). */
+  def upsertEdges(batch: DataFrame): Unit = synchronized {
+    edgesSnap = edgesSnap
+      .join(batch.select("id"), Seq("id"), "left_anti")
+      .unionByName(batch.select(edgesSnap.columns.map(col): _*))
+      .localCheckpoint()
+  }
+
   /** Bulk load (e.g. from parquet snapshots) — replaces current snapshots. */
   def load(nodes: DataFrame, embeddings: DataFrame, edges: DataFrame): Unit =
     synchronized {

@@ -56,6 +56,20 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n"), col("total"))
 
+  /** Streaming mutation ingestion (SURVEY §2.B.10 extension): a stream of
+    * node rows upserted into the live catalog per micro-batch. Searches
+    * between batches see a consistent snapshot (the catalog swap is
+    * atomic); last-write-wins within and across batches. */
+  def ingestNodes(nodeStream: org.apache.spark.sql.Dataset[graft.model.Node],
+                  catalog: graft.store.TableCatalog)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    nodeStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Node], _: Long) =>
+        catalog.upsertNodes(batch.toDF())
+      }
+      .start()
+
   /** Custom state: per-user running totals via mapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (the engine's answer to any
     * "custom state machine over a stream" requirement). */

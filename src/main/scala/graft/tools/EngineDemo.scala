@@ -51,6 +51,19 @@ object EngineDemo {
     println("hybrid:")
     h.foreach(x => println(f"  final=${x.finalScore}%.4f vec=${x.vectorScore}%.4f graph=${x.graphScore}%.4f ${x.text.take(40)}"))
 
+    // streaming mutation ingestion: node rows arriving as a stream
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.model.Node
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val stream = MemoryStream[Node]
+      val q = graft.streaming.EventStreams.ingestNodes(stream.toDS(), engine.catalog)
+      stream.addData(Node("streamed-1", "node that arrived via stream", Map("src" -> "stream"), "t", "t"))
+      q.processAllAvailable(); q.stop()
+      println(s"streamed node visible: ${engine.getNode("streamed-1").map(_.text)}")
+    }
+
     engine.updateEdge(e.id, weight = Some(5.0))
     println(s"updated edge weight: ${engine.getEdge(e.id).get.weight}")
     engine.deleteNode(b.id)
