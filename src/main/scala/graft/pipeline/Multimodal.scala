@@ -13,6 +13,10 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
 case class MediaFeatures(doc_id: Long, n_bytes: Int, digest: String,
     format: String)
 
+/** One sampled frame/chunk of a media payload. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+    digest: String)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in per-partition batches.
   *
@@ -34,6 +38,35 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("text/plain").as("format"),
       col("source"))
+
+  /** Frame sampling: split each payload into fixed-size chunks — the
+    * video-frame / audio-window decomposition shape. One input row fans
+    * out to ceil(bytes/frameSize) typed frame rows, streamed per
+    * partition (no per-row job, no collect). A real codec would decode
+    * at timestamps; the chunking IS the plumbing being exercised. */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int = 64): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        r.payload.grouped(frameSize).zipWithIndex.map { case (chunk, i) =>
+          md.reset()
+          MediaFrame(r.doc_id, i, chunk.length,
+            md.digest(chunk).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Resize STUB: truncate the payload to a byte budget, recording the
+    * original size in place of real re-encoding (no codecs in this
+    * container). Schema/partitioning/laziness are the real parts. */
+  def resizeStub(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map(r =>
+      if (r.payload.length <= maxBytes) r
+      else r.copy(payload = r.payload.take(maxBytes)))
+  }
 
   /** Batch feature extraction: one MessageDigest per partition (resource
     * init amortized over the batch — the mapInPandas pattern), rows

@@ -305,8 +305,36 @@ object PipelineQueries {
                    'text/plain' AS format
             FROM documents ORDER BY doc_id"""))
 
+  /** Frame sampling, declared form: fixed-size chunking of the payload.
+    * DuckDB 1.0 cannot slice BLOBs, so the oracle chunks the TEXT (the
+    * fixture is ASCII ⇒ char chunks == byte chunks); the byte-level
+    * operator (Multimodal.frameSample over binary) is asserted equivalent
+    * in PipelineSpec. */
+  val multimodalFrames = QueryDef(
+    "q_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" < 20)
+        .select($"doc_id",
+          posexplode(transform(
+            sequence(lit(0), ((length($"text") + 63) / 64).cast("int") - 1),
+            i => substring($"text", i * 64 + 1, lit(64)))))
+        .select($"doc_id", $"pos".as("frame_idx"),
+          length($"col").as("n_chars"), $"col".as("frame"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""SELECT doc_id, CAST(u.j AS INT) AS frame_idx,
+                   CAST(length(substring(text, CAST(u.j * 64 + 1 AS INT), 64)) AS INT) AS n_chars,
+                   substring(text, CAST(u.j * 64 + 1 AS INT), 64) AS frame
+            FROM documents,
+                 unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS u(j)
+            WHERE doc_id < 20
+            ORDER BY doc_id, frame_idx"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCos, annLsh,
-    textLangId, textQuality, textTokens, textFingerprint, multimodal)
+    textLangId, textQuality, textTokens, textFingerprint, multimodal,
+    multimodalFrames)
 }

@@ -63,6 +63,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling: byte chunks reassemble to the payload; resize truncates") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(5)).as[MediaRow]
+    val frames = Multimodal.frameSample(media, frameSize = 64).collect()
+      .groupBy(_.doc_id)
+    val raw = docs.limit(5).select($"doc_id", $"text").as[(Long, String)].collect()
+    raw.foreach { case (id, text) =>
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.map(_.n_bytes).sum == text.getBytes("UTF-8").length,
+        "chunks cover the payload exactly")
+      assert(fs.init.forall(_.n_bytes == 64) || fs.length == 1)
+      assert(fs.map(_.frame_idx).toSeq == fs.indices.toSeq)
+    }
+    val resized = Multimodal.resizeStub(media, maxBytes = 100).collect()
+    assert(resized.forall(_.payload.length <= 100))
+  }
+
   test("fingerprint is order-sensitive (unlike minhash)") {
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
