@@ -50,10 +50,13 @@ object Bm25 {
 
     // corpus stats: N over ALL docs (token-less included, matching
     // BM25Okapi's corpus_size/avgdl); sum(dl) from the TF table is
-    // unaffected by token-less docs (they contribute 0)
+    // unaffected by token-less docs (they contribute 0). Empty corpus →
+    // empty result (reference contract, app.py:398-399 analog).
     val n = docs.count()
+    if (n == 0)
+      return docs.select(col(idCol).as("doc_id"), lit(0.0).as("score")).limit(0)
     val sumDl = tf.select($"doc_id", $"dl").distinct()
-      .agg(sum($"dl")).as[Long].head()
+      .agg(coalesce(sum($"dl"), lit(0L))).as[Long].head()
     val avgdl = sumDl.toDouble / n
 
     val idfRaw = tf.groupBy($"t").agg(count(lit(1)).as("df"))

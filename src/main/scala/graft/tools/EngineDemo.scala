@@ -20,6 +20,9 @@ object EngineDemo {
 
     val engine = new Engine(new TableCatalog(spark))
 
+    println(s"empty-store searches: vector=${engine.vectorSearch("x").size} " +
+      s"bm25=${engine.bm25Search("x").size} hybrid=${engine.hybridSearch("x").get.size}")
+
     val a = engine.createNode("Convolutional neural networks for image classification",
       Map("type" -> "paper"))
     val b = engine.createNode("Deep learning for speech and audio processing",
