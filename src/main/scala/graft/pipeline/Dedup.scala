@@ -110,7 +110,9 @@ object Dedup {
     // |rows| times, so the O(n²) pair loop does exactly one dot per pair
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
-    val a = emb.select(col(idCol).as("a"), vd.as("va"), vec.norm(vd).as("na"))
+    // spread the STREAM side: a small-file corpus scans as 1 partition and
+    // the broadcast-NL pair loop inherits it — single-threaded O(n²)
+    val a = spread(emb).select(col(idCol).as("a"), vd.as("va"), vec.norm(vd).as("na"))
     val b = emb.select(col(idCol).as("b"), vd.as("vb"), vec.norm(vd).as("nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),

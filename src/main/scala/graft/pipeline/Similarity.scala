@@ -35,8 +35,9 @@ object Similarity {
               roundTo: Int = 6): DataFrame = {
     val dim = 64
     val planes = hyperplanes(numPlanes, dim)
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      bucketCol(col(vecCol), planes).as("bucket"))
+    val c = TextOps.spread(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        bucketCol(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       bucketCol(col(vecCol), planes).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

@@ -56,7 +56,8 @@ object VectorQueries {
       val e = Tables(s, dir, "embeddings")
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
-      val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val c = graft.pipeline.TextOps.spread(e)
+        .select($"vec_id".as("cid"), $"embedding".as("cv"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
       c.join(broadcast(q))
         .withColumn("cos", round(vec.cosine($"cv", $"qv"), 6))
