@@ -70,7 +70,8 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {bad}")
         fail += 1
     else:
-        print(f"ok   {name} ({len(got)} rows)")
+        note = "  [WARN empty result — vacuous match]" if len(got) == 0 else ""
+        print(f"ok   {name} ({len(got)} rows){note}")
         ok += 1
 
 print(f"\n{ok} ok, {fail} fail, {len(oracle)} total")
