@@ -27,16 +27,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the documents fixture.
   */
 case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   import org.apache.spark.sql.types._
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null when fewer than k tokens
   override def prettyName: String = "minhash_sig"
 
+  /** Same static kernel from generated code — keeps the signature
+    * computation inside whole-stage codegen. */
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.MinHashSig.compute($in, $shingleSize, $numHashes);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], shingleSize, numHashes)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object MinHashSig {
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** Shared eval/codegen kernel; null when fewer than `shingleSize` tokens. */
+  def compute(toks: ArrayData, shingleSize: Int, numHashes: Int): ArrayData = {
     val n = toks.numElements()
     if (n < shingleSize) null
     else {
@@ -64,12 +84,10 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
         }
         j += 1
       }
-      new GenericArrayData(mins.map(v => v: Any))
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(mins)
     }
   }
-
-  override protected def withNewChildInternal(c: Expression): MinHashSig =
-    copy(child = c)
 }
 
 object text {

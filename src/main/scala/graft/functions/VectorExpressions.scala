@@ -70,15 +70,21 @@ case class DotProductD(left: Expression, right: Expression)
   * size `dim`; all-zero (empty text) stays all-zero (app.py:374-376).
   */
 case class HashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "hash_embed"
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = HashEmbed.encode(input.asInstanceOf[UTF8String].toString, dim)
-    new GenericArrayData(vec.map(v => v: Any))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashEmbed.encodeArrayData(input.asInstanceOf[UTF8String], dim)
+
+  /** Generated code calls the same static kernel — the expression stays
+    * inside the whole-stage-codegen span instead of breaking it
+    * (CodegenFallback would force interpreted row handoff around every
+    * embed in the scan pipeline). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.HashEmbed.encodeArrayData($in, $dim);")
 
   override protected def withNewChildInternal(c: Expression): HashEmbed = copy(child = c)
 }
@@ -86,6 +92,11 @@ case class HashEmbed(child: Expression, dim: Int)
 object HashEmbed {
   final val DefaultDim = 256
   final val Seed = 42
+
+  /** Codegen/eval entry: UTF8String in, Catalyst array out. */
+  def encodeArrayData(text: UTF8String, dim: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encode(text.toString, dim))
 
   /** The engine-wide embedding spec: lowercase, split on \s+, Murmur3 bucket
     * counts, L2 normalize (float32 throughout, like the reference's

@@ -36,6 +36,9 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.functions.text.minhashSig(
           tokens(col(textCol)), 3, numHashes).as("sig"))
+      // NOTE: posexplode's injected size/notnull condition textually inlines
+      // the signature expression, but runtime subexpression elimination
+      // dedupes it (verified: an explicit exchange barrier buys nothing)
       .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("mh"))
 
