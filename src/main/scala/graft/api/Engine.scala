@@ -213,6 +213,10 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     }
   }
 
+  /** GET / health (O23, app.py:923-926). */
+  def health(): Map[String, String] =
+    Map("status" -> "ok", "service" -> "vector-graph-engine")
+
   /** GET /stats (O23, app.py:929-940). */
   def stats(): Stats = Stats(
     catalog.nodes.count(),

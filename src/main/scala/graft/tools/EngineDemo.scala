@@ -20,6 +20,7 @@ object EngineDemo {
 
     val engine = new Engine(new TableCatalog(spark))
 
+    println(s"health: ${engine.health()}")
     println(s"empty-store searches: vector=${engine.vectorSearch("x").size} " +
       s"bm25=${engine.bm25Search("x").size} hybrid=${engine.hybridSearch("x").get.size}")
 
