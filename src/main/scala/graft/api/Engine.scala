@@ -213,6 +213,14 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     }
   }
 
+  /** Whole-graph analytics over the store (GraphX path — beyond the
+    * reference's ego traversals): connected components of the edge graph,
+    * component labeled by its lexicographically smallest node id. */
+  def connectedComponents(): Seq[(String, String)] =
+    graft.graph.GraphXOps.connectedComponentsString(catalog.edges)
+      .orderBy($"id")
+      .as[(String, String)].collect().toSeq
+
   /** GET / health (O23, app.py:923-926). */
   def health(): Map[String, String] =
     Map("status" -> "ok", "service" -> "vector-graph-engine")

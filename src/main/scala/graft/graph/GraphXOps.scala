@@ -27,6 +27,44 @@ object GraphXOps {
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** String-keyed edge frame → GraphX-ready long-keyed edges + the vertex
+    * mapping (SURVEY §1.4: dense-rank over sorted distinct ids — fully
+    * deterministic, unlike hashing, and reversible by join). */
+  def stringVertexMapping(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // global row_number = one-partition sort of the DISTINCT vertex set —
+    // fine while |V| ≪ |E|; at billions of vertices switch to
+    // zipWithIndex over a sorted RDD (same determinism, distributed sort)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"sid")
+    edges.select(col(srcCol).as("sid"))
+      .unionByName(edges.select(col(dstCol).as("sid")))
+      .distinct()
+      .select($"sid", row_number().over(w).cast("long").as("vid"))
+  }
+
+  /** Connected components over STRING-keyed edges (the engine's edge
+    * model): map ids → dense longs, run GraphX CC, map back. Component
+    * representative = the lexicographically smallest member id (dense rank
+    * preserves order, GraphX CC labels with the min long id). */
+  def connectedComponentsString(edges: DataFrame,
+                                srcCol: String = "source",
+                                dstCol: String = "target"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val vm = stringVertexMapping(edges, srcCol, dstCol)
+    val longEdges = edges
+      .join(vm.select($"sid".as("s0"), $"vid".as("src")), col(srcCol) === $"s0")
+      .join(vm.select($"sid".as("s1"), $"vid".as("dst")), col(dstCol) === $"s1")
+      .select($"src", $"dst", lit(1.0).as("weight"))
+    connectedComponents(longEdges)
+      .join(vm, $"node" === $"vid")
+      .select($"sid".as("id"), $"component".as("cvid"))
+      .join(vm.select($"sid".as("component_id"), $"vid".as("cvid")), "cvid")
+      .select($"id", $"component_id")
+  }
+
   /** Connected components (undirected closure) → (node, component) where
     * component = min node id reachable. Deterministic → oracle-checkable. */
   def connectedComponents(edges: DataFrame): DataFrame = {

@@ -68,6 +68,8 @@ object EngineDemo {
       println(s"streamed node visible: ${engine.getNode("streamed-1").map(_.text)}")
     }
 
+    println(s"connected components: ${engine.connectedComponents()}")
+
     engine.updateEdge(e.id, weight = Some(5.0))
     println(s"updated edge weight: ${engine.getEdge(e.id).get.weight}")
     engine.deleteNode(b.id)

@@ -33,4 +33,34 @@ class IngestSpec extends SparkSpec {
       assert(engine.stats().totalNodes == 2)
     } finally q.stop()
   }
+
+  test("bulk edge upsert (streaming-edge sink path) is last-write-wins") {
+    val catalog = new TableCatalog(spark)
+    val engine = new Engine(catalog)
+    val a = engine.createNode("ea")
+    val b = engine.createNode("eb")
+    catalog.upsertEdges(Seq(
+      graft.model.EdgeRow("e1", a.id, b.id, "t", 1.0, "t0")).toDF())
+    catalog.upsertEdges(Seq(
+      graft.model.EdgeRow("e1", a.id, b.id, "t", 9.0, "t1"),
+      graft.model.EdgeRow("e2", b.id, a.id, "t", 2.0, "t1")).toDF())
+    assert(engine.getEdge("e1").get.weight == 9.0, "second write wins")
+    assert(engine.stats().totalEdges == 2)
+  }
+
+  test("engine connected components over string-keyed store") {
+    val catalog = new TableCatalog(spark)
+    val engine = new Engine(catalog)
+    val ids = (1 to 5).map(i => engine.createNode(s"cc node $i", autoEmbed = false).id)
+    engine.createEdge(ids(0), ids(1), "cc", 1.0)
+    engine.createEdge(ids(2), ids(1), "cc", 1.0) // undirected closure joins 0-1-2
+    engine.createEdge(ids(3), ids(4), "cc", 1.0) // separate component
+    val cc = engine.connectedComponents().toMap
+    assert(cc.keySet == Set(ids(0), ids(1), ids(2), ids(3), ids(4)))
+    assert(cc(ids(0)) == cc(ids(1)) && cc(ids(1)) == cc(ids(2)))
+    assert(cc(ids(3)) == cc(ids(4)))
+    assert(cc(ids(0)) != cc(ids(3)))
+    assert(cc(ids(0)) == Seq(ids(0), ids(1), ids(2)).min,
+      "component labeled by smallest member id")
+  }
 }
