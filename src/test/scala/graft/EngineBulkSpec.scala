@@ -36,6 +36,9 @@ class EngineBulkSpec extends SparkSpec {
     val st = engine.stats()
     assert(st.totalNodes == 500 && st.nodesWithEmbeddings == 500 && st.totalEdges == 100)
 
+    val all = engine.getAllNodes()
+    assert(all.size == 500 && all.forall(_._3.contains("lang")))
+
     val hits = engine.vectorSearch("spark join query data", topK = 10)
     assert(hits.size == 10 && hits.head.vectorScore > 0)
     assert(hits.map(_.vectorScore) == hits.map(_.vectorScore).sorted.reverse)

@@ -49,6 +49,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(1)._2 == 0.0, "zero vector → cosine 0, not NaN (app.py:374-376)")
   }
 
+  test("SQL registration: vec_dot / hash_embed callable from spark.sql") {
+    vec.register(spark)
+    Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v").createOrReplaceTempView("vt")
+    val d = spark.sql(
+      "SELECT vec_dot(CAST(v AS ARRAY<DOUBLE>), array(3.0D, 0.5D)) AS d FROM vt")
+      .as[Double].head()
+    assert(d == 1.0 * 3.0 + 2.0 * 0.5)
+    val e = spark.sql("SELECT size(hash_embed('some text here')) AS n")
+      .as[Int].head()
+    assert(e == 256)
+  }
+
   test("cosine ordering on graded-similarity corpus (TC-VEC-01 shape)") {
     // FIXTURES.md §A.3: rank A > B > C for the reference's graded texts
     val q = HashEmbed.encode("deep learning image classification convolutional neural networks")
