@@ -28,6 +28,10 @@ object GraphQueries {
         $"event_type".as("etype"), $"value".as("w0"))
       .groupBy($"src", $"dst", $"etype")
       .agg(max($"w0").as("weight"))
+      // one materialization per query: the derived edge table feeds both the
+      // traversal loop and the induced-edge join; recomputing the JSON parse
+      // + aggregation per consumer would double the dominant scan cost
+      .localCheckpoint()
   }
 
   /** The same edge table, DuckDB side (CTE fragment). */
