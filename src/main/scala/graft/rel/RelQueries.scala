@@ -586,7 +586,27 @@ object RelQueries {
             FROM t, unnest(range(len(toks))) AS u(j)
             ORDER BY doc_id, pos"""))
 
+  /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
+    * quantiles. Deterministic within Spark (merge is order-independent)
+    * but sketch implementations differ across engines → declared
+    * rows-only; exactness is covered by q_agg_distinct's true distincts. */
+  val sketchAgg = QueryDef(
+    "q_sketch_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_suppkey", rsd = 0.01).as("approx_supps"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
+    sketchAgg,
     scanProject, filterPred, filterJson,
     joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti,
     q1Agg, aggDistinct, rollupAgg, cubeAgg, groupingSets,
