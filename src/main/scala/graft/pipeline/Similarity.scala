@@ -29,17 +29,25 @@ object Similarity {
     }.reduce(_ + _)
 
   /** LSH-bucketed top-k: per query, rank only same-bucket candidates by
-    * cosine. Returns (qid, cid, cos, rn). */
+    * cosine. `probeRadius` = 1 additionally probes every bucket within
+    * hamming distance 1 of the query's bucket (multi-probe LSH: recall
+    * approaches brute force at (H+1)× the candidate cost instead of 2^H×).
+    * Returns (qid, cid, cos, rn). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 4,
-              roundTo: Int = 6): DataFrame = {
+              probeRadius: Int = 0, roundTo: Int = 6): DataFrame = {
     val dim = 64
     val planes = hyperplanes(numPlanes, dim)
     val c = TextOps.spread(corpus)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         bucketCol(col(vecCol), planes).as("bucket"))
+    val qBucket = bucketCol(col(vecCol), planes)
+    val probes: Column =
+      if (probeRadius == 0) array(qBucket)
+      else array(qBucket +: (0 until numPlanes)
+        .map(b => qBucket.bitwiseXOR(1L << b)): _*)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      bucketCol(col(vecCol), planes).as("bucket"))
+        explode(probes).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     c.join(broadcast(q), "bucket")
       .withColumn("cos", round(vec.cosine(col("cv"), col("qv")), roundTo))

@@ -210,6 +210,45 @@ object PipelineQueries {
          |SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     })
 
+  /** Multi-probe LSH ANN: queries additionally probe every bucket at
+    * hamming distance 1 — recall climbs toward brute force at (H+1)× the
+    * candidate cost instead of scanning all 2^H buckets. */
+  val annLshMultiprobe = QueryDef(
+    "q_ann_lsh_multiprobe",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+        k = 5, probeRadius = 1)
+        .orderBy($"qid", $"rn")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |qp AS (SELECT qid, qv,
+         |              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                      xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM q),
+         |s AS (SELECT qp.qid, c.vec_id AS cid,
+         |             round(CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
+         |                             sqrt(list_dot_product(qp.qv, qp.qv)) = 0 THEN 0.0
+         |                        ELSE list_dot_product(c.v, qp.qv) /
+         |                             (sqrt(list_dot_product(c.v, c.v)) *
+         |                              sqrt(list_dot_product(qp.qv, qp.qv))) END, 6) AS cos
+         |      FROM b c JOIN qp ON c.bucket = qp.bucket),
+         |r AS (SELECT qid, cid, cos,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |      FROM s)
+         |SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    })
+
   // --------------------------------------------------------- text analysis
   val textLangId = QueryDef(
     "q_text_langid",
@@ -334,7 +373,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
-    dedupEmbCos, annLsh,
+    dedupEmbCos, annLsh, annLshMultiprobe,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalFrames)
 }

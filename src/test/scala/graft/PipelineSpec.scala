@@ -50,6 +50,44 @@ class PipelineSpec extends SparkSpec {
     assert(self.length == 5 && self.forall(_._4 == 1), s"${self.toSeq}")
   }
 
+  test("multi-probe LSH recall >= single-probe recall vs brute force") {
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    def hits(radius: Int): Map[Long, Set[Long]] =
+      Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5, probeRadius = radius)
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = VectorSearchBrute.topkPerQuery(spark, e, k = 5)
+    val single = hits(0)
+    val multi = hits(1)
+    val recallS = recall(single, brute)
+    val recallM = recall(multi, brute)
+    info(f"recall single-probe $recallS%.2f, multi-probe $recallM%.2f")
+    assert(recallM >= recallS)
+    assert(multi.forall { case (q, cs) => cs.size == 5 })
+  }
+
+  private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+    exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+
+  private object VectorSearchBrute {
+    def topkPerQuery(s: org.apache.spark.sql.SparkSession,
+                     e: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Set[Long]] = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      c.join(broadcast(q))
+        .withColumn("cos", round(graft.functions.vec.cosine($"cv", $"qv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"qid", $"cid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+  }
+
   test("multimodal: mapPartitions feature extraction matches SQL-computable facts") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10)).as[MediaRow]
     val feats = Multimodal.extractFeatures(media).collect()
