@@ -221,6 +221,12 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
       .orderBy($"id")
       .as[(String, String)].collect().toSeq
 
+  /** O13: rebuild_index no-op — scan-based vector search needs no index
+    * (app.py:390-392, readme.md:181); kept for call-compat. The BM25
+    * derived index is recomputed lazily per query (O14's rebuild-on-write
+    * contract, amortized). */
+  def rebuildIndex(): Unit = ()
+
   /** GET / health (O23, app.py:923-926). */
   def health(): Map[String, String] =
     Map("status" -> "ok", "service" -> "vector-graph-engine")

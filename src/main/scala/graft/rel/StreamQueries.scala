@@ -52,5 +52,27 @@ object StreamQueries {
             FROM y GROUP BY user_id, sess
             ORDER BY user_id, session_start"""))
 
-  val all: Seq[QueryDef] = Seq(streamWindow, streamSession)
+  /** Sliding windows (1h length, 30m slide): each event belongs to 2
+    * windows; the oracle enumerates them by flooring to the slide grid. */
+  val streamSliding = QueryDef(
+    "q_stream_sliding",
+    (s, dir) => {
+      import s.implicits._
+      EventStreams.slidingCounts(Tables(s, dir, "events"))
+        .select(date_format($"window_start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"event_type", $"n", $"total")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""WITH w AS (
+              SELECT event_type, value,
+                     time_bucket(INTERVAL '30 minutes', ts) - u.k * INTERVAL '30 minutes' AS ws
+              FROM events, unnest(range(2)) AS u(k))
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM w
+            GROUP BY ws, event_type
+            ORDER BY window_start, event_type"""))
+
+  val all: Seq[QueryDef] = Seq(streamWindow, streamSession, streamSliding)
 }

@@ -45,6 +45,18 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Sliding-window counts: each event lands in len/slide windows. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
   /** Session windows per user (gap-based). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "2 hours"): DataFrame =
