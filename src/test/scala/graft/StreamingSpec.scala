@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    case class Ev(ts: Timestamp, event_type: String, value: Double)
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val events = stream.toDS().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(events,
+      windowLen = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // window [00:00,00:10) gets two events; then time advances far enough
+      // (event at 00:40 → watermark 00:30) to close and emit it
+      stream.addData((t(1), "a", 1.0), (t(2), "a", 2.0))
+      q.processAllAvailable()
+      stream.addData((t(40), "a", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_out")
+        .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
+      assert(closed(t(0)) == 2L, s"closed window emitted once: $closed")
+
+      // a late event for the closed window (ts 00:03 << watermark 00:30)
+      // must be DROPPED — no duplicate/updated emission for that window
+      stream.addData((t(3), "a", 9.0))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .select($"window_start", $"n").as[(Timestamp, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+      assert(after(t(0)) == List(2L), s"late row must not reopen the window: $after")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals == plain aggregation (batch mode)") {
     val events = Tables(spark, sf, "events")
     val got = EventStreams.runningUserTotals(events)
