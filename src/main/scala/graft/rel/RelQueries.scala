@@ -586,6 +586,25 @@ object RelQueries {
             FROM t, unnest(range(len(toks))) AS u(j)
             ORDER BY doc_id, pos"""))
 
+  /** Regexp functions: extract / replace / match over part names. */
+  val fnRegexp = QueryDef(
+    "q_fn_regexp",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .select(
+          $"p_partkey",
+          regexp_extract($"p_name", "([a-z]+)_([0-9]+)", 2).as("name_num"),
+          regexp_replace($"p_name", "[0-9]+", "#").as("masked"),
+          $"p_name".rlike("[02468]$").as("even_suffix"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   coalesce(regexp_extract(p_name, '([a-z]+)_([0-9]+)', 2), '') AS name_num,
+                   regexp_replace(p_name, '[0-9]+', '#', 'g') AS masked,
+                   regexp_matches(p_name, '[02468]$') AS even_suffix
+            FROM part ORDER BY p_partkey"""))
+
   /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
     * quantiles. Deterministic within Spark (merge is order-independent)
     * but sketch implementations differ across engines → declared
@@ -612,6 +631,6 @@ object RelQueries {
     q1Agg, aggDistinct, rollupAgg, cubeAgg, groupingSets,
     windowRank, windowRunning, windowMax, windowLag,
     topK, unionAll, intersectOp, exceptOp,
-    fnString, fnDate, fnMath, fnArray, fnJson,
+    fnString, fnDate, fnMath, fnArray, fnJson, fnRegexp,
     scalarSubquery, fnNull, pivotQ, explodePos)
 }
