@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared operator queries, grouped by module. */
   def registry: Seq[QueryDef] =
     rel.RelQueries.all ++ rel.VectorQueries.all ++ rel.GraphQueries.all ++
-      rel.GraphXQueries.all ++ rel.PipelineQueries.all ++ rel.StreamQueries.all
+      rel.GraphXQueries.all ++ rel.PipelineQueries.all ++ rel.StreamQueries.all ++
+      rel.ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

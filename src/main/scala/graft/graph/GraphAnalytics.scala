@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over an edge DataFrame (src, dst, ...) — the
+  * batch-analytics layer above the reference's per-request traversals
+  * (SURVEY §2.B cat 11 scale path). Everything here is plain DataFrame
+  * algebra: Catalyst sees every join, so AQE/broadcast/skew handling apply
+  * unchanged on a real cluster.
+  */
+object GraphAnalytics {
+
+  /** Undirected simple edge set: canonical (u < v) pairs, self-loops and
+    * parallel edges dropped. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Per-node degree over the undirected simple graph. */
+  def degrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+  /** Per-node triangle counts via degree-ordered orientation.
+    *
+    * Each undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one; every node's out-degree is then O(√m), so the wedge
+    * self-join produces O(m^1.5) rows total instead of Σ deg² — the standard
+    * scalable triangle algorithm (two equi-join shuffles; a hub node with
+    * degree 10⁶ contributes no wedges because all its edges point *into* it).
+    * Returns (node, tri) for nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    val deg = degrees(und)
+    val du = deg.select(col("n").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+    // orient low-(deg,id) → high-(deg,id); keep the head's order key so the
+    // wedge pair below can be canonicalized without re-joining degrees
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b"),
+            col("dv").as("db")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"),
+            col("du").as("db"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val e2 = oriented.select(col("a"), col("b").as("z"), col("db").as("dz"))
+    // wedge (y, z) canonical in orientation order, closed iff y→z oriented
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val closing = oriented.select(col("a").as("y"), col("b").as("z"))
+    val tris = wedges.join(closing, Seq("y", "z"))
+      .select(col("a"), col("y"), col("z"))
+    tris.select(explode(array(col("a"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+
+  /** Fixed-point scale for integer PageRank: ranks live in [0, 10^12]. */
+  val PrScale = 1000000000000L
+
+  /** Exact deterministic PageRank: `iters` synchronous iterations in
+    * 10^-12 fixed-point BIGINT arithmetic (damping 0.85 as the rational
+    * 85/100, truncating integer division throughout). Integer sums are
+    * exact and associative, so the result is bit-identical regardless of
+    * partitioning/merge order — unlike double-precision PageRank, this
+    * hash-matches a sequential oracle at any cluster size. Dangling-node
+    * mass is dropped (no redistribution), matching the unrolled-CTE oracle.
+    *
+    * Per iteration: one shuffle for the contribution aggregation, one for
+    * the rank re-join; lineage is cut with localCheckpoint so the plan
+    * doesn't grow multiplicatively with iteration count.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val n = nodes.count()
+    val init = PrScale / n
+    val base = (15L * init) / 100L
+    var rank = nodes.select(col("n"), lit(init).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("n")).join(outdeg, "src")
+        .select(col("dst").as("n"), expr("r DIV od").as("c"))
+        .groupBy("n").agg(sum(col("c")).as("cs"))
+      rank = nodes.join(contrib, Seq("n"), "left")
+        .select(col("n"),
+          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("n").as("node"), col("r").as("rank_fp"))
+  }
+}

@@ -55,4 +55,42 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
   }
+
+  /** IVF-flat ANN: the inverted-file index re-expressed as DataFrames.
+    *
+    * Coarse quantizer = every `centroidEvery`-th corpus vector (deterministic
+    * — no k-means RNG; swap in trained centroids at production scale without
+    * touching the query path). Build: assign each vector to its nearest
+    * centroid (broadcast centroids × corpus scan, one narrow pass). Query:
+    * rank centroids against the query, probe the `nprobe` nearest cells,
+    * exact-rank only their members — scan work drops by ≈ nCentroids/nprobe
+    * while the assignment table partitions by cell id, so at 100 TB each
+    * probe touches only the probed cells' partitions.
+    *
+    * All ranking uses round-6 cosine with id tie-breaks (SURVEY §7.5.3).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Double], k: Int, centroidEvery: Int = 25,
+              nprobe: Int = 2, roundTo: Int = 6): DataFrame = {
+    val cent = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+    val qv = typedlit(queryVec)
+    val probed = cent
+      .withColumn("qcos", round(vec.cosine(col("cv"), qv), roundTo))
+      .orderBy(col("qcos").desc, col("cid")).limit(nprobe)
+      .select(col("cid"))
+    assigned.join(broadcast(probed), "cid")
+      .withColumn("score", round(vec.cosine(col("v"), qv), roundTo))
+      .orderBy(col("score").desc, col("vid")).limit(k)
+      .select(col("vid").as(idCol), col("score"))
+  }
 }

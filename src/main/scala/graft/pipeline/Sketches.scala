@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches.
+  *
+  * Spark's HLL++ (`approx_count_distinct`, used by q_sketch_agg) is
+  * order-independent within Spark but its register layout is
+  * implementation-specific, so no cross-engine oracle can check it. KMV
+  * (k-minimum-values) fills that gap: built entirely from the cross-engine
+  * md5 hash ([[TextOps.strHash]]) and integer arithmetic, its estimate is
+  * bit-identical in any engine — an oracle-checkable sketch.
+  */
+object Sketches {
+
+  /** KMV distinct-count estimate per group: hash the keys into [0, P),
+    * keep each group's k smallest *distinct* hash values, and estimate
+    *   |D| ≈ (k−1) · P / h_k        (h_k = k-th smallest hash)
+    * with the exact count used when a group has fewer than k distinct
+    * hashes. All arithmetic is integral (`DIV`), so the estimate is
+    * deterministic and associative — merging per-partition k-minima loses
+    * nothing, which is what makes KMV a mergeable sketch at 1000 executors.
+    * Returns (group, kmv_est). */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    val hashes = df
+      .select(col(groupCol).as("g"),
+        TextOps.strHash(col(keyCol).cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    hashes.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("g")
+      .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+      .select(col("g").as(groupCol),
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"(${(k - 1).toLong} * ${TextOps.P}L) DIV hk"))
+          .as("kmv_est"))
+  }
+}

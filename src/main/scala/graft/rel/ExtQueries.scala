@@ -1,0 +1,429 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.operators.Joins
+import graft.pipeline.{Sketches, Similarity}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 operator extensions: temporal/range/salted joins, exact-moment
+  * statistics, exact percentiles, richer window frames, per-group top-k,
+  * unpivot, bitwise + string-similarity scalars, the KMV sketch, IVF ANN,
+  * and sink/source round-trips (SURVEY §2.B cats 1, 3-6, 8, 12 widened).
+  *
+  * Float discipline follows CLAUDE.md: order-sensitive sums via
+  * DECIMAL(18,s); ranked doubles rounded to 6dp on both sides; DuckDB
+  * COUNT/ROW_NUMBER/len cast to Spark's narrower int types.
+  */
+object ExtQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ------------------------------------------------------------ cat 3: joins
+  /** Backward as-of join: each event picks its user's latest order at or
+    * before the event date (union+window, one shuffle — Joins.asofBackward).
+    * Date-level alignment keeps ns-vs-ms timestamp comparison out of play. */
+  val joinAsof = QueryDef(
+    "q_join_asof",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+        .select($"event_id", $"user_id", to_date($"ts").as("ed"))
+      val o = Tables(s, dir, "orders")
+        .select($"o_custkey", to_date($"o_orderdate").as("od"),
+          $"o_orderkey", $"o_totalprice")
+      Joins.asofBackward(e, "user_id", "ed", o, "o_custkey", "od",
+          payload = Seq("o_orderkey", "od", "o_totalprice"))
+        .select($"event_id", $"o_orderkey".as("asof_orderkey"),
+          $"od".as("asof_date"), $"o_totalprice".as("asof_price"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS ed FROM events),
+                 o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                              o_orderkey, o_totalprice FROM orders),
+                 m AS (SELECT e.event_id, e.user_id, MAX(o.od) AS asof_date
+                       FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.od <= e.ed
+                       GROUP BY e.event_id, e.user_id),
+                 r AS (SELECT m.event_id, m.asof_date, MAX(o.o_orderkey) AS asof_orderkey
+                       FROM m LEFT JOIN o ON o.o_custkey = m.user_id AND o.od = m.asof_date
+                       GROUP BY m.event_id, m.asof_date)
+            SELECT r.event_id, r.asof_orderkey, r.asof_date, o2.o_totalprice AS asof_price
+            FROM r LEFT JOIN o o2 ON o2.o_orderkey = r.asof_orderkey
+            ORDER BY event_id"""))
+
+  /** Band (range) join via binned equi-join (Joins.bandJoin): customer and
+    * supplier account balances within 10.0 of each other. The oracle is the
+    * naive theta join — same rows, quadratic plan. */
+  val joinRange = QueryDef(
+    "q_join_range",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+      val sup = Tables(s, dir, "supplier").select($"s_suppkey", $"s_acctbal")
+      Joins.bandJoin(c, "c_acctbal", sup, "s_acctbal", 10.0)
+        .select($"s_suppkey", $"c_custkey",
+          ($"s_acctbal" - $"c_acctbal").as("diff"))
+        .orderBy($"s_suppkey", $"c_custkey")
+    },
+    Some("""SELECT s_suppkey, c_custkey, s_acctbal - c_acctbal AS diff
+            FROM supplier, customer
+            WHERE abs(s_acctbal - c_acctbal) < 10.0::DOUBLE
+            ORDER BY s_suppkey, c_custkey"""))
+
+  /** Skew-salted equi-join (Joins.saltedJoin, salt 8 via event_id % 8):
+    * result must equal the plain join — the oracle IS the plain join. */
+  val joinSalted = QueryDef(
+    "q_join_salted",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events").select($"event_id", $"user_id", $"value")
+      val c = Tables(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      Joins.saltedJoin(e, "user_id", pmod($"event_id", lit(8)), c, "c_custkey", 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2($"value")).cast("double").as("total_value"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events JOIN customer ON c_custkey = user_id
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // ----------------------------------------------------- cat 4: aggregations
+  /** Exact-moment statistics: stddev/variance/covariance/correlation from
+    * DECIMAL partial sums (order-independent, so a 1000-executor merge gives
+    * the same bits as the sequential oracle) with the closed-form formulas
+    * evaluated in double at the end — unlike Welford-style streaming
+    * moments, which drift with partition merge order. */
+  val statsMoments = QueryDef(
+    "q_stats_moments",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).cast("double").as("sx"),
+          sum(dec2($"l_quantity" * $"l_quantity")).cast("double").as("sxx"),
+          sum(dec2($"l_extendedprice")).cast("double").as("sy"),
+          sum(($"l_extendedprice" * $"l_extendedprice")
+            .cast(DecimalType(28, 4))).cast("double").as("syy"),
+          sum(dec2($"l_quantity" * $"l_extendedprice")).cast("double").as("sxy"))
+        .select($"l_returnflag", $"n",
+          round(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 6).as("var_qty"),
+          round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("std_qty"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 6).as("covar_qp"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") /
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n") * ($"syy" - $"sy" * $"sy" / $"n")), 6)
+            .as("corr_qp"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH m AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                     CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+                   round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qp,
+                   round((sxy - sx * sy / n) /
+                         sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qp
+            FROM m ORDER BY l_returnflag"""))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). Quarter fractions over the integral-valued quantity
+    * column interpolate exactly in binary — no float divergence. */
+  val percentileExact = QueryDef(
+    "q_percentile_exact",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("round(percentile(l_quantity, 0.25D), 6)").as("p25"),
+          expr("round(percentile(l_quantity, 0.5D), 6)").as("p50"),
+          expr("round(percentile(l_quantity, 0.75D), 6)").as("p75"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------- cat 5: windows
+  /** Frame-function toolkit: ntile / dense_rank / lead / first_value over a
+    * per-customer total order. */
+  val windowFrames = QueryDef(
+    "q_window_frames",
+    (s, dir) => {
+      import s.implicits._
+      val wd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wp = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          ntile(4).over(wd).as("quartile"),
+          dense_rank().over(wp).as("price_rank"),
+          lead($"o_orderkey", 1).over(wd).as("next_order"),
+          first($"o_orderkey").over(wd).as("first_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   CAST(NTILE(4) OVER wd AS INT) AS quartile,
+                   CAST(DENSE_RANK() OVER wp AS INT) AS price_rank,
+                   LEAD(o_orderkey, 1) OVER wd AS next_order,
+                   FIRST_VALUE(o_orderkey) OVER wd AS first_order
+            FROM orders
+            WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** RANGE frame: per-customer sliding sum over an orderkey value range
+    * (100 preceding), decimal-exact. */
+  val windowRange = QueryDef(
+    "q_window_range",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          sum(dec2($"o_totalprice")).over(w).cast("double").as("range_sum"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderkey
+                      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // --------------------------------------------------------- cat 6: top-k
+  /** Per-group top-k (top-3 orders by price per customer) — the window
+    * rank-then-filter shape that replaces per-key driver loops at scale. */
+  val topkGroup = QueryDef(
+    "q_topk_group",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // ------------------------------------------------------ cat 2/8: reshaping
+  /** Unpivot (wide→long): three lineitem measures to (measure, val) rows. */
+  val unpivotQ = QueryDef(
+    "q_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 1000)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_discount")
+        .unpivot(Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          "measure", "val")
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+            FROM lineitem WHERE l_orderkey <= 1000
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey <= 1000
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey <= 1000
+            ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  /** Bitwise scalar functions over BIGINT keys. */
+  val fnBitwise = QueryDef(
+    "q_fn_bitwise",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_orderkey".bitwiseAND(255L).as("band"),
+          $"l_orderkey".bitwiseOR(16L).as("bor"),
+          $"l_orderkey".bitwiseXOR($"l_partkey").as("bxor"),
+          shiftleft($"l_orderkey", 3).as("shl"),
+          shiftright($"l_orderkey", 2).as("shr"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   l_orderkey & 255 AS band,
+                   l_orderkey | 16 AS bor,
+                   xor(l_orderkey, l_partkey) AS bxor,
+                   l_orderkey << 3 AS shl,
+                   l_orderkey >> 2 AS shr
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** String similarity scalars: Levenshtein distance + char-bigram Jaccard
+    * against a fixed probe — the cheap pre-filter tier under MinHash dedup. */
+  val stringSim = QueryDef(
+    "q_string_sim",
+    (s, dir) => {
+      import s.implicits._
+      def bigrams(c: Column): Column =
+        array_distinct(when(length(c) >= 2,
+          transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>")))
+      val probe = lit("red widget")
+      val a = bigrams($"p_name")
+      val b = bigrams(probe)
+      val inter = size(array_intersect(a, b))
+      Tables(s, dir, "part")
+        .select($"p_partkey", $"p_name",
+          levenshtein($"p_name", probe).as("lev"),
+          round(inter / (size(a) + size(b) - inter), 6).as("jac"))
+        .orderBy($"p_partkey")
+    },
+    Some("""WITH g AS (
+              SELECT p_partkey, p_name,
+                     list_distinct(list_transform(range(1, length(p_name)),
+                       i -> substr(p_name, i, 2))) AS ab,
+                     list_distinct(list_transform(range(1, length('red widget')),
+                       i -> substr('red widget', i, 2))) AS bb
+              FROM part)
+            SELECT p_partkey, p_name,
+                   CAST(levenshtein(p_name, 'red widget') AS INT) AS lev,
+                   round(len(list_intersect(ab, bb)) /
+                         (len(ab) + len(bb) - len(list_intersect(ab, bb))), 6) AS jac
+            FROM g ORDER BY p_partkey"""))
+
+  // ----------------------------------------------------------- cat 4: sketch
+  /** KMV distinct sketch (Sketches.kmvDistinct) beside the exact count —
+    * the oracle-checkable counterpart to q_sketch_agg's HLL. */
+  val sketchKmv = QueryDef(
+    "q_sketch_kmv",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val exact = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact"))
+      Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+        .join(exact, "l_returnflag")
+        .select($"l_returnflag", $"exact", $"kmv_est")
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+                   CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT)
+                     % 2147483647 AS h
+                 FROM lineitem),
+             r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+             s AS (SELECT g, COUNT(*) AS m, MAX(h) AS hk FROM r WHERE rn <= 64 GROUP BY g),
+             x AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS exact
+                   FROM lineitem GROUP BY 1)
+             SELECT s.g AS l_returnflag, CAST(x.exact AS BIGINT) AS exact,
+                    CAST(CASE WHEN s.m < 64 THEN s.m
+                              ELSE (63 * 2147483647::BIGINT) // s.hk END AS BIGINT) AS kmv_est
+             FROM s JOIN x ON x.g = s.g ORDER BY l_returnflag"""))
+
+  // ------------------------------------------------------------ cat 12: ANN
+  /** IVF-flat ANN (Similarity.ivfTopK): 20 deterministic centroids, probe
+    * the 2 nearest cells, exact-rank their members. */
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          VectorQueries.queryVec, k = 10, centroidEvery = 25, nprobe = 2)
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      def cos(a: String, b: String) =
+        s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+           |     THEN 0.0
+           |     ELSE list_dot_product($a, $b) /
+           |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+           |END""".stripMargin
+      s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a0 AS (SELECT e.vid, e.v, c.cid,
+         |              round(${cos("e.v", "c.cv")}, 6) AS ccos
+         |       FROM e CROSS JOIN c),
+         |asg AS (SELECT vid, v, cid FROM (
+         |          SELECT vid, v, cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+         |          FROM a0) WHERE rn = 1),
+         |pr AS (SELECT cid FROM (
+         |         SELECT cid,
+         |                ROW_NUMBER() OVER (ORDER BY round(${cos("cv", qv)}, 6) DESC, cid) AS rn
+         |         FROM c) WHERE rn <= 2),
+         |cand AS (SELECT a.vid, round(${cos("a.v", qv)}, 6) AS score
+         |         FROM asg a JOIN pr ON pr.cid = a.cid)
+         |SELECT vid AS vec_id, score FROM cand
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    })
+
+  // ----------------------------------------------------- cat 1: sinks/sources
+  /** Partitioned parquet sink round-trip: write orders partitioned by
+    * status, read back (partition pruning applies on re-read), aggregate.
+    * Checks the sink preserves values and partition-column typing. */
+  val sinkPartitioned = QueryDef(
+    "q_sink_partitioned",
+    (s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_sink_orders_${math.abs(dir.hashCode)}"
+      Tables(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"o_totalprice")).cast("double").as("total"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** JSON source round-trip: events → JSON lines → read with explicit
+    * schema → aggregate. Jackson's shortest-round-trip doubles survive the
+    * text hop bit-for-bit. */
+  val sourceJson = QueryDef(
+    "q_source_json",
+    (s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_roundtrip_events_${math.abs(dir.hashCode)}"
+      Tables(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.mode("overwrite").json(path)
+      s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .json(path)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"value")).cast("double").as("total_value"),
+          min($"event_id").as("min_event"),
+          max($"event_id").as("max_event"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                   MIN(event_id) AS min_event, MAX(event_id) AS max_event
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(
+    joinAsof, joinRange, joinSalted,
+    statsMoments, percentileExact,
+    windowFrames, windowRange, topkGroup,
+    unpivotQ, fnBitwise, stringSim,
+    sketchKmv, annIvf,
+    sinkPartitioned, sourceJson)
+}

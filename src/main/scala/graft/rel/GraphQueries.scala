@@ -184,6 +184,117 @@ object GraphQueries {
          |ORDER BY final_score DESC, id LIMIT 25""".stripMargin
     })
 
+  // ------------------------------------------------- whole-graph analytics
+  /** Untyped distinct edge pairs, DuckDB side (requires edgesCte). */
+  private val edCte = "ed AS (SELECT DISTINCT src, dst FROM edges)"
+
+  /** Degree statistics per node: undirected simple degree + directed
+    * out/in degrees over the derived event graph. */
+  val graphDegree = QueryDef(
+    "q_graph_degree",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir).select($"src", $"dst").distinct()
+      val und = graft.graph.GraphAnalytics.undirected(ed)
+      val deg = graft.graph.GraphAnalytics.degrees(und)
+      val nodes = ed.select($"src".as("n")).union(ed.select($"dst".as("n"))).distinct()
+      val outd = ed.groupBy($"src".as("n")).agg(count(lit(1)).as("outd"))
+      val ind = ed.groupBy($"dst".as("n")).agg(count(lit(1)).as("ind"))
+      nodes.join(deg, Seq("n"), "left").join(outd, Seq("n"), "left")
+        .join(ind, Seq("n"), "left")
+        .select($"n".as("node"),
+          coalesce($"deg", lit(0L)).as("deg"),
+          coalesce($"outd", lit(0L)).as("outd"),
+          coalesce($"ind", lit(0L)).as("ind"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM ed WHERE src <> dst),
+             deg AS (SELECT n, COUNT(*) AS deg
+                     FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+                     GROUP BY n),
+             nodes AS (SELECT DISTINCT n
+                       FROM (SELECT src AS n FROM ed UNION ALL SELECT dst AS n FROM ed)),
+             o AS (SELECT src AS n, COUNT(*) AS outd FROM ed GROUP BY src),
+             i AS (SELECT dst AS n, COUNT(*) AS ind FROM ed GROUP BY dst)
+             SELECT nodes.n AS node,
+                    CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+                    CAST(COALESCE(o.outd, 0) AS BIGINT) AS outd,
+                    CAST(COALESCE(i.ind, 0) AS BIGINT) AS ind
+             FROM nodes LEFT JOIN deg ON deg.n = nodes.n
+                        LEFT JOIN o ON o.n = nodes.n
+                        LEFT JOIN i ON i.n = nodes.n
+             ORDER BY node"""))
+
+  /** Per-node triangle counts via degree-ordered orientation (the
+    * O(m^1.5) scalable algorithm — see GraphAnalytics.triangleCounts);
+    * the oracle mirrors the orientation algebraically. */
+  val graphTriangles = QueryDef(
+    "q_graph_triangles",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.GraphAnalytics.triangleCounts(eventEdges(s, dir))
+        .orderBy($"node")
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM ed WHERE src <> dst),
+             deg AS (SELECT n, COUNT(*) AS d
+                     FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+                     GROUP BY n),
+             ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                                 THEN u ELSE v END AS a,
+                            CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                                 THEN v ELSE u END AS b,
+                            CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                                 THEN dv.d ELSE du.d END AS db
+                     FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+             w AS (SELECT e1.a AS a, e1.b AS y, e2.b AS z
+                   FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+                   WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+             t AS (SELECT w.a, w.y, w.z FROM w JOIN ori c ON c.a = w.y AND c.b = w.z)
+             SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+             FROM (SELECT unnest([a, y, z]) AS node FROM t)
+             GROUP BY node ORDER BY node"""))
+
+  /** Exact fixed-point PageRank (5 iterations, damping 85/100, BIGINT
+    * 10^-12 scale — GraphAnalytics.pageRankFixedPoint). Unlike the HLL/
+    * double-precision variants, integer arithmetic makes the oracle exact:
+    * the unrolled-CTE DuckDB query reproduces every rank bit-for-bit. */
+  val graphPagerankExact = QueryDef(
+    "q_graph_pagerank_exact",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.GraphAnalytics
+        .pageRankFixedPoint(eventEdges(s, dir), iters = 5)
+        .orderBy($"node")
+    },
+    Some(pagerankSql(5)))
+
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH $edgesCte, $edCte,
+         |nodes AS (SELECT DISTINCT n
+         |          FROM (SELECT src AS n FROM ed UNION ALL SELECT dst AS n FROM ed)),
+         |p AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS od FROM ed GROUP BY src),
+         |r0 AS (SELECT nodes.n, 1000000000000 // p.n AS r FROM nodes CROSS JOIN p)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS n, SUM(r.r // od.od) AS cs
+         |        FROM ed e JOIN r${i - 1} r ON r.n = e.src JOIN od ON od.src = e.src
+         |        GROUP BY e.dst),
+         |r$i AS (SELECT nodes.n,
+         |               ((15 * (1000000000000 // p.n)) // 100)
+         |               + ((85 * COALESCE(c$i.cs, 0)) // 100) AS r
+         |        FROM nodes CROSS JOIN p LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
+    }
+    s"""$head,
+       |${steps.mkString(",\n")}
+       |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val all: Seq[QueryDef] =
-    Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid)
+    Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
+      graphDegree, graphTriangles, graphPagerankExact)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.graph.GraphAnalytics
+import org.apache.spark.sql.functions._
+
+/** GraphAnalytics: triangles on known graphs, exact PageRank invariants. */
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCounts on K4: every node in C(3,2)=3 triangles") {
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.triangleCounts(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: square + one diagonal = 2 triangles, hub-credit right") {
+    // 0-1-2-3-0 plus diagonal 0-2: triangles {0,1,2} and {0,2,3}
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (1L, 0L) /* parallel reverse edge must not double count */)
+      .toDF("src", "dst")
+    val got = GraphAnalytics.triangleCounts(g).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph returns no rows") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphAnalytics.triangleCounts(path).count() == 0L)
+  }
+
+  test("pageRankFixedPoint: deterministic across partitioning, mass bounded") {
+    val edges = Tables(spark, sf, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") % 15).as("dst"))
+    val r1 = GraphAnalytics.pageRankFixedPoint(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val r2 = GraphAnalytics.pageRankFixedPoint(edges.repartition(7), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2, "integer arithmetic must be partition-order independent")
+    assert(r1.values.forall(_ > 0))
+    // total mass can only leak (dangling nodes, truncating division)
+    assert(r1.values.sum <= GraphAnalytics.PrScale)
+    // sinks that everyone points at must outrank pure sources
+    val deg = edges.groupBy($"dst").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc).select($"dst").as[Long].head()
+    val pureSource = (r1.keySet -- edges.select($"dst").distinct().as[Long].collect().toSet).headOption
+    pureSource.foreach(src => assert(r1(deg) > r1(src)))
+  }
+
+  test("degrees/undirected: self-loops dropped, parallel edges collapsed") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L)).toDF("src", "dst")
+    val und = GraphAnalytics.undirected(g).as[(Long, Long)].collect().toSet
+    assert(und == Set((1L, 2L), (2L, 3L)))
+    val deg = GraphAnalytics.degrees(GraphAnalytics.undirected(g))
+      .as[(Long, Long)].collect().toMap
+    assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** graft.operators.Joins: as-of, band, and salted joins checked against
+  * naive formulations on both hand-built edge cases and fixtures. */
+class OperatorJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at or before left time") {
+    val quotes = Seq( // (key, t, px)
+      (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 15L, 9.0)).toDF("qk", "qt", "px")
+    val trades = Seq( // (key, t, id)
+      (1L, 5L, "before-any"), (1L, 10L, "exact-match"),
+      (1L, 25L, "between"), (1L, 99L, "after-all"),
+      (2L, 14L, "miss"), (3L, 50L, "no-key")).toDF("tk", "tt", "id")
+
+    val out = Joins.asofBackward(trades, "tk", "tt", quotes, "qk", "qt",
+        payload = Seq("qt", "px"))
+      .select($"id", $"qt", $"px").as[(String, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    assert(out("before-any") == ((None, None)))
+    assert(out("exact-match") == ((Some(10L), Some(1.0))), "<= is inclusive")
+    assert(out("between") == ((Some(20L), Some(2.0))))
+    assert(out("after-all") == ((Some(30L), Some(3.0))))
+    assert(out("miss") == ((None, None)))
+    assert(out("no-key") == ((None, None)))
+  }
+
+  test("asofBackward resolves same-time right ties to the greatest payload") {
+    val right = Seq((1L, 10L, 100L), (1L, 10L, 200L), (1L, 10L, 150L))
+      .toDF("rk", "rt", "rid")
+    val left = Seq((1L, 10L, "x")).toDF("lk", "lt", "id")
+    val out = Joins.asofBackward(left, "lk", "lt", right, "rk", "rt", Seq("rid"))
+      .select($"rid").as[Long].collect()
+    assert(out.toSeq == Seq(200L), "max payload wins the time tie")
+  }
+
+  test("bandJoin == naive theta join on fixture balances") {
+    val c = Tables(spark, sf, "customer").select($"c_custkey", $"c_acctbal")
+    val s = Tables(spark, sf, "supplier").select($"s_suppkey", $"s_acctbal")
+    val banded = Joins.bandJoin(c, "c_acctbal", s, "s_acctbal", 25.0)
+      .select($"s_suppkey", $"c_custkey").as[(Long, Long)].collect().toSet
+    val naive = s.crossJoin(c)
+      .filter(abs($"s_acctbal" - $"c_acctbal") < 25.0)
+      .select($"s_suppkey", $"c_custkey").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    assert(naive.nonEmpty, "band width must produce matches to be a real test")
+  }
+
+  test("bandJoin handles negative values (floor-bin correctness)") {
+    val l = Seq((1L, -0.5), (2L, -10.0), (3L, 9.9)).toDF("lid", "lv")
+    val r = Seq((10L, 0.5), (20L, -19.0), (30L, 10.1)).toDF("rid", "rv")
+    val got = Joins.bandJoin(l, "lv", r, "rv", 10.0)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = for {
+      (lid, lv) <- Set((1L, -0.5), (2L, -10.0), (3L, 9.9))
+      (rid, rv) <- Set((10L, 0.5), (20L, -19.0), (30L, 10.1))
+      if math.abs(lv - rv) < 10.0
+    } yield (lid, rid)
+    assert(got == want)
+  }
+
+  test("saltedJoin == plain equi-join") {
+    val e = Tables(spark, sf, "events").select($"event_id", $"user_id")
+    val c = Tables(spark, sf, "customer").select($"c_custkey", $"c_name")
+    val salted = Joins.saltedJoin(e, "user_id", pmod($"event_id", lit(4)), c, "c_custkey", 4)
+      .select($"event_id", $"c_custkey").as[(Long, Long)].collect().toSet
+    val plain = e.join(c, $"user_id" === $"c_custkey")
+      .select($"event_id", $"c_custkey").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.{Sketches, Similarity}
+import graft.rel.VectorQueries
+import org.apache.spark.sql.functions._
+
+/** KMV sketch accuracy/exactness and IVF ANN recall against brute force. */
+class SketchIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k and within 2/sqrt(k) above k") {
+    val li = Tables(spark, sf, "lineitem")
+    // below k: 3 distinct returnflags grouped by a constant
+    val small = Sketches.kmvDistinct(
+      li.withColumn("g", lit("all")), "g", "l_returnflag", k = 64)
+      .as[(String, Long)].collect().toMap
+    assert(small("all") == 3L, "fewer than k distinct values → exact count")
+
+    // above k: ~200 distinct partkeys per flag at sf0.001
+    val est = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+      .as[(String, Long)].collect().toMap
+    val exact = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey"))
+      .as[(String, Long)].collect().toMap
+    est.foreach { case (g, e) =>
+      val x = exact(g).toDouble
+      assert(x > 64, s"group $g must exceed k for the estimate branch")
+      assert(math.abs(e - x) / x < 2.0 / math.sqrt(64),
+        s"group $g: est $e vs exact $x outside KMV error bound")
+    }
+  }
+
+  test("kmvDistinct estimate is partitioning-independent (mergeable sketch)") {
+    val li = Tables(spark, sf, "lineitem")
+    val a = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", 64)
+      .as[(String, Long)].collect().toMap
+    val b = Sketches.kmvDistinct(li.repartition(13), "l_returnflag", "l_partkey", 64)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("ivfTopK: probing all cells reproduces brute force; fewer cells prune") {
+    val emb = Tables(spark, sf, "embeddings")
+    val brute = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, scoreCol = "score",
+        cosine = true, roundTo = Some(6))
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    // degenerate IVF (probe every cell) must be exactly exhaustive search
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, centroidEvery = 25, nprobe = 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute, "nprobe = all cells ⇒ identical to brute force")
+    // real IVF: valid descending subset of the corpus with nonzero overlap
+    // (these synthetic embeddings are near-uniform on the sphere, so recall
+    // at 2/20 cells is genuinely low — the oracle checks exact semantics)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, centroidEvery = 25, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(ivf.length == 10)
+    assert(ivf.map(_._2).sliding(2).forall(p => p.head >= p.last), "scores descend")
+    assert(ivf.map(_._1).exists(brute.map(_._1).toSet.contains),
+      "probed cells overlap the true top-k")
+  }
+}
