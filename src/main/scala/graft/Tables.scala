@@ -14,17 +14,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    // Verify/Bench/test builders) so it arrives as a nanos long. Truncate to
-    // micros (integer DIV — a double roundtrip would lose precision at 2^63)
-    // exactly as DuckDB truncates ns→µs, so both engines see the same instant.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
-  }
+  // Plans are immutable, so the (session, dir, table) → DataFrame mapping is
+  // safely memoizable; this drops the repeated parquet-footer schema reads
+  // that otherwise dominate registerViews (10 tables × every sqlBoth query).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), { key =>
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+      // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
+      // Verify/Bench/test builders) so it arrives as a nanos long. Truncate to
+      // micros (integer DIV — a double roundtrip would lose precision at 2^63)
+      // exactly as DuckDB truncates ns→µs, so both engines see the same instant.
+      if (name == "events")
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df
+    })
 
   /** Register every fixture as a temp view so declared queries can use
     * `spark.sql` where the DataFrame API is clumsier (GROUPING SETS etc.). */

@@ -419,11 +419,189 @@ object ExtQueries {
                    MIN(event_id) AS min_event, MAX(event_id) AS max_event
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ------------------------------------------------------ cat 1/3: mutation
+  /** Snapshot MERGE (O1/O2's distributed shape): a batch of updated rows
+    * replaces its base rows via left-anti + union — last-write-wins without
+    * a driver-side loop. The planted update batch bumps every 10th order. */
+  val mergeUpsert = QueryDef(
+    "q_merge_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", lit(0).as("batch"))
+      val updates = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" + 1000.0).as("o_totalprice"), lit(1).as("batch"))
+      base.join(updates, Seq("o_orderkey"), "left_anti")
+        .unionByName(updates)
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, 0 AS batch
+            FROM orders WHERE o_orderkey % 10 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 1
+            FROM orders WHERE o_orderkey % 10 = 0
+            ORDER BY o_orderkey"""))
+
+  /** Cascade delete (O4's distributed shape): deleting a node set prunes
+    * every incident edge — two left-anti joins against the victim set,
+    * exactly the FK-cascade the reference does row-at-a-time in SQLite. */
+  val cascadeDelete = QueryDef(
+    "q_cascade_delete",
+    (s, dir) => {
+      import s.implicits._
+      val edges = GraphQueries.eventEdges(s, dir)
+      val nodes = edges.select($"src".as("n"))
+        .union(edges.select($"dst".as("n"))).distinct()
+      val victims = nodes.filter($"n" % 7 === 0)
+      edges
+        .join(victims.select($"n".as("src")), Seq("src"), "left_anti")
+        .join(victims.select($"n".as("dst")), Seq("dst"), "left_anti")
+        .select($"src", $"dst", $"etype", round($"weight", 6).as("weight"))
+        .orderBy($"src", $"dst", $"etype")
+    },
+    Some(s"""WITH ${GraphQueries.edgesCte}
+             SELECT src, dst, etype, round(w, 6) AS weight FROM edges
+             WHERE src % 7 <> 0 AND dst % 7 <> 0
+             ORDER BY src, dst, etype"""))
+
+  // -------------------------------------------------- cat 1: sources/sinks 2
+  /** CSV source round-trip (quoting, header, explicit schema on re-read). */
+  val sourceCsv = QueryDef(
+    "q_source_csv",
+    (s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_roundtrip_orders_${math.abs(dir.hashCode)}"
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority", $"o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(path)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"o_totalprice")).cast("double").as("total"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Bucketed co-located join: both fact tables bucket-sorted on the join
+    * key (8 buckets, external tables under /tmp), so the join itself plans
+    * with ZERO shuffle — the 100 TB answer when neither side broadcasts
+    * (BucketingSpec asserts the shuffle-free plan; this declares the
+    * result's correctness). */
+  val joinBucketed = QueryDef(
+    "q_join_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      val tag = math.abs(dir.hashCode)
+      s.sql(s"DROP TABLE IF EXISTS bq_orders_$tag")
+      s.sql(s"DROP TABLE IF EXISTS bq_lineitem_$tag")
+      Tables(s, dir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"/tmp/graft_bucket_orders_$tag")
+        .mode("overwrite").saveAsTable(s"bq_orders_$tag")
+      Tables(s, dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/tmp/graft_bucket_lineitem_$tag")
+        .mode("overwrite").saveAsTable(s"bq_lineitem_$tag")
+      s.table(s"bq_lineitem_$tag")
+        .join(s.table(s"bq_orders_$tag"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).cast("double").as("qty"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ----------------------------------------------------- cat 2/4: profiling
+  /** Column profiling (null counts + exact NDV per column in one pass) —
+    * the data-quality sweep run before any training-data job. */
+  val profileColumns = QueryDef(
+    "q_profile",
+    (s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      Tables(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col, n_nulls, ndv)")
+        .orderBy($"col")
+    },
+    Some("""SELECT 'l_returnflag' AS col,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus',
+                   CAST(COUNT(*) FILTER (WHERE l_linestatus IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity',
+                   CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   CAST(COUNT(*) FILTER (WHERE l_discount IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_discount) AS BIGINT) FROM lineitem
+            ORDER BY col"""))
+
+  // -------------------------------------------------- cat 5: distributions
+  /** Rank-distribution windows: percent_rank / cume_dist per customer. */
+  val windowDistribution = QueryDef(
+    "q_window_distribution",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   round(PERCENT_RANK() OVER w, 6) AS pr,
+                   round(CUME_DIST() OVER w, 6) AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // ------------------------------------------------------ cat 10: streaming
+  /** Exactly-once style id-dedup: planted full-duplicate events dropped by
+    * key — the batch twin of streaming dropDuplicates-within-watermark. */
+  val dedupIds = QueryDef(
+    "q_dedup_ids",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events").select($"event_id", $"event_type", $"value")
+      e.unionByName(e.filter($"event_id" % 3 === 0)) // planted duplicates
+        .dropDuplicates("event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"value")).cast("double").as("total"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     joinAsof, joinRange, joinSalted,
     statsMoments, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,
     sketchKmv, annIvf,
-    sinkPartitioned, sourceJson)
+    sinkPartitioned, sourceJson,
+    mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
+    profileColumns, windowDistribution, dedupIds)
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   /** The shared derived edge table, Spark side. */
-  private def eventEdges(s: SparkSession, dir: String): DataFrame = {
+  private[rel] def eventEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
       .select($"user_id".as("src"),
@@ -35,7 +35,7 @@ object GraphQueries {
   }
 
   /** The same edge table, DuckDB side (CTE fragment). */
-  private val edgesCte =
+  private[rel] val edgesCte =
     """edges AS (
       |  SELECT user_id AS src,
       |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 15 AS dst,
