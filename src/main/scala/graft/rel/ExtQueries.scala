@@ -502,11 +502,14 @@ object ExtQueries {
       val tag = math.abs(dir.hashCode)
       s.sql(s"DROP TABLE IF EXISTS bq_orders_$tag")
       s.sql(s"DROP TABLE IF EXISTS bq_lineitem_$tag")
-      Tables(s, dir, "orders")
+      // project before writing: bucketing pays a full write, so ship only
+      // the join/agg columns (at 100 TB the bucketed copy is a curated
+      // join-optimized projection, not a second copy of the lake)
+      Tables(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"/tmp/graft_bucket_orders_$tag")
         .mode("overwrite").saveAsTable(s"bq_orders_$tag")
-      Tables(s, dir, "lineitem")
+      Tables(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"/tmp/graft_bucket_lineitem_$tag")
         .mode("overwrite").saveAsTable(s"bq_lineitem_$tag")
@@ -595,6 +598,47 @@ object ExtQueries {
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------- cat 4/8: collection
+  /** Array aggregation: per-customer sorted key list (deterministic via
+    * sort_array ≡ list_sort — collect_list alone is partition-order
+    * dependent and would never hash-match). Serialized to CSV text because
+    * the comparison harness can't hash raw list cells. */
+  val aggCollect = QueryDef(
+    "q_agg_collect",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(concat_ws(",", sort_array(collect_list($"o_orderkey")))
+            .as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** EXISTS / NOT EXISTS correlated subqueries — Catalyst decorrelates to
+    * semi/anti joins (same physical shape as q_join_semi/q_join_anti, but
+    * via the SQL subquery front door). */
+  val existsSubquery = QueryDef.sqlBoth(
+    "q_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F' AND o.o_totalprice > 400000.0)
+       ORDER BY c_custkey""",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F' AND o.o_totalprice > 400000.0)
+       ORDER BY c_custkey""")
+
   val all: Seq[QueryDef] = Seq(
     joinAsof, joinRange, joinSalted,
     statsMoments, percentileExact,
@@ -603,5 +647,6 @@ object ExtQueries {
     sketchKmv, annIvf,
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
-    profileColumns, windowDistribution, dedupIds)
+    profileColumns, windowDistribution, dedupIds,
+    aggCollect, existsSubquery)
 }

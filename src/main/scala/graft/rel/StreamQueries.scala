@@ -74,5 +74,31 @@ object StreamQueries {
             GROUP BY ws, event_type
             ORDER BY window_start, event_type"""))
 
-  val all: Seq[QueryDef] = Seq(streamWindow, streamSession, streamSliding)
+  /** Stream-stream interval join (EventStreams.viewToPurchase): purchases
+    * matched to same-user views in the preceding hour. Run here in batch
+    * mode on the fixture; StreamingSpec asserts the streaming execution
+    * produces the identical row set. The oracle truncates ns→µs first so
+    * both engines compare the same instants. */
+  val streamJoin = QueryDef(
+    "q_stream_join",
+    (s, dir) => {
+      import s.implicits._
+      EventStreams.viewToPurchase(Tables(s, dir, "events"))
+        .select($"purchase_id", $"view_id", $"p_user".as("user_id"),
+          (unix_micros($"p_ts") - unix_micros($"v_ts")).as("lag_us"))
+        .orderBy($"purchase_id", $"view_id")
+    },
+    Some("""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, event_id AS view_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, event_id AS purchase_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.purchase_id, v.view_id, p.user_id,
+                   epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us
+            FROM p JOIN v ON v.user_id = p.user_id
+                         AND v.v_ts <= p.p_ts
+                         AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+            ORDER BY purchase_id, view_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(streamWindow, streamSession, streamSliding, streamJoin)
 }

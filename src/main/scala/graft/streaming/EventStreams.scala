@@ -82,6 +82,37 @@ object EventStreams {
       }
       .start()
 
+  /** Exactly-once id-dedup with bounded state: duplicates of an event_id
+    * arriving within the watermark horizon are dropped; state for ids older
+    * than the watermark is evicted, so memory is O(events per horizon), not
+    * O(stream length). Batch inputs fall back to plain dropDuplicates
+    * (same result — batch has no late data). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Stream-stream join: each purchase matched to the same user's views in
+    * the preceding hour. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so the join state is evictable — the
+    * canonical funnel/attribution join at stream scale. Works identically
+    * on batch inputs (plain interval join). */
+  def viewToPurchase(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+      col("v_user") === col("p_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
+  }
+
   /** Custom state: per-user running totals via mapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (the engine's answer to any
     * "custom state machine over a stream" requirement). */

@@ -83,6 +83,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join on same data") {
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.viewToPurchase(stream)
+      .select($"purchase_id", $"view_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .as[(Long, Long)].collect().toSet
+      val batch = EventStreams.viewToPurchase(Tables(spark, sf, "events"))
+        .select($"purchase_id", $"view_id")
+        .as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture must contain view→purchase pairs")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming watermarked dedup drops in-horizon duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val events = stream.toDS().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, t(0), 1.0), (2L, t(1), 2.0), (1L, t(2), 99.0))
+      q.processAllAvailable()
+      stream.addData((2L, t(3), 88.0), (3L, t(4), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id")
+        .as[Long].collect().toList.sorted
+      assert(ids == List(1L, 2L, 3L),
+        s"each id emitted exactly once across batches: $ids")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals == plain aggregation (batch mode)") {
     val events = Tables(spark, sf, "events")
     val got = EventStreams.runningUserTotals(events)
