@@ -639,6 +639,60 @@ object ExtQueries {
                            AND o.o_orderstatus = 'F' AND o.o_totalprice > 400000.0)
        ORDER BY c_custkey""")
 
+  /** Numeric histogram: fixed-width bins over order totals (floor-binned,
+    * one aggregation — the profiling histogram at lake scale). */
+  val histogram = QueryDef(
+    "q_histogram",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy(floor($"o_totalprice" / 25000.0).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+        .orderBy($"bin")
+    },
+    Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders GROUP BY 1 ORDER BY bin"""))
+
+  /** Feature scaling per group: min-max and z-score normalization of
+    * account balances within each nation, stats from decimal-exact sums
+    * (the same order-independence argument as q_stats_moments) joined back
+    * broadcast — the feature-normalization pass of a training pipeline. */
+  val featureScale = QueryDef(
+    "q_feature_scale",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val stats = c.groupBy($"c_nationkey".as("nk"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"c_acctbal")).cast("double").as("sx"),
+          sum(($"c_acctbal" * $"c_acctbal").cast(DecimalType(28, 4)))
+            .cast("double").as("sxx"),
+          min($"c_acctbal").as("mn"), max($"c_acctbal").as("mx"))
+      c.join(broadcast(stats), $"c_nationkey" === $"nk")
+        .select($"c_custkey", $"c_nationkey",
+          round(when($"mx" === $"mn", 0.5)
+            .otherwise(($"c_acctbal" - $"mn") / ($"mx" - $"mn")), 6).as("minmax"),
+          round(($"c_acctbal" - $"sx" / $"n") /
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("zscore"))
+        .orderBy($"c_custkey")
+    },
+    Some("""WITH s AS (SELECT c_nationkey AS nk,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                              CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                              MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+                       FROM customer GROUP BY c_nationkey)
+            SELECT c_custkey, c_nationkey,
+                   round(CASE WHEN mx = mn THEN 0.5
+                              ELSE (c_acctbal - mn) / (mx - mn) END, 6) AS minmax,
+                   round((c_acctbal - sx / n) /
+                         sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+            FROM customer JOIN s ON s.nk = c_nationkey
+            ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     joinAsof, joinRange, joinSalted,
     statsMoments, percentileExact,
@@ -648,5 +702,5 @@ object ExtQueries {
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,
-    aggCollect, existsSubquery)
+    aggCollect, existsSubquery, histogram, featureScale)
 }

@@ -371,9 +371,82 @@ object PipelineQueries {
             WHERE doc_id < 20
             ORDER BY doc_id, frame_idx"""))
 
+  // ----------------------------------------------- corpus-level text stats
+  /** Vocabulary extraction: top-20 tokens by document frequency — the
+    * corpus pass before any tokenizer/stopword decision. DF (not term
+    * count) so a token spamming one doc can't dominate. */
+  val textVocab = QueryDef(
+    "q_text_vocab",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"token")
+        .limit(20)
+    },
+    Some(s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+                   FROM documents)
+             GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
+
+  /** Smoothed TF-IDF scores for a fixed term set over every matching doc:
+    * tf · (ln((N+1)/(df+1)) + 1). Integer tf/df feed a single ln — the
+    * double result is engine-identical; round 6 regardless. */
+  val textTfidf = QueryDef(
+    "q_text_tfidf",
+    (s, dir) => {
+      import s.implicits._
+      val terms = VectorQueries.bm25Terms
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+      val toks = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+        .filter($"token".isin(terms: _*))
+      val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n"))
+      tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .select($"doc_id", $"token",
+          round($"tf" * (log(($"n" + 1).cast("double") / ($"df" + 1)) + 1.0), 6)
+            .as("tfidf"))
+        .orderBy($"doc_id", $"token")
+    },
+    Some {
+      val termList = VectorQueries.bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks WHERE token IN ($termList) GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+         |SELECT tf.doc_id, tf.token AS token,
+         |       round(tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1.0), 6) AS tfidf
+         |FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+         |ORDER BY tf.doc_id, tf.token""".stripMargin
+    })
+
+  /** Deterministic hash sampling: a ~5% sample selected by the cross-engine
+    * md5 hash of the row key — reproducible on any cluster (no RNG, no
+    * partition dependence), the way training subsets stay auditable. */
+  val sampleHash = QueryDef(
+    "q_sample_hash",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter(TextOps.strHash(
+          concat($"l_orderkey", lit("-"), $"l_linenumber")) % 100 < 5)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          (count(lit(1)) * 20).as("est_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                    CAST(COUNT(*) * 20 AS BIGINT) AS est_rows
+             FROM lineitem
+             WHERE ${hvSql("l_orderkey || '-' || l_linenumber")} % 100 < 5
+             GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCos, annLsh, annLshMultiprobe,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
-    multimodalFrames)
+    multimodalFrames, textVocab, textTfidf, sampleHash)
 }
