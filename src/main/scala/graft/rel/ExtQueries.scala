@@ -639,6 +639,69 @@ object ExtQueries {
                            AND o.o_orderstatus = 'F' AND o.o_totalprice > 400000.0)
        ORDER BY c_custkey""")
 
+  /** Map functions over the dynamic props column: parse JSON to a typed
+    * map, then keys / size / point lookup — the engine's answer to schema-
+    * on-read metadata (reference metadata filters, app.py:428-435). */
+  val fnMap = QueryDef(
+    "q_fn_map",
+    (s, dir) => {
+      import s.implicits._
+      val m = from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+      Tables(s, dir, "events")
+        .select($"event_id",
+          concat_ws(",", array_sort(map_keys(m))).as("keys_csv"),
+          size(map_keys(m)).as("n_keys"),
+          element_at(m, "k").as("k_val"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+                   array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+                   CAST(len(json_keys(props)) AS INT) AS n_keys,
+                   json_extract_string(props, '$.k') AS k_val
+            FROM events ORDER BY event_id"""))
+
+  /** Higher-order functions on the embedding arrays: filter / exists /
+    * transform-fold — the lambda toolkit under the vector operators. */
+  val fnHof = QueryDef(
+    "q_fn_hof",
+    (s, dir) => {
+      import s.implicits._
+      val emb = $"embedding".cast("array<double>")
+      Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          size(filter(emb, x => x > 0.0)).as("n_pos"),
+          exists(emb, x => x < -0.5).as("has_lt"),
+          round(aggregate(emb, lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+                   CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0)) AS INT) AS n_pos,
+                   len(list_filter(CAST(embedding AS DOUBLE[]), x -> x < -0.5)) > 0 AS has_lt,
+                   round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS l1
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** Extended string scalars: pad / translate / reverse / position. */
+  val fnString2 = QueryDef(
+    "q_fn_string2",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .select($"p_partkey",
+          lpad($"p_brand", 12, "*").as("padded"),
+          translate($"p_name", "aeiou", "AEIOU").as("xlat"),
+          reverse($"p_name").as("rev"),
+          instr($"p_name", "widget").as("pos"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   lpad(p_brand, 12, '*') AS padded,
+                   translate(p_name, 'aeiou', 'AEIOU') AS xlat,
+                   reverse(p_name) AS rev,
+                   CAST(strpos(p_name, 'widget') AS INT) AS pos
+            FROM part ORDER BY p_partkey"""))
+
   /** Numeric histogram: fixed-width bins over order totals (floor-binned,
     * one aggregation — the profiling histogram at lake scale). */
   val histogram = QueryDef(
@@ -702,5 +765,6 @@ object ExtQueries {
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,
-    aggCollect, existsSubquery, histogram, featureScale)
+    aggCollect, existsSubquery, histogram, featureScale,
+    fnMap, fnHof, fnString2)
 }
