@@ -13,7 +13,9 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_filter_pred", "q_join_broadcast", "q_topk", "q_vec_topk", "q1_agg")
+      else Seq("q_filter_pred", "q_join_broadcast", "q_topk", "q_vec_topk",
+        "q1_agg", "q_join_asof", "q_join_range", "q_ann_ivf",
+        "q_stats_moments", "q_graph_triangles")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
