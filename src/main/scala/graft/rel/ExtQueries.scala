@@ -702,6 +702,55 @@ object ExtQueries {
                    CAST(strpos(p_name, 'widget') AS INT) AS pos
             FROM part ORDER BY p_partkey"""))
 
+  /** ORC source round-trip: the third columnar/text format beside parquet
+    * and CSV/JSON — written and re-read with the native vectorized reader. */
+  val sourceOrc = QueryDef(
+    "q_source_orc",
+    (s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_roundtrip_lineitem_orc_${math.abs(dir.hashCode)}"
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).cast("double").as("qty"),
+          max($"l_orderkey").as("max_key"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+                   MAX(l_orderkey) AS max_key
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** SCD2 intervals from a change log: each user's events become
+    * [valid_from, valid_to) versions via lead() — the slowly-changing-
+    * dimension build, one window shuffle at any scale. */
+  val scd2 = QueryDef(
+    "q_scd2",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .filter($"event_type" === "signup" || $"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("valid_from_us"),
+          unix_micros(lead($"ts", 1).over(w)).as("valid_to_us"),
+          (row_number().over(w) === count(lit(1)).over(
+            Window.partitionBy($"user_id"))).as("is_current"))
+        .orderBy($"user_id", $"valid_from_us", $"event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events WHERE event_type IN ('signup', 'purchase'))
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(LEAD(ts, 1) OVER w) AS valid_to_us,
+                   ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY user_id) AS is_current
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from_us, event_id"""))
+
   /** Numeric histogram: fixed-width bins over order totals (floor-binned,
     * one aggregation — the profiling histogram at lake scale). */
   val histogram = QueryDef(
@@ -766,5 +815,5 @@ object ExtQueries {
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,
     aggCollect, existsSubquery, histogram, featureScale,
-    fnMap, fnHof, fnString2)
+    fnMap, fnHof, fnString2, sourceOrc, scd2)
 }

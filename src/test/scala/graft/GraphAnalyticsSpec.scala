@@ -48,6 +48,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     pureSource.foreach(src => assert(r1(deg) > r1(src)))
   }
 
+  test("triangleCounts == GraphX TriangleCount on the fixture event graph") {
+    val edges = Tables(spark, sf, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") % 15).as("dst"))
+    val mine = GraphAnalytics.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+
+    val und = GraphAnalytics.undirected(edges)
+      .select($"u".as("src"), $"v".as("dst"), lit(1.0).as("weight"))
+    val gx = graft.graph.GraphXOps.fromEdges(und)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+      .filter(_._2 > 0).collect()
+      .map { case (v, n) => v -> n.toLong }.toMap
+
+    assert(mine.nonEmpty, "fixture graph must contain triangles")
+    assert(mine == gx, s"DataFrame algorithm vs GraphX: $mine vs $gx")
+  }
+
   test("degrees/undirected: self-loops dropped, parallel edges collapsed") {
     val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L)).toDF("src", "dst")
     val und = GraphAnalytics.undirected(g).as[(Long, Long)].collect().toSet

@@ -64,6 +64,47 @@ class OperatorJoinsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofBackward == naive per-row argmax on random data (seeded)") {
+    // deterministic pseudo-random data: small key space forces collisions,
+    // duplicated times force tie-breaking
+    val rnd = new scala.util.Random(42)
+    val rightRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val leftRows = Seq.tabulate(120)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(60).toLong, i.toLong))
+    val right = rightRows.toDF("rk", "rt", "rid")
+    val left = leftRows.toDF("lk", "lt", "id")
+
+    val got = operators.Joins
+      .asofBackward(left, "lk", "lt", right, "rk", "rt", Seq("rid", "rt"))
+      .select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+
+    leftRows.foreach { case (lk, lt, id) =>
+      val cands = rightRows.filter(r => r._1 == lk && r._2 <= lt)
+      val want =
+        if (cands.isEmpty) None
+        else {
+          val maxT = cands.map(_._2).max
+          Some(cands.filter(_._2 == maxT).map(_._3).max) // payload tie → max rid
+        }
+      assert(got(id) == want, s"left row $id (key $lk, t $lt)")
+    }
+  }
+
+  test("bandJoin == naive filter on random data across bin boundaries (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val ls = Seq.tabulate(150)(i => (i.toLong, (rnd.nextDouble() - 0.5) * 200))
+    val rs = Seq.tabulate(150)(i => (i.toLong, (rnd.nextDouble() - 0.5) * 200))
+    val got = operators.Joins
+      .bandJoin(ls.toDF("lid", "lv"), "lv", rs.toDF("rid", "rv"), "rv", 7.5)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lid, lv) <- ls; (rid, rv) <- rs if math.abs(lv - rv) < 7.5
+    } yield (lid, rid)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("saltedJoin == plain equi-join") {
     val e = Tables(spark, sf, "events").select($"event_id", $"user_id")
     val c = Tables(spark, sf, "customer").select($"c_custkey", $"c_name")
