@@ -38,4 +38,31 @@ object Sketches {
           .otherwise(expr(s"(${(k - 1).toLong} * ${TextOps.P}L) DIV hk"))
           .as("kmv_est"))
   }
+
+  /** Count-Min sketch: depth×width counter table from the cross-engine
+    * hash family ([[TextOps.minhashPerm]] over [[TextOps.strHash]]).
+    * Counter updates are sums → mergeable and order-independent, so the
+    * distributed sketch equals the sequential one exactly. Returns the
+    * materialized table (d, bucket, c). */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val h = TextOps.strHash(col(keyCol).cast("string"))
+    df.select(explode(sequence(lit(0), lit(depth - 1))).as("d"), h.as("h"))
+      .select(col("d"), (TextOps.minhashPerm(col("h"), col("d")) % width).as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for each probe key: est = min over rows of the
+    * key's bucket counter — a guaranteed overcount (est ≥ true count),
+    * within εN with high probability at width ≥ e/ε. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val h = TextOps.strHash(col(keyCol).cast("string"))
+    val lookups = probes
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("d"), h.as("h"))
+      .select(col(keyCol), col("d"),
+        (TextOps.minhashPerm(col("h"), col("d")) % width).as("bucket"))
+    lookups.join(cms, Seq("d", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
 }

@@ -334,6 +334,48 @@ object ExtQueries {
                               ELSE (63 * 2147483647::BIGINT) // s.hk END AS BIGINT) AS kmv_est
              FROM s JOIN x ON x.g = s.g ORDER BY l_returnflag"""))
 
+  /** Count-Min sketch point queries beside exact counts (Sketches.cmsBuild/
+    * cmsEstimate, depth 3 × width 256): like q_sketch_kmv, a sketch whose
+    * cross-engine hash family makes it oracle-checkable — and whose
+    * counter-sum structure is exactly mergeable across 1000 executors. */
+  val sketchCms = QueryDef(
+    "q_sketch_cms",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val cms = Sketches.cmsBuild(li, "l_partkey", depth = 3, width = 256)
+      val probes = Tables(s, dir, "part")
+        .filter($"p_partkey" <= 10).select($"p_partkey".as("l_partkey"))
+      val exact = li.filter($"l_partkey" <= 10)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("exact"))
+      Sketches.cmsEstimate(cms, probes, "l_partkey", depth = 3, width = 256)
+        .join(exact, Seq("l_partkey"), "left")
+        .select($"l_partkey",
+          coalesce($"exact", lit(0L)).as("exact"), $"cms_est")
+        .orderBy($"l_partkey")
+    },
+    Some("""WITH hv AS (SELECT CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT)
+                               % 2147483647 AS h
+                        FROM lineitem),
+                 ds AS (SELECT unnest(range(3)) AS d),
+                 cms AS (SELECT d, ((2*d+1)*h + 7919*d) % 2147483647 % 256 AS bucket,
+                                CAST(COUNT(*) AS BIGINT) AS c
+                         FROM hv CROSS JOIN ds GROUP BY 1, 2),
+                 pk AS (SELECT p_partkey AS l_partkey,
+                               CAST(('0x'||substr(md5(CAST(p_partkey AS VARCHAR)),1,15)) AS BIGINT)
+                                 % 2147483647 AS h
+                        FROM part WHERE p_partkey <= 10),
+                 lk AS (SELECT l_partkey, d,
+                               ((2*d+1)*h + 7919*d) % 2147483647 % 256 AS bucket
+                        FROM pk CROSS JOIN ds),
+                 est AS (SELECT l_partkey, MIN(COALESCE(c, 0)) AS cms_est
+                         FROM lk LEFT JOIN cms USING (d, bucket) GROUP BY l_partkey),
+                 x AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact
+                       FROM lineitem WHERE l_partkey <= 10 GROUP BY l_partkey)
+            SELECT est.l_partkey, CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+                   CAST(est.cms_est AS BIGINT) AS cms_est
+            FROM est LEFT JOIN x USING (l_partkey) ORDER BY l_partkey"""))
+
   // ------------------------------------------------------------ cat 12: ANN
   /** IVF-flat ANN (Similarity.ivfTopK): 20 deterministic centroids, probe
     * the 2 nearest cells, exact-rank their members. */
@@ -815,5 +857,5 @@ object ExtQueries {
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,
     aggCollect, existsSubquery, histogram, featureScale,
-    fnMap, fnHof, fnString2, sourceOrc, scd2)
+    fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms)
 }

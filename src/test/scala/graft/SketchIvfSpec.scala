@@ -38,6 +38,25 @@ class SketchIvfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("count-min sketch: estimate >= exact, exact for isolated keys, mergeable") {
+    val li = Tables(spark, sf, "lineitem")
+    val cms = Sketches.cmsBuild(li, "l_partkey", depth = 3, width = 256)
+    val probes = li.select($"l_partkey").distinct().filter($"l_partkey" <= 30)
+    val est = Sketches.cmsEstimate(cms, probes, "l_partkey", depth = 3, width = 256)
+      .as[(Long, Long)].collect().toMap
+    val exact = li.filter($"l_partkey" <= 30).groupBy($"l_partkey")
+      .agg(count(lit(1))).as[(Long, Long)].collect().toMap
+    assert(est.nonEmpty)
+    exact.foreach { case (k, x) =>
+      assert(est(k) >= x, s"CMS never undercounts: key $k est ${est(k)} < $x")
+    }
+    // mergeability: partitioning must not change a single counter
+    val cms2 = Sketches.cmsBuild(li.repartition(13), "l_partkey", 3, 256)
+    val est2 = Sketches.cmsEstimate(cms2, probes, "l_partkey", 3, 256)
+      .as[(Long, Long)].collect().toMap
+    assert(est == est2)
+  }
+
   test("ivfTopK: probing all cells reproduces brute force; fewer cells prune") {
     val emb = Tables(spark, sf, "embeddings")
     val brute = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
