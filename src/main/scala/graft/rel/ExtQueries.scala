@@ -793,6 +793,32 @@ object ExtQueries {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, valid_from_us, event_id"""))
 
+  /** Range-partitioned, sort-within-partition parquet layout: the lake
+    * layout that makes downstream merge joins and min/max file pruning
+    * work — repartitionByRange keys each output file to a key range,
+    * sortWithinPartitions orders rows inside it. Verified by round-trip
+    * aggregation; the layout itself shows up as one RangePartitioning
+    * exchange in the write plan. */
+  val sinkSorted = QueryDef(
+    "q_sink_sorted",
+    (s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_sink_sorted_${math.abs(dir.hashCode)}"
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
+        .repartitionByRange(4, $"l_orderkey")
+        .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(($"l_orderkey" % 4).as("kmod"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).cast("double").as("qty"))
+        .orderBy($"kmod")
+    },
+    Some("""SELECT l_orderkey % 4 AS kmod, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY 1 ORDER BY kmod"""))
+
   /** Numeric histogram: fixed-width bins over order totals (floor-binned,
     * one aggregation — the profiling histogram at lake scale). */
   val histogram = QueryDef(
@@ -857,5 +883,5 @@ object ExtQueries {
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,
     aggCollect, existsSubquery, histogram, featureScale,
-    fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms)
+    fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted)
 }

@@ -1,0 +1,32 @@
+package graft
+
+/** Declared-query registry integrity: the driver contract breaks silently
+  * if names collide (later Map entry wins) or an oracle goes blank. */
+class RegistrySpec extends SparkSpec {
+
+  test("registry names are unique and well-formed") {
+    val names = SparkEntry.registry.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    assert(names.forall(_.matches("q[a-z0-9_]+")), "snake_case q-prefixed names")
+  }
+
+  test("oracles are non-blank and SELECT/WITH-shaped") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val t = sql.trim.toUpperCase
+      assert(t.startsWith("SELECT") || t.startsWith("WITH"),
+        s"$name oracle must be a plain query")
+      assert(sql.length > 20, s"$name oracle suspiciously short")
+    }
+  }
+
+  test("rows-only queries are the documented three") {
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(rowsOnly == Set("q_hash_embed", "q_graphx_pagerank", "q_sketch_agg"),
+      s"every other query needs a DuckDB oracle; got $rowsOnly")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
