@@ -85,6 +85,8 @@ object GraphAnalytics {
       .union(e.select(col("dst").as("n"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("n").as("node"), lit(0L).as("rank_fp"))
     val init = PrScale / n
     val base = (15L * init) / 100L
     var rank = nodes.select(col("n"), lit(init).as("r"))

@@ -105,6 +105,36 @@ class OperatorJoinsSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("degenerate inputs: empty sides yield empty/null, never throw") {
+    import org.apache.spark.sql.functions.lit
+    val l = Seq((1L, 10L, "x")).toDF("lk", "lt", "id")
+    val emptyR = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
+    val asof = operators.Joins.asofBackward(l, "lk", "lt", emptyR, "rk", "rt", Seq("rid"))
+    assert(asof.count() == 1 && asof.select($"rid").as[Option[Long]].head().isEmpty,
+      "empty right → left preserved with null payload")
+
+    val emptyL = Seq.empty[(Long, Long, String)].toDF("lk", "lt", "id")
+    val r = Seq((1L, 5L, 9L)).toDF("rk", "rt", "rid")
+    assert(operators.Joins.asofBackward(emptyL, "lk", "lt", r, "rk", "rt", Seq("rid")).count() == 0)
+
+    val band = operators.Joins.bandJoin(
+      Seq((1L, 0.5)).toDF("lid", "lv"), "lv",
+      Seq.empty[(Long, Double)].toDF("rid", "rv"), "rv", 10.0)
+    assert(band.count() == 0)
+
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graph.GraphAnalytics.triangleCounts(empty).count() == 0)
+    assert(graph.GraphAnalytics.pageRankFixedPoint(empty, 3).count() == 0,
+      "empty graph must not divide by zero")
+    assert(pipeline.Sketches.kmvDistinct(
+      Seq.empty[(String, Long)].toDF("g", "k"), "g", "k", 8).count() == 0)
+    assert(pipeline.Sketches.cmsEstimate(
+      pipeline.Sketches.cmsBuild(Seq.empty[(Long, Long)].toDF("d0", "k"), "k", 3, 64),
+      Seq((5L, 1L)).toDF("k", "z").select(lit(5L).as("k")), "k", 3, 64)
+      .as[(Long, Long)].collect().toSeq == Seq((5L, 0L)),
+      "probing an empty sketch estimates zero")
+  }
+
   test("saltedJoin == plain equi-join") {
     val e = Tables(spark, sf, "events").select($"event_id", $"user_id")
     val c = Tables(spark, sf, "customer").select($"c_custkey", $"c_name")
