@@ -65,6 +65,71 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused cosine similarity: dot(a,b), ‖a‖², ‖b‖² in ONE pass over the
+  * arrays instead of three `DotProductD` evaluations (and three casts of
+  * the same child columns). Bit-identical to the composed form — each
+  * accumulator adds the same values in the same order, and the final
+  * expression replicates `when(nn === 0, 0).otherwise(d / nn)` exactly —
+  * so oracle hashes are unchanged; only the pass count drops. */
+case class CosineSimD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < nx) { val v = x.getDouble(i); na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < ny) { val v = y.getDouble(i); nb += v * v; i += 1 }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dot / nn
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      val nn = ctx.freshName("nn")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |for (int $i = 0; $i < $nx; $i++) {
+         |  double $v = $a.getDouble($i); $na += $v * $v;
+         |}
+         |for (int $i = 0; $i < $ny; $i++) {
+         |  double $v = $b.getDouble($i); $nb += $v * $v;
+         |}
+         |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($nn == 0.0) ? 0.0 : ($dot / $nn);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimD =
+    copy(left = l, right = r)
+}
+
 /** Murmur3 hash-bucket embedding of whitespace-tokenized lowercase text
   * (reference app.py:353-377). Returns an L2-normalized float32 vector of
   * size `dim`; all-zero (empty text) stays all-zero (app.py:374-376).
@@ -137,12 +202,11 @@ object vec {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with the reference's zero-vector convention:
-    * score 0.0 when either side has zero norm (dot of normalized zeros). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+    * score 0.0 when either side has zero norm (dot of normalized zeros).
+    * Fused single-pass expression ([[CosineSimD]]); bit-identical to the
+    * composed dot/norm form. */
+  def cosine(a: Column, b: Column): Column =
+    bridge.column(CosineSimD(e(asD(a)), e(asD(b))))
 
   def hashEmbed(text: Column, dim: Int = HashEmbed.DefaultDim): Column =
     bridge.column(HashEmbed(e(text), dim))
