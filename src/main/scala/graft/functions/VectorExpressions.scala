@@ -217,6 +217,8 @@ object vec {
     registry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => CosineSimD(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "hash_embed", exprs => HashEmbed(exprs.head, HashEmbed.DefaultDim), "built-in")
   }
 }

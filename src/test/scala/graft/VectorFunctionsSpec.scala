@@ -59,6 +59,28 @@ class VectorFunctionsSpec extends SparkSpec {
     val e = spark.sql("SELECT size(hash_embed('some text here')) AS n")
       .as[Int].head()
     assert(e == 256)
+    val c = spark.sql(
+      "SELECT vec_cosine(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) AS c FROM vt")
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("fused cosine == composed dot/norm formulation, bit-for-bit") {
+    val df = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.0f, 0.125f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-0.75f, 0.5f, 0.25f, -1.0f))).toDF("id", "v")
+    val qv = typedlit(Seq(0.25, -0.5, 0.75, 1.0))
+    val composed = {
+      val d = vec.dot($"v", qv)
+      val nn = vec.norm($"v") * sqrt(vec.dot(qv, qv))
+      when(nn === 0.0, 0.0).otherwise(d / nn)
+    }
+    val rows = df.select($"id", vec.cosine($"v", qv).as("fused"), composed.as("ref"))
+      .as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, fused, ref) =>
+      assert(fused == ref, s"row $id: $fused != $ref (must be bit-identical)")
+    }
   }
 
   test("cosine ordering on graded-similarity corpus (TC-VEC-01 shape)") {
