@@ -461,6 +461,139 @@ object ExtQueries {
                    MIN(event_id) AS min_event, MAX(event_id) AS max_event
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Full outer join with non-matching rows on BOTH sides (the one join
+    * type the round-1 set lacked). */
+  val joinFull = QueryDef(
+    "q_join_full",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+        .filter($"c_custkey" <= 100).select($"c_custkey", $"c_name")
+      val o = Tables(s, dir, "orders")
+        .filter($"o_custkey".between(50, 150))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("key"),
+          $"c_name", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy($"key")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100),
+                 o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+                       FROM orders WHERE o_custkey BETWEEN 50 AND 150
+                       GROUP BY o_custkey)
+            SELECT COALESCE(c_custkey, o_custkey) AS key, c_name,
+                   COALESCE(n_orders, 0) AS n_orders
+            FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+            ORDER BY key"""))
+
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) over multisets
+    * with real duplicates, aggregated for a deterministic result. */
+  val setOpsAll = QueryDef(
+    "q_set_ops_all",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val bagA = li.filter($"l_quantity" < 10.0).select($"l_partkey")
+      val bagB = li.filter($"l_discount" > 0.05).select($"l_partkey")
+      val ia = bagA.intersectAll(bagB).groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_both"))
+      val ea = bagA.exceptAll(bagB).groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_only_a"))
+      ia.join(ea, Seq("l_partkey"), "full_outer")
+        .select($"l_partkey",
+          coalesce($"n_both", lit(0L)).as("n_both"),
+          coalesce($"n_only_a", lit(0L)).as("n_only_a"))
+        .orderBy($"l_partkey")
+    },
+    Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 10.0::DOUBLE),
+                 b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.05::DOUBLE),
+                 ia AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_both
+                        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                        GROUP BY l_partkey),
+                 ea AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_only_a
+                        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+                        GROUP BY l_partkey)
+            SELECT COALESCE(ia.l_partkey, ea.l_partkey) AS l_partkey,
+                   COALESCE(n_both, 0) AS n_both,
+                   COALESCE(n_only_a, 0) AS n_only_a
+            FROM ia FULL OUTER JOIN ea ON ia.l_partkey = ea.l_partkey
+            ORDER BY l_partkey"""))
+
+  /** Time-series gap fill: per-user daily spine (sequence/generate_series)
+    * left-joined to daily totals, missing days forward-filled with
+    * last-non-null — the resample + ffill of a feature pipeline, all
+    * window/join algebra (no driver loops). */
+  val gapFill = QueryDef(
+    "q_gapfill",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy($"user_id", to_date($"ts").as("d"))
+        .agg(sum(dec2($"value")).cast("double").as("day_total"))
+      val bounds = daily.groupBy($"user_id").agg(min($"d").as("d0"), max($"d").as("d1"))
+      val spine = bounds.select($"user_id",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select($"user_id", $"d", $"day_total",
+          last($"day_total", ignoreNulls = true).over(w).as("filled"))
+        .orderBy($"user_id", $"d")
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+                           FROM events GROUP BY 1, 2),
+                 b AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+                 spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+                           FROM b),
+                 j AS (SELECT s.user_id, s.d, daily.day_total
+                       FROM spine s LEFT JOIN daily
+                         ON daily.user_id = s.user_id AND daily.d = s.d)
+            SELECT user_id, d, day_total,
+                   last_value(day_total IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS filled
+            FROM j ORDER BY user_id, d"""))
+
+  /** Error-safe casting (try_cast → NULL instead of failure) — the
+    * ingestion-hardening scalar for dirty text columns. */
+  val fnTryCast = QueryDef(
+    "q_fn_trycast",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .select($"p_partkey",
+          expr("try_cast(substring(p_name, 1, 3) AS INT)").as("bad_int"),
+          expr("try_cast(cast(p_size AS STRING) AS INT)").as("good_int"),
+          expr("try_cast(p_name AS DOUBLE)").as("bad_dbl"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   TRY_CAST(substring(p_name, 1, 3) AS INT) AS bad_int,
+                   TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_int,
+                   TRY_CAST(p_name AS DOUBLE) AS bad_dbl
+            FROM part ORDER BY p_partkey"""))
+
+  /** Event-time rolling sum: RANGE frame bounded by a calendar INTERVAL
+    * (1 hour preceding) over the micros-truncated event time. */
+  val windowTimeRange = QueryDef(
+    "q_window_time_range",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events").createOrReplaceTempView("ev_tr")
+      s.sql("""SELECT user_id, event_id,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                        (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS hour_sum
+               FROM ev_tr ORDER BY user_id, event_id""")
+    },
+    Some("""SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS hour_sum
+            FROM events ORDER BY user_id, event_id"""))
+
   // ------------------------------------------------------ cat 1/3: mutation
   /** Snapshot MERGE (O1/O2's distributed shape): a batch of updated rows
     * replaces its base rows via left-anti + union — last-write-wins without
@@ -883,5 +1016,6 @@ object ExtQueries {
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,
     aggCollect, existsSubquery, histogram, featureScale,
-    fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted)
+    fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted,
+    joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange)
 }
