@@ -64,6 +64,26 @@ object GraphAnalytics {
       .groupBy("node").agg(count(lit(1)).as("tri"))
   }
 
+  /** Bounded-hop single-source weighted shortest paths: `hops` rounds of
+    * min-plus relaxation over (node, dist) — Bellman-Ford's DataFrame
+    * form, one join + one min-aggregation shuffle per round. The existing
+    * BFS traversal minimizes HOPS (then maximizes weight); this minimizes
+    * accumulated WEIGHT — a different semiring, the one routing/cost
+    * queries need. Weights must be ≥ 0 for the bound to be exact.
+    * Returns (node, dist) for nodes reachable within `hops`. */
+  def shortestPaths(edges: DataFrame, start: Long, hops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint()
+    var dists = e.sparkSession.range(1).select(lit(start).as("node"), lit(0.0).as("dist"))
+    for (_ <- 1 to hops) {
+      val relaxed = e.join(dists, e("src") === dists("node"))
+        .select(col("dst").as("node"), (col("dist") + col("weight")).as("dist"))
+      dists = dists.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dists
+  }
+
   /** Fixed-point scale for integer PageRank: ranks live in [0, 10^12]. */
   val PrScale = 1000000000000L
 

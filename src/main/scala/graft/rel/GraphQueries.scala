@@ -272,6 +272,32 @@ object GraphQueries {
     },
     Some(pagerankSql(5)))
 
+  /** Bounded-hop weighted shortest paths from node 0 (min-plus semiring —
+    * GraphAnalytics.shortestPaths). The multigraph collapses to min-weight
+    * simple edges first (same min-plus result, and it keeps the oracle's
+    * walk enumeration polynomial). FP-safe: IEEE addition is monotonic, so
+    * relaxation's min-then-add equals the oracle's enumerate-then-min
+    * bit-for-bit. */
+  val graphSssp = QueryDef(
+    "q_graph_sssp",
+    (s, dir) => {
+      import s.implicits._
+      val ed2 = eventEdges(s, dir)
+        .groupBy($"src", $"dst").agg(min($"weight").as("weight"))
+      graft.graph.GraphAnalytics.shortestPaths(ed2, start = 0L, hops = 4)
+        .select($"node", round($"dist", 6).as("dist"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             ed2 AS (SELECT src, dst, MIN(w) AS w FROM edges GROUP BY src, dst),
+             walk(node, pw, hops) AS (
+               SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+               UNION ALL
+               SELECT e.dst, w0.pw + e.w, w0.hops + 1
+               FROM walk w0 JOIN ed2 e ON e.src = w0.node WHERE w0.hops < 4)
+             SELECT node, round(MIN(pw), 6) AS dist
+             FROM walk GROUP BY node ORDER BY node"""))
+
   private def pagerankSql(iters: Int): String = {
     val head =
       s"""WITH $edgesCte, $edCte,
@@ -296,5 +322,5 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
-      graphDegree, graphTriangles, graphPagerankExact)
+      graphDegree, graphTriangles, graphPagerankExact, graphSssp)
 }
