@@ -444,9 +444,85 @@ object PipelineQueries {
              WHERE ${hvSql("l_orderkey || '-' || l_linenumber")} % 100 < 5
              GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** RAG-style document chunking: fixed-size token windows (20 tokens,
+    * stride 10) via posexplode over window starts — wide-row text becomes
+    * retrieval-unit rows without any driver loop. */
+  val textChunks = QueryDef(
+    "q_text_chunks",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id", $"toks",
+          posexplode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(10)))
+            .as(Seq("chunk_idx", "start")))
+        .filter($"start" < size($"toks"))
+        .select($"doc_id", $"chunk_idx",
+          size(slice($"toks", $"start" + 1, lit(20))).as("n_toks"),
+          concat_ws(" ", slice($"toks", $"start" + 1, lit(20))).as("chunk"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             c AS (SELECT doc_id, CAST(u.s // 10 AS INT) AS chunk_idx,
+                          list_slice(toks, u.s + 1, u.s + 20) AS ch
+                   FROM t, unnest(range(0, len(toks), 10)) AS u(s))
+             SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_toks,
+                    array_to_string(ch, ' ') AS chunk
+             FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Near-dup RESOLUTION: MinHash-LSH pairs → connected components → each
+    * doc mapped to its component's canonical (minimum) id + component
+    * size. The step after candidate generation that actually decides which
+    * training docs to keep. */
+  val dedupCanonical = QueryDef(
+    "q_dedup_canonical",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      val cc = graft.graph.GraphXOps.connectedComponents(
+        pairs.select($"a".as("src"), $"b".as("dst"), lit(1.0).as("weight")))
+      val sizes = cc.groupBy($"component").agg(count(lit(1)).as("component_size"))
+      cc.join(sizes, "component")
+        .select($"node".as("doc_id"), $"component".as("canonical"), $"component_size")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             $minhashCte,
+             bands AS (SELECT doc_id, i // 4 AS band, SUM((i % 4 + 1) * mh) AS bkey
+                       FROM mh GROUP BY doc_id, i // 4),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+             est AS (SELECT c.a, c.b,
+                            SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                     FROM cand c
+                     JOIN mh ma ON ma.doc_id = c.a
+                     JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+                     GROUP BY c.a, c.b),
+             pairs AS (SELECT a, b FROM est WHERE ej >= 0.5),
+             und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+             verts AS (SELECT DISTINCT a AS v FROM und),
+             reach(v, r) AS (
+               SELECT v, v FROM verts
+               UNION
+               SELECT r0.v, u.b FROM reach r0 JOIN und u ON u.a = r0.r)
+             SELECT v AS doc_id, MIN(r) AS canonical,
+                    CAST(COUNT(DISTINCT r) AS BIGINT) AS component_size
+             FROM reach GROUP BY v ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCos, annLsh, annLshMultiprobe,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
-    multimodalFrames, textVocab, textTfidf, sampleHash)
+    multimodalFrames, textVocab, textTfidf, sampleHash,
+    textChunks, dedupCanonical)
 }
