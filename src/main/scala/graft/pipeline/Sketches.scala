@@ -45,8 +45,10 @@ object Sketches {
     * distributed sketch equals the sequential one exactly. Returns the
     * materialized table (d, bucket, c). */
   def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
-    val h = TextOps.strHash(col(keyCol).cast("string"))
-    df.select(explode(sequence(lit(0), lit(depth - 1))).as("d"), h.as("h"))
+    // hash BEFORE the depth-explode: md5 is the per-row cost, the affine
+    // re-permutations after it are cheap
+    df.select(TextOps.strHash(col(keyCol).cast("string")).as("h"))
+      .select(col("h"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
       .select(col("d"), (TextOps.minhashPerm(col("h"), col("d")) % width).as("bucket"))
       .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
   }
