@@ -16,9 +16,11 @@ object SparkEntry {
       rel.GraphXQueries.all ++ rel.PipelineQueries.all ++ rel.StreamQueries.all ++
       rel.ExtQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The hybrid fusion pipeline — the reference's distinguishing operator
+    * (vector scores ⊕ graph closeness, one composed Catalyst plan). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_hybrid")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
