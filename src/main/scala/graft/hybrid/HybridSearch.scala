@@ -59,4 +59,26 @@ object HybridSearch {
       .orderBy(col("final_score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Reciprocal Rank Fusion: rrf(d) = Σ_r 1/(k + rank_r(d)) over any
+    * number of rankers. The reference's PDF *claims* RRF hybrid fusion but
+    * its code never implements it (SURVEY authoritative-source note,
+    * app.py:670-672) — provided here so the full claimed surface exists.
+    * Each ranker is a (id, score) DataFrame; ranks are dense ROW_NUMBERs
+    * over (round-6 score desc, id), so the fusion is deterministic even
+    * with tied scores. Documents missing from a ranker contribute nothing
+    * for that ranker (standard RRF). */
+  def rrfFuse(rankers: Seq[DataFrame], topK: Int, k: Int = 60,
+              idCol: String = "id", roundTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(round(col("score"), 6).desc, col(idCol))
+    val contribs = rankers.map { r =>
+      r.select(col(idCol), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .select(col(idCol), (lit(1.0) / (lit(k) + col("rank"))).as("contrib"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(idCol).agg(sum(col("contrib")).as("rrf"))
+      .withColumn("rrf", roundTo.fold(col("rrf"))(d => round(col("rrf"), d)))
+    fused.orderBy(col("rrf").desc, col(idCol)).limit(topK)
+  }
 }

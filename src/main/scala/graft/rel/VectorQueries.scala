@@ -151,6 +151,50 @@ object VectorQueries {
              WHERE label % 3 = 0 AND len(embedding) = 64
              ORDER BY score DESC, vec_id LIMIT 20"""))
 
+  /** Reciprocal Rank Fusion of the vector and BM25 rankers
+    * (HybridSearch.rrfFuse) — the PDF-claimed fusion the reference never
+    * implemented (SURVEY authoritative-source note; app.py:670-672 keeps
+    * BM25 out of its weighted fusion). Two rankers → the per-doc sum has
+    * at most two terms, so double addition is order-independent
+    * (commutativity) and the oracle matches bit-for-bit. */
+  val hybridRrf = QueryDef(
+    "q_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      val vs = VectorSearch.topK(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", queryVec, k = 50,
+          scoreCol = "score", cosine = true, roundTo = Some(6))
+        .select($"vec_id".as("id"), $"score")
+      val bm = graft.search.Bm25.score(Tables(s, dir, "documents"),
+          "doc_id", "text", bm25Terms, topK = 50)
+        .select($"doc_id".as("id"), $"score")
+      graft.hybrid.HybridSearch.rrfFuse(Seq(vs, bm), topK = 25,
+        roundTo = Some(6))
+    },
+    Some {
+      val cos =
+        s"""CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+           |          sqrt(list_dot_product($queryVecSql, $queryVecSql)) = 0 THEN 0.0
+           |     ELSE list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql) /
+           |          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+           |           sqrt(list_dot_product($queryVecSql, $queryVecSql)))
+           |END""".stripMargin
+      s"""WITH v AS (SELECT vec_id AS id, round($cos, 6) AS score
+         |           FROM embeddings WHERE len(embedding) = 64
+         |           ORDER BY score DESC, id LIMIT 50),
+         |b AS (SELECT doc_id AS id, score FROM (${bm25.oracle.get})),
+         |r AS (SELECT id, 1.0::DOUBLE / (60 + ROW_NUMBER() OVER
+         |               (ORDER BY round(score, 6) DESC, id)) AS c
+         |      FROM v
+         |      UNION ALL
+         |      SELECT id, 1.0::DOUBLE / (60 + ROW_NUMBER() OVER
+         |               (ORDER BY round(score, 6) DESC, id))
+         |      FROM b)
+         |SELECT id, round(SUM(c), 6) AS rrf FROM r
+         |GROUP BY id ORDER BY rrf DESC, id LIMIT 25""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
-    Seq(vecTopK, vecCosineTopK, vecTopKFiltered, vecKnn, bm25, hashEmbedQ)
+    Seq(vecTopK, vecCosineTopK, vecTopKFiltered, vecKnn, bm25, hashEmbedQ,
+      hybridRrf)
 }
