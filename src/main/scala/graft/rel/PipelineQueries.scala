@@ -444,6 +444,30 @@ object PipelineQueries {
              WHERE ${hvSql("l_orderkey || '-' || l_linenumber")} % 100 < 5
              GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Stratified deterministic sampling: per-class rates (rare classes kept
+    * whole, common ones thinned) via the md5 row hash — the class-balance
+    * pass of a training pipeline, reproducible on any cluster. */
+  val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      val rate = when($"event_type" === "signup", 100) // keep all
+        .when($"event_type" === "purchase", 50)        // keep half
+        .otherwise(10)                                 // keep 10%
+      Tables(s, dir, "events")
+        .filter(TextOps.strHash($"event_id".cast("string")) % 100 < rate)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"event_type")
+    },
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+             FROM events
+             WHERE ${hvSql("CAST(event_id AS VARCHAR)")} % 100 <
+                   CASE WHEN event_type = 'signup' THEN 100
+                        WHEN event_type = 'purchase' THEN 50
+                        ELSE 10 END
+             GROUP BY event_type ORDER BY event_type"""))
+
   /** RAG-style document chunking: fixed-size token windows (20 tokens,
     * stride 10) via posexplode over window starts — wide-row text becomes
     * retrieval-unit rows without any driver loop. */
@@ -524,5 +548,5 @@ object PipelineQueries {
     dedupEmbCos, annLsh, annLshMultiprobe,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalFrames, textVocab, textTfidf, sampleHash,
-    textChunks, dedupCanonical)
+    textChunks, dedupCanonical, sampleStratified)
 }

@@ -54,4 +54,23 @@ class HybridSpec extends SparkSpec {
     val got = HybridSearch.fuse(nodes, vec, None, 0.7, 0.3, 10).collect()
     assert(got.isEmpty)
   }
+
+  test("rrfFuse matches hand-computed reciprocal rank sums") {
+    // ranker 1: A(0.9) B(0.8) C(0.7); ranker 2: B(5.0) A(1.0) — C absent
+    val r1 = Seq(("A", 0.9), ("B", 0.8), ("C", 0.7)).toDF("id", "score")
+    val r2 = Seq(("B", 5.0), ("A", 1.0)).toDF("id", "score")
+    val got = HybridSearch.rrfFuse(Seq(r1, r2), topK = 10)
+      .as[(String, Double)].collect().toMap
+    val want = Map(
+      "A" -> (1.0 / 61 + 1.0 / 62), // rank 1 + rank 2
+      "B" -> (1.0 / 62 + 1.0 / 61), // rank 2 + rank 1
+      "C" -> 1.0 / 63)              // rank 3, one ranker only
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
+    // tie on score → id breaks the rank deterministically
+    val tied = Seq(("B", 0.5), ("A", 0.5)).toDF("id", "score")
+    val t = HybridSearch.rrfFuse(Seq(tied), topK = 10)
+      .as[(String, Double)].collect().toMap
+    assert(t("A") == 1.0 / 61 && t("B") == 1.0 / 62)
+  }
 }
