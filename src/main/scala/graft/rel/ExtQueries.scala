@@ -594,6 +594,54 @@ object ExtQueries {
                      AS DOUBLE) AS hour_sum
             FROM events ORDER BY user_id, event_id"""))
 
+  /** Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys match
+    * each other — the semantics dirty dimension keys need. Null keys are
+    * planted on both sides via nullif. */
+  val joinNullsafe = QueryDef(
+    "q_join_nullsafe",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+        .select($"o_orderkey", nullif($"o_orderstatus", lit("P")).as("st"))
+      val dim = Tables(s, dir, "orders")
+        .select(nullif($"o_orderstatus", lit("P")).as("dst")).distinct()
+        .withColumn("status_name", coalesce($"dst", lit("PENDING-NULL")))
+      o.join(dim, $"st" <=> $"dst")
+        .groupBy($"status_name").agg(count(lit(1)).as("n"))
+        .orderBy($"status_name")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders),
+                 dim AS (SELECT dst, COALESCE(dst, 'PENDING-NULL') AS status_name
+                         FROM (SELECT DISTINCT nullif(o_orderstatus, 'P') AS dst FROM orders))
+            SELECT status_name, CAST(COUNT(*) AS BIGINT) AS n
+            FROM o JOIN dim ON st IS NOT DISTINCT FROM dst
+            GROUP BY status_name ORDER BY status_name"""))
+
+  /** zip_with elementwise combine (the brief's canonical dot-product-via-
+    * lambdas shape): aggregate(zip_with(a, q, *), +) ≡ list_dot_product. */
+  val fnZipWith = QueryDef(
+    "q_fn_zipwith",
+    (s, dir) => {
+      import s.implicits._
+      val qv = typedlit(VectorQueries.queryVec)
+      val a = $"embedding".cast("array<double>")
+      Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          round(aggregate(zip_with(a, qv, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x), 6).as("dot"),
+          round(aggregate(zip_with(a, qv, (x, y) => abs(x - y)),
+            lit(0.0), (acc, x) => acc + x), 6).as("l1_dist"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""SELECT vec_id,
+         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), $qv), 6) AS dot,
+         |       round(list_sum(list_transform(range(len(embedding)),
+         |               i -> abs(CAST(embedding[i+1] AS DOUBLE) - ($qv)[i+1]))), 6) AS l1_dist
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    })
+
   // ------------------------------------------------------ cat 1/3: mutation
   /** Snapshot MERGE (O1/O2's distributed shape): a batch of updated rows
     * replaces its base rows via left-anti + union — last-write-wins without
@@ -1017,5 +1065,6 @@ object ExtQueries {
     profileColumns, windowDistribution, dedupIds,
     aggCollect, existsSubquery, histogram, featureScale,
     fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted,
-    joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange)
+    joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange,
+    joinNullsafe, fnZipWith)
 }
