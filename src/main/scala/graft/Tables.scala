@@ -17,10 +17,15 @@ object Tables {
   // Plans are immutable, so the (session, dir, table) → DataFrame mapping is
   // safely memoizable; this drops the repeated parquet-footer schema reads
   // that otherwise dominate registerViews (10 tables × every sqlBoth query).
+  // Bounded: the map strongly references its SparkSession keys, so a
+  // process cycling many sessions would otherwise retain every stopped
+  // session's state graph for the JVM's lifetime.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val MaxCached = 256
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (cache.size > MaxCached) cache.clear()
     cache.computeIfAbsent((spark, sfDir, name), { key =>
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
@@ -32,6 +37,7 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else df
     })
+  }
 
   /** Register every fixture as a temp view so declared queries can use
     * `spark.sql` where the DataFrame API is clumsier (GROUPING SETS etc.). */

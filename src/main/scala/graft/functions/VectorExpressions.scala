@@ -211,13 +211,18 @@ object vec {
   def hashEmbed(text: Column, dim: Int = HashEmbed.DefaultDim): Column =
     bridge.column(HashEmbed(e(text), dim))
 
-  /** SQL registration: SELECT vec_dot(a, b), hash_embed(text) ... */
+  /** SQL registration: SELECT vec_dot(a, b), hash_embed(text) ...
+    * Raw user expressions are cast to array<double> first — the kernels
+    * read 8-byte slots, so an uncast array<float> argument would silently
+    * produce garbage instead of an analysis error. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     val registry = spark.sessionState.functionRegistry
+    def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
     registry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+      "vec_dot", exprs => DotProductD(d(exprs(0)), d(exprs(1))), "built-in")
     registry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => CosineSimD(exprs(0), exprs(1)), "built-in")
+      "vec_cosine", exprs => CosineSimD(d(exprs(0)), d(exprs(1))), "built-in")
     registry.createOrReplaceTempFunction(
       "hash_embed", exprs => HashEmbed(exprs.head, HashEmbed.DefaultDim), "built-in")
   }

@@ -67,7 +67,14 @@ object HybridSearch {
     * Each ranker is a (id, score) DataFrame; ranks are dense ROW_NUMBERs
     * over (round-6 score desc, id), so the fusion is deterministic even
     * with tied scores. Documents missing from a ranker contribute nothing
-    * for that ranker (standard RRF). */
+    * for that ranker (standard RRF).
+    *
+    * PRECONDITION: rankers must be pre-limited top-N lists (as RRF inputs
+    * always are) — the global rank window runs single-partition per
+    * ranker, which is exactly right for a top-50 list and exactly wrong
+    * for a full corpus scan. With >2 rankers the per-doc sum becomes
+    * order-sensitive in the last ulp; round the result (roundTo) before
+    * comparing across engines. */
   def rrfFuse(rankers: Seq[DataFrame], topK: Int, k: Int = 60,
               idCol: String = "id", roundTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window

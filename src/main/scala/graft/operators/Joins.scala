@@ -37,8 +37,14 @@ object Joins {
     val pType = right.select(pStruct.as("s")).schema("s").dataType
     val l = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
       lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(pType).as("__p"))
-    val r = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__side"), lit(null).cast(lType).as("__l"), pStruct.as("__p"))
+    // SQL join semantics: a NULL key or NULL time on the right can never
+    // match (nulls-first ordering would otherwise hand a NULL-time payload
+    // to every left row); NULL-key/time left rows fall through to a null
+    // payload naturally
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__side"), lit(null).cast(lType).as("__l"), pStruct.as("__p"))
     // right rows sort before the co-timed left row (__side 0 < 1) so the
     // match is inclusive; among co-timed right rows the greatest payload
     // struct wins because `last` reads the frame in sort order

@@ -19,7 +19,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ExtQueries {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   // ------------------------------------------------------------ cat 3: joins
   /** Backward as-of join: each event picks its user's latest order at or

@@ -21,7 +21,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RelQueries {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
   // ---------------------------------------------------------------- cat 1: scan

@@ -39,6 +39,24 @@ class OperatorJoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(200L), "max payload wins the time tie")
   }
 
+  test("asofBackward: NULL right times/keys never match (SQL join semantics)") {
+    val right = Seq(
+      (Some(1L), Some(10L), 100L),  // real row
+      (Some(1L), None, 666L),       // null time — must never win
+      (None, Some(5L), 777L))       // null key — must never match anything
+      .toDF("rk", "rt", "rid")
+    val left = Seq(
+      (Some(1L), Some(5L), "before"),   // before the real row → no match
+      (Some(1L), Some(20L), "after"),   // after → real row, not the null-time one
+      (None, Some(50L), "nullkey"))     // null left key → no match
+      .toDF("lk", "lt", "id")
+    val out = Joins.asofBackward(left, "lk", "lt", right, "rk", "rt", Seq("rid"))
+      .select($"id", $"rid").as[(String, Option[Long])].collect().toMap
+    assert(out("before").isEmpty, "null-time right row must not sort first and win")
+    assert(out("after").contains(100L))
+    assert(out("nullkey").isEmpty, "null keys must not match each other")
+  }
+
   test("bandJoin == naive theta join on fixture balances") {
     val c = Tables(spark, sf, "customer").select($"c_custkey", $"c_acctbal")
     val s = Tables(spark, sf, "supplier").select($"s_suppkey", $"s_acctbal")
