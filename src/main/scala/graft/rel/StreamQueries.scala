@@ -99,6 +99,27 @@ object StreamQueries {
                          AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
             ORDER BY purchase_id, view_id"""))
 
+  /** LEFT OUTER variant (EventStreams.viewToPurchaseOuter): un-attributed
+    * purchases survive with null view columns. NULLS FIRST pinned in the
+    * oracle ORDER BY (Spark asc is nulls-first, DuckDB defaults last). */
+  val streamJoinOuter = QueryDef(
+    "q_stream_join_outer",
+    (s, dir) => {
+      import s.implicits._
+      EventStreams.viewToPurchaseOuter(Tables(s, dir, "events"))
+        .select($"purchase_id", $"view_id", $"p_user".as("user_id"))
+        .orderBy($"purchase_id", $"view_id")
+    },
+    Some("""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, event_id AS view_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, event_id AS purchase_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.purchase_id, v.view_id, p.user_id
+            FROM p LEFT JOIN v ON v.user_id = p.user_id
+                              AND v.v_ts <= p.p_ts
+                              AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+            ORDER BY purchase_id, view_id NULLS FIRST"""))
+
   val all: Seq[QueryDef] =
-    Seq(streamWindow, streamSession, streamSliding, streamJoin)
+    Seq(streamWindow, streamSession, streamSliding, streamJoin, streamJoinOuter)
 }

@@ -113,6 +113,27 @@ object EventStreams {
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[viewToPurchase]] but
+    * purchases with no preceding view still emit (null view columns) once
+    * the watermark closes their join window — the attribution join that
+    * also surfaces un-attributed conversions. In batch mode the outer rows
+    * emit immediately (no watermark wait). */
+  def viewToPurchaseOuter(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+      col("v_user") === col("p_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $within"),
+      "left_outer")
+  }
+
   /** Custom state: per-user running totals via mapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (the engine's answer to any
     * "custom state machine over a stream" requirement). */

@@ -101,6 +101,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases (batch == streaming rows)") {
+    val stream = EventStreams.readEventsStream(spark, streamDir)
+    val q = EventStreams.viewToPurchaseOuter(stream)
+      .select($"purchase_id", $"view_id")
+      .writeStream.format("memory").queryName("ssjo_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjo_out")
+        .as[(Long, Option[Long])].collect().toSet
+      val batch = EventStreams.viewToPurchaseOuter(Tables(spark, sf, "events"))
+        .select($"purchase_id", $"view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(batch.exists(_._2.isEmpty), "fixture must contain un-attributed purchases")
+      // streaming append-mode can only hold back outer rows whose watermark
+      // window is still open at end-of-input; matched rows must agree and
+      // streamed rows must be a subset of the batch result
+      assert(streamed.subsetOf(batch))
+      assert(streamed.filter(_._2.isDefined) == batch.filter(_._2.isDefined),
+        "inner matches identical between modes")
+    } finally q.stop()
+  }
+
   test("streaming watermarked dedup drops in-horizon duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
