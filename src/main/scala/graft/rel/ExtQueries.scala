@@ -641,6 +641,90 @@ object ExtQueries {
          |FROM embeddings ORDER BY vec_id""".stripMargin
     })
 
+  /** GROUPING() markers over grouping sets — how downstream code tells a
+    * real NULL group from a rollup subtotal row. */
+  val groupingId = QueryDef.sqlBoth(
+    "q_grouping_id",
+    """SELECT n_regionkey, n_name,
+              CAST(grouping(n_regionkey) AS INT) AS g_region,
+              CAST(grouping(n_name) AS INT) AS g_name,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM nation
+       GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+       ORDER BY g_region, g_name, n_regionkey, n_name""",
+    """SELECT n_regionkey, n_name,
+              CAST(grouping(n_regionkey) AS INT) AS g_region,
+              CAST(grouping(n_name) AS INT) AS g_name,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM nation
+       GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+       ORDER BY g_region, g_name, n_regionkey NULLS FIRST, n_name NULLS FIRST""")
+
+  /** Datetime arithmetic: day difference, interval add, date build. */
+  val fnDatetime = QueryDef(
+    "q_fn_datetime",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          datediff(lit("1998-01-01").cast("date"), to_date($"o_orderdate"))
+            .as("days_to_98"),
+          (to_date($"o_orderdate") + expr("INTERVAL 30 DAYS")).cast("date")
+            .as("due_date"),
+          make_date(year($"o_orderdate"), month($"o_orderdate"), lit(1))
+            .as("month_floor"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+                   make_date(CAST(year(o_orderdate) AS BIGINT),
+                             CAST(month(o_orderdate) AS BIGINT), 1) AS month_floor
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Conditional aggregates: count_if / bool_or / bool_and / sum(CASE). */
+  val aggConditional = QueryDef(
+    "q_agg_conditional",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count_if($"l_quantity" > 25.0).as("n_big"),
+          bool_or($"l_discount" > 0.09).as("any_deep_disc"),
+          bool_and($"l_quantity" > 0.0).as("all_positive"),
+          sum(when($"l_linestatus" === "F", 1L).otherwise(0L)).as("n_f"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(count_if(l_quantity > 25.0::DOUBLE) AS BIGINT) AS n_big,
+                   bool_or(l_discount > 0.09::DOUBLE) AS any_deep_disc,
+                   bool_and(l_quantity > 0.0::DOUBLE) AS all_positive,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** String toolkit round 3: split_part / repeat / left / right. */
+  val fnString3 = QueryDef(
+    "q_fn_string3",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .select($"p_partkey",
+          split_part($"p_name", lit(" "), lit(1)).as("first_word"),
+          split_part($"p_name", lit(" "), lit(-1)).as("last_word"),
+          expr("repeat('-', p_size % 5)").as("dashes"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   split_part(p_name, ' ', 1) AS first_word,
+                   split_part(p_name, ' ', -1) AS last_word,
+                   repeat('-', p_size % 5) AS dashes,
+                   left(p_name, 4) AS l4,
+                   right(p_name, 4) AS r4
+            FROM part ORDER BY p_partkey"""))
+
   // ------------------------------------------------------ cat 1/3: mutation
   /** Snapshot MERGE (O1/O2's distributed shape): a batch of updated rows
     * replaces its base rows via left-anti + union — last-write-wins without
@@ -1065,5 +1149,5 @@ object ExtQueries {
     aggCollect, existsSubquery, histogram, featureScale,
     fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted,
     joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange,
-    joinNullsafe, fnZipWith)
+    joinNullsafe, fnZipWith, groupingId, fnDatetime, aggConditional, fnString3)
 }
