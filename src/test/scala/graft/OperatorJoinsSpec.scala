@@ -69,6 +69,15 @@ class OperatorJoinsSpec extends SparkSpec {
     assert(naive.nonEmpty, "band width must produce matches to be a real test")
   }
 
+  test("bandJoin boundary: strict inequality excludes exact-width pairs") {
+    val l = Seq((1L, 0.0)).toDF("lid", "lv")
+    val r = Seq((10L, 10.0), (20L, 9.5), (30L, -10.0), (40L, -9.5))
+      .toDF("rid", "rv")
+    val got = Joins.bandJoin(l, "lv", r, "rv", 10.0)
+      .select($"rid").as[Long].collect().toSet
+    assert(got == Set(20L, 40L), "|diff| == width must be excluded, just-inside kept")
+  }
+
   test("bandJoin handles negative values (floor-bin correctness)") {
     val l = Seq((1L, -0.5), (2L, -10.0), (3L, 9.9)).toDF("lid", "lv")
     val r = Seq((10L, 0.5), (20L, -19.0), (30L, 10.1)).toDF("rid", "rv")
