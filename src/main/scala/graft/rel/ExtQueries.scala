@@ -725,6 +725,85 @@ object ExtQueries {
                    right(p_name, 4) AS r4
             FROM part ORDER BY p_partkey"""))
 
+  /** TPC-H Q3 shape (shipping-priority): segment-filtered 3-way join,
+    * decimal-exact revenue, top-10 — the classic join-order + partial-agg
+    * stressor. Dimension filter pushes to the customer scan; lineitem⋈
+    * orders shuffles on the order key. */
+  val tpchQ3 = QueryDef(
+    "q_tpch_q3",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < lit("1997-06-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val l = Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" > lit("1997-06-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5 shape (local-supplier volume): six-table join where the
+    * supplier and customer must share a nation, revenue per nation in one
+    * region/year. Region/nation broadcast; the fact-fact join shuffles
+    * once on the order key. */
+  val tpchQ5 = QueryDef(
+    "q_tpch_q5",
+    (s, dir) => {
+      import s.implicits._
+      val r = Tables(s, dir, "region").filter($"r_name" === "ASIA")
+      val n = Tables(s, dir, "nation")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val c = Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val sup = Tables(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val o = Tables(s, dir, "orders")
+        .filter(year($"o_orderdate") === 1997)
+        .select($"o_orderkey", $"o_custkey")
+      val l = Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
   // ------------------------------------------------------ cat 1/3: mutation
   /** Snapshot MERGE (O1/O2's distributed shape): a batch of updated rows
     * replaces its base rows via left-anti + union — last-write-wins without
@@ -1149,5 +1228,6 @@ object ExtQueries {
     aggCollect, existsSubquery, histogram, featureScale,
     fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted,
     joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange,
-    joinNullsafe, fnZipWith, groupingId, fnDatetime, aggConditional, fnString3)
+    joinNullsafe, fnZipWith, groupingId, fnDatetime, aggConditional, fnString3,
+    tpchQ3, tpchQ5)
 }
