@@ -136,6 +136,31 @@ object ExtQueries {
                          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qp
             FROM m ORDER BY l_returnflag"""))
 
+  /** Median absolute deviation (robust spread): med = median(x), MAD =
+    * median(|x − med|) — two exact-percentile passes, the outlier-immune
+    * alternative to stddev for data-quality gates. Half-integer grids
+    * interpolate exactly at quarter fractions, so both engines agree. */
+  val statsMad = QueryDef(
+    "q_stats_mad",
+    (s, dir) => {
+      import s.implicits._
+      val med = Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5D)").as("med"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(med), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(round(first($"med"), 6).as("med"),
+          expr("round(percentile(abs(l_quantity - med), 0.5D), 6)").as("mad"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag AS rf, quantile_cont(l_quantity, 0.5) AS med
+                       FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, round(ANY_VALUE(med), 6) AS med,
+                   round(quantile_cont(abs(l_quantity - med), 0.5), 6) AS mad
+            FROM lineitem JOIN m ON rf = l_returnflag
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`). Quarter fractions over the integral-valued quantity
     * column interpolate exactly in binary — no float divergence. */
@@ -1218,7 +1243,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     joinAsof, joinRange, joinSalted,
-    statsMoments, percentileExact,
+    statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,
     sketchKmv, annIvf,
