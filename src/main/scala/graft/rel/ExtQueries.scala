@@ -829,6 +829,70 @@ object ExtQueries {
             WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
             GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    * per customer, top 20 — join fact→orders→customer→nation with a
+    * selective fact-side filter that pushes to the scan. */
+  val tpchQ10 = QueryDef(
+    "q_tpch_q10",
+    (s, dir) => {
+      import s.implicits._
+      val l = Tables(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val o = Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val c = Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      val n = Tables(s, dir, "nation").select($"n_nationkey", $"n_name")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** nth_value / last_value with an explicit full frame — last_value
+    * defaults to a running frame, the classic window-semantics trap; the
+    * full frame makes it the true per-partition last. */
+  val windowNth = QueryDef(
+    "q_window_nth",
+    (s, dir) => {
+      import s.implicits._
+      val wFull = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          nth_value($"o_orderkey", 2).over(wFull).as("second_order"),
+          last($"o_orderkey").over(wFull).as("last_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+                   LAST_VALUE(o_orderkey) OVER w AS last_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
   // ------------------------------------------------------ cat 1/3: mutation
   /** Snapshot MERGE (O1/O2's distributed shape): a batch of updated rows
     * replaces its base rows via left-anti + union — last-write-wins without
@@ -1254,5 +1318,5 @@ object ExtQueries {
     fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted,
     joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange,
     joinNullsafe, fnZipWith, groupingId, fnDatetime, aggConditional, fnString3,
-    tpchQ3, tpchQ5)
+    tpchQ3, tpchQ5, tpchQ10, windowNth)
 }
