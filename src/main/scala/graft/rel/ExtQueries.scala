@@ -869,6 +869,60 @@ object ExtQueries {
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  /** TPC-H Q6 shape (forecast revenue): the pure selective-scan aggregate —
+    * every predicate pushes to the parquet scan, one partial+final agg,
+    * single-row result. */
+  val tpchQ6 = QueryDef(
+    "q_tpch_q6",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+        .agg(sum(($"l_extendedprice" * $"l_discount")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05::DOUBLE AND 0.07::DOUBLE
+              AND l_quantity < 24.0::DOUBLE"""))
+
+  /** TPC-H Q18 shape (large-volume customers): HAVING-filtered aggregate
+    * feeding a semi join back into the fact — the group-then-lookup
+    * pattern (Catalyst plans the IN-subquery as a left-semi). */
+  val tpchQ18 = QueryDef(
+    "q_tpch_q18",
+    (s, dir) => {
+      import s.implicits._
+      val big = Tables(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(dec2($"l_quantity")).as("sumq"))
+        .filter($"sumq" > 250)
+        .select($"l_orderkey", $"sumq".cast("double").as("total_qty"))
+      Tables(s, dir, "orders")
+        .join(big, $"o_orderkey" === big("l_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_name")), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice", $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(20)
+    },
+    Some("""WITH big AS (SELECT l_orderkey,
+                                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                         FROM lineitem GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 20"""))
+
   /** nth_value / last_value with an explicit full frame — last_value
     * defaults to a running frame, the classic window-semantics trap; the
     * full frame makes it the true per-partition last. */
@@ -1318,5 +1372,5 @@ object ExtQueries {
     fnMap, fnHof, fnString2, sourceOrc, scd2, sketchCms, sinkSorted,
     joinFull, setOpsAll, gapFill, fnTryCast, windowTimeRange,
     joinNullsafe, fnZipWith, groupingId, fnDatetime, aggConditional, fnString3,
-    tpchQ3, tpchQ5, tpchQ10, windowNth)
+    tpchQ3, tpchQ5, tpchQ6, tpchQ10, tpchQ18, windowNth)
 }
