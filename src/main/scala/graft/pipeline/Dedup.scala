@@ -104,9 +104,45 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup ranking, scale path: sign-LSH bucket each
+    * vector (hyperplanes at the TRUE corpus dimension), generate candidate
+    * pairs by a bucket equi-join (one shuffle keyed on the bucket int —
+    * never an all-pairs loop), then exact-cosine-verify only the
+    * candidates. Same output shape as [[embeddingCosinePairs]] restricted
+    * to same-bucket candidates; exact duplicates always collide (identical
+    * vector ⇒ identical bucket), so dedup recall on true copies is 1.0.
+    * At 100 TB raise `numPlanes` so buckets stay executor-sized. */
+  def embeddingCosineLsh(emb: DataFrame, idCol: String, vecCol: String,
+                         topK: Int, numPlanes: Int = 4, roundTo: Int = 6,
+                         dim: Int = 0): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val trueDim =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val planes = Similarity.hyperplanes(numPlanes, trueDim)
+    // per-row precompute (cast, norm, bucket) happens |rows| times; the
+    // pair loop below touches only same-bucket candidates
+    val side = spread(emb).select(col(idCol).as("id"), vd.as("v"),
+      vec.norm(vd).as("nrm"), Similarity.bucketCol(vd, planes).as("bucket"))
+    side.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"),
+        col("bucket"))
+      .join(side.select(col("id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket")), "bucket")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+          roundTo).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Embedding-cosine near-dup ranking: all pairs i<j scored, top-k most
-    * similar. The all-pairs cross join is the exact baseline; at scale the
-    * candidate set comes from Similarity.lshBuckets instead. */
+    * similar. The all-pairs cross join is the EXACT BASELINE, kept for
+    * spec cross-checks only — the declared/production operator is
+    * [[embeddingCosineLsh]] (candidate generation must never be O(n²) at
+    * scale). */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            topK: Int, roundTo: Int = 6): DataFrame = {
     // per-row precompute on each side: float→double cast and norm happen

@@ -32,12 +32,18 @@ object Similarity {
     * cosine. `probeRadius` = 1 additionally probes every bucket within
     * hamming distance 1 of the query's bucket (multi-probe LSH: recall
     * approaches brute force at (H+1)× the candidate cost instead of 2^H×).
+    * `dim` ≤ 0 derives the true dimension from the query set (one tiny
+    * job over the already-small broadcast side) — hyperplanes MUST span
+    * the full vector or bucketing silently degrades to a prefix hash.
     * Returns (qid, cid, cos, rn). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 4,
-              probeRadius: Int = 0, roundTo: Int = 6): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(numPlanes, dim)
+              probeRadius: Int = 0, roundTo: Int = 6,
+              dim: Int = 0): DataFrame = {
+    val trueDim =
+      if (dim > 0) dim
+      else queries.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val planes = hyperplanes(numPlanes, trueDim)
     val c = TextOps.spread(corpus)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         bucketCol(col(vecCol), planes).as("bucket"))

@@ -162,20 +162,44 @@ object PipelineQueries {
              SELECT a, b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
              FROM j ORDER BY a, b"""))
 
-  /** Embedding-cosine near-dup ranking: top-20 most-similar pairs. */
-  val dedupEmbCos = QueryDef(
-    "q_dedup_embcos",
-    (s, dir) => Dedup.embeddingCosinePairs(
-      Tables(s, dir, "embeddings"), "vec_id", "embedding", topK = 20),
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-                 p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-                              round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
-                                              sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
-                                         ELSE list_dot_product(a.v, b.v) /
-                                              (sqrt(list_dot_product(a.v, a.v)) *
-                                               sqrt(list_dot_product(b.v, b.v))) END, 6) AS cos
-                       FROM e a JOIN e b ON a.vec_id < b.vec_id)
-            SELECT a, b, cos FROM p ORDER BY cos DESC, a, b LIMIT 20"""))
+  /** Embedding-cosine near-dup detection, production shape: LSH bucket
+    * equi-join candidates → exact cosine verify → top-25. Corpus = fixture
+    * embeddings + 10 planted exact copies (vec_id+100000): identical
+    * vectors always share a bucket, so every planted pair surfaces at
+    * cos ≈ 1.0; the remaining rows are the most-similar natural
+    * same-bucket candidates. The all-pairs exact baseline
+    * (Dedup.embeddingCosinePairs) is cross-checked in PipelineSpec, not
+    * declared — its O(n²) plan must never ship. */
+  val dedupEmbCosLsh = QueryDef(
+    "q_dedup_embcos_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.select($"vec_id", $"embedding").unionByName(
+        e.filter($"vec_id" < 10)
+          .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      Dedup.embeddingCosineLsh(corpus, "vec_id", "embedding", topK = 25)
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |             round(CASE WHEN sqrt(list_dot_product(x.v, x.v)) *
+         |                             sqrt(list_dot_product(y.v, y.v)) = 0 THEN 0.0
+         |                        ELSE list_dot_product(x.v, y.v) /
+         |                             (sqrt(list_dot_product(x.v, x.v)) *
+         |                              sqrt(list_dot_product(y.v, y.v))) END, 6) AS cos
+         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, cos FROM p ORDER BY cos DESC, a, b LIMIT 25""".stripMargin
+    })
 
   // ----------------------------------------------------------------- ANN
   /** Sign-LSH bucketed ANN: 4 exact-literal hyperplanes → 16 buckets;
@@ -247,6 +271,50 @@ object PipelineQueries {
          |      FROM s)
          |SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    })
+
+  /** Non-64-dim ANN: the LSH path over a 256-dim corpus derived from the
+    * fixture embeddings by DuckDB-expressible algebra (v ∥ reverse(v) ∥
+    * v/2 ∥ −v — all exact doubles). Exercises the hyperplane-dimension
+    * derivation in [[Similarity.lshTopK]]: planes must span all 256
+    * components, not a 64-dim prefix. */
+  val annLsh256 = QueryDef(
+    "q_ann_lsh_256",
+    (s, dir) => {
+      import s.implicits._
+      val vd = $"embedding".cast("array<double>")
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          concat(vd, reverse(vd),
+            transform(vd, x => x / 2.0), transform(vd, x => -x)).as("v256"))
+      Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id", "v256", k = 5)
+        .orderBy($"qid", $"rn")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 256)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT vec_id,
+         |             list_concat(list_concat(v, list_reverse(v)),
+         |                         list_concat(list_transform(v, x -> x / 2.0),
+         |                                     list_transform(v, x -> -x))) AS v
+         |      FROM e0),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |s AS (SELECT q.qid, c.vec_id AS cid,
+         |             round(CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
+         |                             sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0
+         |                        ELSE list_dot_product(c.v, q.qv) /
+         |                             (sqrt(list_dot_product(c.v, c.v)) *
+         |                              sqrt(list_dot_product(q.qv, q.qv))) END, 6) AS cos
+         |      FROM b c JOIN q ON c.bucket = q.bucket),
+         |r AS (SELECT qid, cid, cos,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |      FROM s)
+         |SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     })
 
   // --------------------------------------------------------- text analysis
@@ -545,7 +613,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
-    dedupEmbCos, annLsh, annLshMultiprobe,
+    dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified)

@@ -88,6 +88,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH dedup: planted copies found; verified cos == exact all-pairs cos") {
+    val e = Tables(spark, sf, "embeddings")
+    val corpus = e.select($"vec_id", $"embedding").unionByName(
+      e.filter($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val lsh = Dedup.embeddingCosineLsh(corpus, "vec_id", "embedding", topK = 25)
+      .as[(Long, Long, Double)].collect()
+    val planted = lsh.filter { case (a, b, _) => b == a + 100000 }
+    assert(planted.length == 10, s"planted recall ${planted.length}/10")
+    assert(planted.forall(_._3 >= 0.999999), s"${planted.toSeq}")
+    // the verify step must score candidates identically to the exact baseline
+    val ids = lsh.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+    val exact = Dedup.embeddingCosinePairs(
+        corpus.filter($"vec_id".isin(ids: _*)), "vec_id", "embedding",
+        topK = ids.length * ids.length)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    lsh.foreach { case (a, b, c) => assert(exact((a, b)) == c, s"($a,$b)") }
+  }
+
+  test("lsh ANN derives hyperplane dim from the corpus (256-dim self-recall)") {
+    val e = Tables(spark, sf, "embeddings")
+    val vd = $"embedding".cast("array<double>")
+    val e256 = e.select($"vec_id",
+      concat(vd, reverse(vd), transform(vd, x => x / 2.0),
+        transform(vd, x => -x)).as("v"))
+    val got = Similarity.lshTopK(e256, e256.filter($"vec_id" < 5), "vec_id", "v", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val self = got.filter(r => r._1 == r._2)
+    assert(self.length == 5 && self.forall(_._4 == 1), s"${self.toSeq}")
+  }
+
   test("multimodal: mapPartitions feature extraction matches SQL-computable facts") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10)).as[MediaRow]
     val feats = Multimodal.extractFeatures(media).collect()
