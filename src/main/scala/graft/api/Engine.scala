@@ -201,6 +201,14 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
         val bfs = Bfs.traverse(catalog.edges, lit(start), graphDepth,
           srcCol = "source", dstCol = "target", weightCol = "weight")
         GraphOps.closeness(bfs, lit(start), graphDepth)
+          // the anchor's graph contribution is zeroed: the reference's own
+          // harness (test_final.py:749-779) requires graph-only hybrid to
+          // rank the closest TRUE neighbor first, which is impossible if
+          // the start node itself returns at score 1.0 (app.py:564-565
+          // does exactly that and fails its own TC-HYB-02). The harness is
+          // the executable spec; O18's start=1.0 contract is unchanged in
+          // GraphOps.closeness (q_graph_score stays oracle-exact).
+          .filter($"node" =!= start)
           .select($"node".as("id"), $"graph_score")
       }
       val fused = HybridSearch.fuse(catalog.nodes, vecScores, graphScores,

@@ -142,14 +142,16 @@ class EngineSpec extends SparkSpec {
     assert(hv.map(_.id) == pure.map(_.id).take(hv.size),
       "hybrid(1,0) ordering == vector search ordering prefix")
 
-    // (0.0, 1.0): final == graph_score, G-close outranks V-similar
+    // (0.0, 1.0): final == graph_score, and the TRUE nearest neighbor is
+    // FIRST — the anchor itself must not appear (test_final.py:749-779's
+    // g_idx == 0 requirement; see Engine.hybridSearch start-exclusion note)
     val hg = engine.hybridSearch(q, 0.0, 1.0, topK = 1000,
       graphStartId = Some(neutral.id), graphDepth = 2).get
     hg.foreach(h => assert(h.finalScore == h.graphScore))
-    val rg = hg.map(_.id).zipWithIndex.toMap
-    assert(rg.contains(gClose.id) && !rg.contains(vSim.id) ||
-      rg.getOrElse(gClose.id, Int.MaxValue) < rg.getOrElse(vSim.id, Int.MaxValue),
-      "G-close outranks V-similar at (0,1)")
+    assert(hg.headOption.map(_.id).contains(gClose.id),
+      s"G-close must rank FIRST in graph-only mode, got ${hg.map(_.id)}")
+    assert(!hg.exists(_.id == neutral.id), "anchor excluded from graph-only results")
+    assert(!hg.exists(_.id == vSim.id), "zero-graph node dropped (final == 0)")
 
     // missing graph start → 404
     assert(engine.hybridSearch(q, graphStartId = Some("node-missing")).isEmpty)
