@@ -154,11 +154,29 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
 
   /** BM25 keyword search (O15). Declared capability: built + queryable even
     * though no reference endpoint exposes it (app.py:670-672 keeps it out
-    * of hybrid; SURVEY authoritative-source note). */
+    * of hybrid; SURVEY authoritative-source note).
+    *
+    * The index is built once per node-snapshot version and reused across
+    * queries (version-keyed cache — the reference's rebuild-on-write
+    * contract, app.py:772-773, with the rebuild amortized to the first
+    * search after a mutation instead of every write). */
+  @volatile private var bm25Cache: Option[(Long, graft.search.Bm25Index)] = None
+
+  private def bm25Index(): graft.search.Bm25Index = {
+    val v = catalog.nodesVersion
+    bm25Cache match {
+      case Some((ver, idx)) if ver == v => idx
+      case _ =>
+        val idx = Bm25.build(catalog.nodes, "id", "text")
+        bm25Cache = Some((v, idx))
+        idx
+    }
+  }
+
   def bm25Search(queryText: String, topK: Int = 10): Seq[Bm25Hit] = {
     val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     if (terms.isEmpty) Seq.empty
-    else Bm25.score(catalog.nodes, "id", "text", terms.distinct, topK)
+    else Bm25.search(bm25Index(), terms.distinct, topK)
       .as[(String, Double)].collect().map { case (i, s) => Bm25Hit(i, s) }.toSeq
   }
 
@@ -229,11 +247,10 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
       .orderBy($"id")
       .as[(String, String)].collect().toSeq
 
-  /** O13: rebuild_index no-op — scan-based vector search needs no index
-    * (app.py:390-392, readme.md:181); kept for call-compat. The BM25
-    * derived index is recomputed lazily per query (O14's rebuild-on-write
-    * contract, amortized). */
-  def rebuildIndex(): Unit = ()
+  /** O13: rebuild_index — scan-based vector search needs no index
+    * (app.py:390-392, readme.md:181); for BM25 this drops the cached
+    * derived index so the next search rebuilds from the current snapshot. */
+  def rebuildIndex(): Unit = { bm25Cache = None }
 
   /** GET / health (O23, app.py:923-926). */
   def health(): Map[String, String] =

@@ -34,14 +34,19 @@ object GraphXOps {
       : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // global row_number = one-partition sort of the DISTINCT vertex set —
-    // fine while |V| ≪ |E|; at billions of vertices switch to
-    // zipWithIndex over a sorted RDD (same determinism, distributed sort)
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"sid")
-    edges.select(col(srcCol).as("sid"))
-      .unionByName(edges.select(col(dstCol).as("sid")))
+    // dense ranks WITHOUT a global window: distributed range-sort of the
+    // distinct vertex set, then zipWithIndex (per-partition offsets from
+    // one count pass — no single-partition shuffle anywhere). Determinism:
+    // ids are distinct and totally ordered, so rank = sorted position,
+    // identical to the row_number it replaces.
+    edges.select(col(srcCol).cast("string").as("sid"))
+      .unionByName(edges.select(col(dstCol).cast("string").as("sid")))
       .distinct()
-      .select($"sid", row_number().over(w).cast("long").as("vid"))
+      .as[String].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (s, i) => (s, i + 1L) }
+      .toDF("sid", "vid")
   }
 
   /** Connected components over STRING-keyed edges (the engine's edge

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
     source: String)
 
-/** Per-item extracted features (deterministic; see decode STUB note). */
+/** Per-item extracted features. Byte-level fields are always present;
+  * `width`/`height` are decoded for image formats (real `javax.imageio`
+  * decode) and None for non-image payloads. */
 case class MediaFeatures(doc_id: Long, n_bytes: Int, digest: String,
-    format: String)
+    format: String, width: Option[Int], height: Option[Int])
 
 /** One sampled frame/chunk of a media payload. */
 case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
@@ -20,15 +22,35 @@ case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in per-partition batches.
   *
-  * The heavy codec step is a **STUB**: this container has no image/audio
-  * libraries, so `extractFeatures` computes deterministic byte-level
-  * features (length + md5) where a real pipeline would decode pixels /
-  * samples. Everything around the stub — binary schema, partition-batched
-  * `mapPartitions` with per-partition resource init (the Scala analog of a
-  * Pandas UDF's batch shape), typed Dataset output — is real and tested;
-  * swapping the stub for a JNI/ONNX decoder changes only the map body.
+  * IMAGE decode is REAL: `extractFeatures` runs the payload through the
+  * JDK's `javax.imageio` (PNG/JPEG/GIF/BMP) and emits decoded pixel
+  * dimensions — no external codec dependency. Audio/video decode remains a
+  * **STUB** (no such codecs in this container): those payloads get
+  * deterministic byte-level features (length + md5) where a real pipeline
+  * would decode samples/frames. The plumbing — binary schema,
+  * partition-batched `mapPartitions` with per-partition resource init (the
+  * Scala analog of a Pandas UDF's batch shape), typed Dataset output — is
+  * identical for both; swapping the audio stub for a JNI/ONNX decoder
+  * changes only the map body.
   */
 object Multimodal {
+
+  /** Deterministic tiny PNG: a w×h RGB gradient, JDK-encoded. Fixture
+    * generator for the image-decode path (query + specs) — decoded
+    * dimensions are checkable, encoded byte size is codec-internal. */
+  def pngPayload(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** Derive a media table from the documents fixture: payload = UTF-8
     * bytes standing in for encoded image/audio bytes. */
@@ -70,7 +92,9 @@ object Multimodal {
 
   /** Batch feature extraction: one MessageDigest per partition (resource
     * init amortized over the batch — the mapInPandas pattern), rows
-    * streamed, no collect. */
+    * streamed, no collect. Image formats are ACTUALLY decoded
+    * (javax.imageio) for pixel dimensions; audio/video decode is the
+    * remaining stub (byte features only). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -78,8 +102,14 @@ object Multimodal {
       rows.map { r =>
         md.reset()
         val digest = md.digest(r.payload).map("%02x".format(_)).mkString
-        // STUB: real decode (pixels/samples/frames) would happen here
-        MediaFeatures(r.doc_id, r.payload.length, digest, r.format)
+        val (w, h) =
+          if (r.format.startsWith("image/")) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img != null) (Some(img.getWidth), Some(img.getHeight))
+            else (None, None) // undecodable/corrupt image payload
+          } else (None, None) // STUB: audio/video sample decode would go here
+        MediaFeatures(r.doc_id, r.payload.length, digest, r.format, w, h)
       }
     }
   }

@@ -412,6 +412,30 @@ object PipelineQueries {
                    'text/plain' AS format
             FROM documents ORDER BY doc_id"""))
 
+  /** REAL image decode through the batch plumbing: PNG payloads (JDK-encoded
+    * gradients sized by doc_id) are decoded by javax.imageio inside
+    * extractFeatures; the oracle recomputes the expected pixel dimensions
+    * from the sizing formula. Round-trips encoder → binary column →
+    * per-partition decoder, so a broken decode path can't pass. */
+  val multimodalImage = QueryDef(
+    "q_multimodal_image",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .filter($"doc_id" < 50).select($"doc_id").as[Long]
+        .map(id => MediaRow(id,
+          Multimodal.pngPayload((8 + id % 5).toInt, (4 + id % 3).toInt),
+          "image/png", "synthetic"))
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select($"doc_id", $"format", $"width", $"height")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, 'image/png' AS format,
+                   CAST(8 + doc_id % 5 AS INT) AS width,
+                   CAST(4 + doc_id % 3 AS INT) AS height
+            FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+
   /** Frame sampling, declared form: fixed-size chunking of the payload.
     * DuckDB 1.0 cannot slice BLOBs, so the oracle chunks the TEXT (the
     * fixture is ASCII ⇒ char chunks == byte chunks); the byte-level
@@ -615,6 +639,6 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
-    multimodalFrames, textVocab, textTfidf, sampleHash,
+    multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified)
 }

@@ -115,9 +115,14 @@ object VectorQueries {
              SELECT doc_id, round(raw, 6) AS score FROM sc
              WHERE round(raw, 6) > 0 ORDER BY score DESC, doc_id LIMIT 50"""))
 
-  /** Murmur3 hash-embedding over documents (O10-O11). Not expressible in
-    * DuckDB (no Murmur3) → rows-only driver check; determinism and golden
-    * vectors are covered by VectorFunctionsSpec. */
+  /** Murmur3 hash-embedding over documents (O10-O11). DuckDB has no
+    * Murmur3, so the oracle reconstructs per-doc nnz/l2 from the COMMITTED
+    * token→bucket golden mapping (fixtures/hash_embed_golden.parquet,
+    * regenerated by tools.GenGoldenFixtures, pinned by golden-vector
+    * specs): kernel drift OR a stale mapping breaks the hash compare. The
+    * inner join is deliberate — a fixture token missing from the mapping
+    * deflates oracle nnz and fails the row compare instead of passing
+    * vacuously. */
   val hashEmbedQ = QueryDef(
     "q_hash_embed",
     (s, dir) => {
@@ -131,7 +136,20 @@ object VectorQueries {
           round(vec.norm($"emb"), 4).as("l2"))
         .orderBy($"doc_id")
     },
-    None)
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            hit AS (SELECT t.doc_id, g.bucket
+                    FROM t JOIN read_parquet('/root/repo/fixtures/hash_embed_golden.parquet/*.parquet') g
+                      ON g.token = t.token),
+            agg AS (SELECT doc_id, CAST(COUNT(DISTINCT bucket) AS INT) AS nnz
+                    FROM hit GROUP BY doc_id)
+            SELECT d.doc_id, CAST(64 AS INT) AS dim, coalesce(a.nnz, 0) AS nnz,
+                   CASE WHEN coalesce(a.nnz, 0) > 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS l2
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
 
   /** Attribute-filtered vector top-k — the fixture analog of O12's
     * metadata-filtered search (app.py:427-442): filter first (pushed to the

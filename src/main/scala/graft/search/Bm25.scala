@@ -4,18 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.pipeline.TextOps
 
+/** The built BM25 "index": materialized per-(doc,term) TF and per-term IDF
+  * tables plus corpus stats. Both DataFrames are `localCheckpoint`ed at
+  * build time, so searches run pure joins — no re-tokenization, no corpus
+  * re-scan. The reference keeps the same derived state in driver memory and
+  * rebuilds it O(N) on every write (app.py:453-471, 772-773); here the
+  * rebuild is explicit ([[Bm25.build]]) and callers invalidate on write
+  * (see `api.Engine`'s version-keyed cache). At cluster scale the two
+  * tables would persist as bucketed parquet keyed by term.
+  */
+final case class Bm25Index(tf: DataFrame, idf: DataFrame, n: Long, avgdl: Double)
+
 /** BM25-Okapi keyword scoring as pure DataFrame aggregation algebra
   * (reference O14-O15, app.py:453-489; formula per rank_bm25 0.2.2's
   * BM25Okapi: k1=1.5, b=0.75, idf = ln((N-df+0.5)/(df+0.5)) with negative
   * idfs floored to epsilon * avg_idf, epsilon=0.25).
   *
-  * The reference rebuilds its in-memory index O(N) on every mutation
-  * (app.py:772-773); here the "index" is two derived DataFrames (per-(doc,
-  * term) TF and per-term IDF) that callers `persist()` and invalidate on
-  * write — same contract, amortized. At 100 TB the TF build is one
-  * explode+groupBy shuffle keyed on (doc,term); scoring joins the tiny query
-  * term list (broadcast) against TF, so the only big shuffle is the final
-  * per-doc sum, which Catalyst runs partial+final.
+  * At 100 TB the TF build is one explode+groupBy shuffle keyed on (doc,
+  * term); scoring joins the tiny query term list (broadcast) against TF, so
+  * the only big shuffle is the final per-doc sum, which Catalyst runs
+  * partial+final.
   */
 object Bm25 {
   val K1 = 1.5
@@ -27,19 +35,13 @@ object Bm25 {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
-  /** One composed plan: docs → scores for `terms`, reference semantics
-    * (score > 0 filter per app.py:486), deterministic (score rounded to 6dp
-    * before ranking, doc id tie-break). */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            terms: Seq[String], topK: Int): DataFrame = {
+  /** O14: build the index — the only pass that touches document text.
+    * Tokenization runs exactly once (TF is checkpointed before the three
+    * downstream consumers read it: corpus stats, per-term DF, scoring). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // The TF table is read by three downstream consumers (corpus stats,
-    // per-term DF, scoring) — checkpoint it so tokenization runs ONCE.
-    // This is the operator's "index build"; callers that search repeatedly
-    // should build it once and invalidate on write (the reference's
-    // rebuild-on-mutation contract, app.py:772-773, amortized).
     val tf = TextOps.spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("dl", size($"toks"))
@@ -51,10 +53,9 @@ object Bm25 {
     // corpus stats: N over ALL docs (token-less included, matching
     // BM25Okapi's corpus_size/avgdl); sum(dl) from the TF table is
     // unaffected by token-less docs (they contribute 0). Empty corpus →
-    // empty result (reference contract, app.py:398-399 analog).
+    // empty searches (reference contract, app.py:398-399 analog).
     val n = docs.count()
-    if (n == 0)
-      return docs.select(col(idCol).as("doc_id"), lit(0.0).as("score")).limit(0)
+    if (n == 0) return Bm25Index(tf, tf.limit(0), 0L, 0.0)
     val sumDl = tf.select($"doc_id", $"dl").distinct()
       .agg(coalesce(sum($"dl"), lit(0L))).as[Long].head()
     val avgdl = sumDl.toDouble / n
@@ -65,17 +66,34 @@ object Bm25 {
     val idf = idfRaw.crossJoin(broadcast(avgIdf))
       .select($"t",
         when($"idf_raw" < 0, lit(Epsilon) * $"avg_idf").otherwise($"idf_raw").as("idf"))
+      .localCheckpoint()
+    Bm25Index(tf, idf, n, avgdl)
+  }
 
+  /** O15: search a built index — joins only, reference semantics
+    * (score > 0 filter per app.py:486), deterministic (score rounded to 6dp
+    * before ranking, doc id tie-break). */
+  def search(index: Bm25Index, terms: Seq[String], topK: Int): DataFrame = {
+    val spark = index.tf.sparkSession
+    import spark.implicits._
+    if (index.n == 0)
+      return index.tf.select($"doc_id", lit(0.0).as("score")).limit(0)
     val q = terms.toDF("t")
-    tf.join(broadcast(q), "t")
-      .join(broadcast(idf), "t")
+    index.tf.join(broadcast(q), "t")
+      .join(broadcast(index.idf), "t")
       .withColumn("contrib",
         $"idf" * ($"tf" * (K1 + 1.0)) /
-          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / lit(avgdl))))
+          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / lit(index.avgdl))))
       .groupBy($"doc_id")
       .agg(round(sum($"contrib"), 6).as("score"))
       .filter($"score" > 0)
       .orderBy($"score".desc, $"doc_id")
       .limit(topK)
   }
+
+  /** One-shot convenience: build + search in a single composed call (the
+    * declared q_bm25 shape — identical results to pre-index rounds). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String], topK: Int): DataFrame =
+    search(build(docs, idCol, textCol), terms, topK)
 }

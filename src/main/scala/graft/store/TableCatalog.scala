@@ -32,10 +32,18 @@ final class TableCatalog(val spark: SparkSession) {
   def embeddings: DataFrame = embeddingsSnap
   def edges: DataFrame = edgesSnap
 
+  /** Monotonic node-snapshot version — bumped by every node mutation so
+    * derived-index caches (e.g. the Engine's BM25 index) can invalidate on
+    * write, mirroring the reference's rebuild-on-mutation contract
+    * (app.py:772-773) without rebuilding on read. */
+  @volatile private var nodesVer: Long = 0L
+  def nodesVersion: Long = nodesVer
+
   /** O1/O2: upsert (INSERT OR REPLACE, app.py:131-134). */
   def upsertNode(n: Node): Unit = synchronized {
     nodesSnap = nodesSnap.filter($"id" =!= n.id)
       .unionByName(Seq(n).toDF).localCheckpoint()
+    nodesVer += 1
   }
 
   /** O6: upsert embedding (app.py:238-241). */
@@ -57,6 +65,7 @@ final class TableCatalog(val spark: SparkSession) {
     embeddingsSnap = embeddingsSnap.filter($"node_id" =!= id).localCheckpoint()
     edgesSnap = edgesSnap.filter($"source" =!= id && $"target" =!= id)
       .localCheckpoint()
+    nodesVer += 1
   }
 
   def deleteEdge(id: String): Unit = synchronized {
@@ -72,6 +81,7 @@ final class TableCatalog(val spark: SparkSession) {
       .join(batch.select("id"), Seq("id"), "left_anti")
       .unionByName(batch.select(nodesSnap.columns.map(col): _*))
       .localCheckpoint()
+    nodesVer += 1
   }
 
   /** Bulk upsert of edge rows (streaming edge ingestion). */
@@ -88,6 +98,7 @@ final class TableCatalog(val spark: SparkSession) {
       nodesSnap = nodes.localCheckpoint()
       embeddingsSnap = embeddings.localCheckpoint()
       edgesSnap = edges.localCheckpoint()
+      nodesVer += 1
     }
 
   /** Persist snapshots as parquet (the durable form of the store). */

@@ -1,0 +1,51 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+
+import graft.Tables
+import graft.functions.HashEmbed
+import graft.pipeline.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Regenerates the committed golden fixtures under `fixtures/`.
+  *
+  * `hash_embed_golden.parquet`: (token, bucket) for every distinct token in
+  * the documents fixtures at all SFs, where bucket is the Murmur3(seed 42)
+  * hash bucket at dim=64 — the embedding spec of [[HashEmbed]]
+  * (reference app.py:368-377). The DuckDB oracle of q_hash_embed joins this
+  * table to reconstruct per-doc nnz independently of the Scala kernel: if
+  * the kernel's hashing ever drifts from the committed mapping (or the
+  * mapping goes stale against new fixture vocabulary), the hash-compare
+  * fails. The mapping itself is pinned against hand-derived golden vectors
+  * in VectorFunctionsSpec.
+  */
+object GenGoldenFixtures {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-gen-fixtures")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tokens = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => Tables(spark, s"/root/testdata/$sf", "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token")))
+      .reduce(_ unionByName _)
+      .distinct().as[String].collect().sorted
+    val dim = 64
+    val rows = tokens.toSeq.map { t =>
+      val h = MurmurHash3.bytesHash(t.getBytes(StandardCharsets.UTF_8), HashEmbed.Seed)
+      (t, ((h % dim) + dim) % dim)
+    }
+    rows.toDF("token", "bucket").coalesce(1)
+      .write.mode("overwrite").parquet("fixtures/hash_embed_golden.parquet")
+    println(s"wrote fixtures/hash_embed_golden.parquet: ${rows.size} tokens")
+  }
+}

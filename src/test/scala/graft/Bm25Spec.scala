@@ -2,8 +2,33 @@ package graft
 
 import graft.search.Bm25
 
+object Bm25Spec {
+  /** Incremented every time the source corpus RDD is evaluated — proves
+    * whether a search re-tokenizes (local mode: one shared JVM). */
+  val sourceScans = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
+
+  test("built index searches without re-scanning the corpus; results == one-shot") {
+    val rows = Seq((1L, "spark shuffle join"), (2L, "spark spark streaming"),
+      (3L, "graph traversal depth"))
+    val docs = spark.sparkContext.parallelize(rows, 2)
+      .map { r => Bm25Spec.sourceScans.incrementAndGet(); r }
+      .toDF("doc_id", "text")
+    val oneShot = Bm25.score(docs, "doc_id", "text", Seq("spark"), 10)
+      .as[(Long, Double)].collect().toMap
+
+    val index = Bm25.build(docs, "doc_id", "text")
+    val after = Bm25Spec.sourceScans.get()
+    val s1 = Bm25.search(index, Seq("spark"), 10).as[(Long, Double)].collect().toMap
+    val s2 = Bm25.search(index, Seq("traversal"), 10).as[(Long, Double)].collect().toMap
+    assert(Bm25Spec.sourceScans.get() == after,
+      "searches on a built index must not launch tokenization/corpus jobs")
+    assert(s1 == oneShot, "index-path results identical to one-shot path")
+    assert(s2.keySet == Set(3L))
+  }
 
   // Hand-computed BM25Okapi (rank_bm25 0.2.2 semantics) on a 3-doc corpus.
   test("bm25 closed form matches hand computation (k1=1.5, b=0.75, eps=0.25)") {

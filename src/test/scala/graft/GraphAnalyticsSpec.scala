@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 class GraphAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("string vertex mapping: dense sorted ranks, no single-partition window") {
+    val edges = Seq(("n-c", "n-a", 1.0), ("n-b", "n-d", 1.0), ("n-d", "n-a", 1.0))
+      .toDF("source", "target", "weight")
+    val vm = graft.graph.GraphXOps.stringVertexMapping(edges, "source", "target")
+    assert(!vm.queryExecution.executedPlan.toString.contains("Window"),
+      "mapping must not use a global window (single-partition sort)")
+    val got = vm.as[(String, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("n-a", 1L), ("n-b", 2L), ("n-c", 3L), ("n-d", 4L)),
+      s"dense ranks in sorted-id order: ${got.toSeq}")
+    // end-to-end: components labeled by lexicographically smallest member
+    val cc = graft.graph.GraphXOps.connectedComponentsString(edges)
+      .as[(String, String)].collect().toMap
+    assert(cc == Map("n-a" -> "n-a", "n-b" -> "n-a", "n-c" -> "n-a", "n-d" -> "n-a"))
+  }
+
   test("triangleCounts on K4: every node in C(3,2)=3 triangles") {
     val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b))
       .toDF("src", "dst")

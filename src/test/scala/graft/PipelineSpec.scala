@@ -133,6 +133,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("image decode: real imageio round-trip; corrupt/non-image stay byte-only") {
+    val media = Seq(
+      MediaRow(1L, Multimodal.pngPayload(12, 7), "image/png", "t"),
+      MediaRow(2L, "not an image".getBytes("UTF-8"), "text/plain", "t"),
+      MediaRow(3L, "garbage bytes".getBytes("UTF-8"), "image/png", "t")).toDS()
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).width.contains(12) && f(1L).height.contains(7), s"${f(1L)}")
+    assert(f(2L).width.isEmpty && f(2L).height.isEmpty, "non-image: no decode")
+    assert(f(3L).width.isEmpty, "corrupt image payload degrades to None, not a crash")
+    assert(f.values.forall(_.digest.length == 32), "byte features always present")
+  }
+
   test("frame sampling: byte chunks reassemble to the payload; resize truncates") {
     val media = Multimodal.mediaFromDocuments(docs.limit(5)).as[MediaRow]
     val frames = Multimodal.frameSample(media, frameSize = 64).collect()

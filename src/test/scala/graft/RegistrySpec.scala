@@ -20,9 +20,13 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
-  test("rows-only queries are the documented three") {
+  test("rows-only queries are the documented two") {
+    // q_hash_embed graduated to a DuckDB oracle via the committed golden
+    // token→bucket fixture; GraphX float-iterative PageRank and HLL++
+    // registers remain genuinely inexpressible cross-engine (each has an
+    // oracle-checked counterpart: q_graph_pagerank_exact, q_sketch_kmv/cms).
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(rowsOnly == Set("q_hash_embed", "q_graphx_pagerank", "q_sketch_agg"),
+    assert(rowsOnly == Set("q_graphx_pagerank", "q_sketch_agg"),
       s"every other query needs a DuckDB oracle; got $rowsOnly")
   }
 

@@ -29,6 +29,27 @@ class VectorFunctionsSpec extends SparkSpec {
     info(s"golden(dim=8): ${nonzero.mkString(",")}")
   }
 
+  test("committed golden token→bucket fixture matches the live kernel") {
+    // fixtures/hash_embed_golden.parquet feeds the q_hash_embed DuckDB
+    // oracle; if it goes stale vs HashEmbed (or vs fixture vocabulary),
+    // this fails before the verify gate does. Regenerate with
+    // tools.GenGoldenFixtures.
+    val golden = spark.read.parquet("fixtures/hash_embed_golden.parquet")
+      .as[(String, Int)].collect()
+    assert(golden.length >= 30, "fixture vocabulary present")
+    golden.foreach { case (token, bucket) =>
+      val v = HashEmbed.encode(token, 64)
+      val nz = v.zipWithIndex.filter(_._1 != 0.0f).map(_._2)
+      assert(nz.toSeq == Seq(bucket), s"token '$token': $nz vs golden $bucket")
+    }
+    // covers the current corpus vocabulary at the spec's SF
+    val vocab = Tables(spark, sf, "documents")
+      .select(explode(graft.pipeline.TextOps.tokens($"text")).as("t"))
+      .distinct().as[String].collect()
+    val known = golden.map(_._1).toSet
+    assert(vocab.forall(known), s"missing from fixture: ${vocab.filterNot(known).toSeq}")
+  }
+
   test("vec_dot expression vs scalar math, incl codegen path") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)),
