@@ -401,14 +401,15 @@ object ExtQueries {
             FROM est LEFT JOIN x USING (l_partkey) ORDER BY l_partkey"""))
 
   // ------------------------------------------------------------ cat 12: ANN
-  /** IVF-flat ANN (Similarity.ivfTopK): 20 deterministic centroids, probe
-    * the 2 nearest cells, exact-rank their members. */
+  /** IVF-flat ANN (Similarity.ivfTopK): ⌈√n⌉ centroid spacing (≈√n
+    * deterministic centroids — the scale-stable IVF sizing), probe the 2
+    * nearest cells, exact-rank their members. */
   val annIvf = QueryDef(
     "q_ann_ivf",
     (s, dir) => {
       import s.implicits._
       Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          VectorQueries.queryVec, k = 10, centroidEvery = 25, nprobe = 2)
+          VectorQueries.queryVec, k = 10, nprobe = 2)
         .orderBy($"score".desc, $"vec_id")
     },
     Some {
@@ -419,8 +420,9 @@ object ExtQueries {
            |     ELSE list_dot_product($a, $b) /
            |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
            |END""".stripMargin
-      s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-         |           FROM embeddings WHERE vec_id % 25 = 0),
+      s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
          |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |a0 AS (SELECT e.vid, e.v, c.cid,
          |              round(${cos("e.v", "c.cv")}, 6) AS ccos

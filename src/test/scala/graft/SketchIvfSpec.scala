@@ -78,5 +78,12 @@ class SketchIvfSpec extends SparkSpec {
     assert(ivf.map(_._2).sliding(2).forall(p => p.head >= p.last), "scores descend")
     assert(ivf.map(_._1).exists(brute.map(_._1).toSet.contains),
       "probed cells overlap the true top-k")
+    // default spacing derives ⌈√n⌉ (scale-stable centroid count) and still
+    // returns a full, descending top-k
+    val derived = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(derived.length == 10)
+    assert(derived.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 }
