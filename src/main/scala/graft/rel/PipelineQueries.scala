@@ -586,6 +586,69 @@ object PipelineQueries {
                     array_to_string(ch, ' ') AS chunk
              FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** PII redaction: email/phone patterns scrubbed map-side (pure
+    * regexp_replace — codegen'd, no shuffle; the shape of every
+    * large-scale scrubbing pass). PII is planted deterministically
+    * (user<id>@example.com, 555-01xx) since the fixture corpus has none;
+    * the md5 of the cleaned text makes the oracle compare the full
+    * redacted output, not just counts. */
+  val textPii = QueryDef(
+    "q_text_pii",
+    (s, dir) => {
+      import s.implicits._
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id",
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or 555-01"),
+            lpad(($"doc_id" % 100).cast("string"), 2, "0")).as("text"))
+      docs.select($"doc_id",
+          regexp_count($"text", lit(emailRe)).cast("int").as("n_email"),
+          regexp_count($"text", lit(phoneRe)).cast("int").as("n_phone"),
+          md5(regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("clean_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+            FROM d ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: docs sharing any word-3-shingle with the
+    * held-out set (doc_id < 5) are flagged with their overlap count — the
+    * training-data hygiene pass that keeps eval sets out of the corpus.
+    * Benchmark shingles are a broadcast build side; the corpus side is one
+    * map-side explode + hash join, so cost is linear in corpus shingles at
+    * any scale. */
+  val textDecontam = QueryDef(
+    "q_text_decontam",
+    (s, dir) => {
+      import s.implicits._
+      val sh = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"))).as("sh"))
+      val bench = sh.filter($"doc_id" < 5).select($"sh".as("bsh")).distinct()
+      sh.filter($"doc_id" >= 5)
+        .join(broadcast(bench), $"sh" === $"bsh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+             $shinglesCte,
+             bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id < 5),
+             x AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id >= 5)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM x JOIN bench USING (s)
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Near-dup RESOLUTION: MinHash-LSH pairs → connected components → each
     * doc mapped to its component's canonical (minimum) id + component
     * size. The step after candidate generation that actually decides which
@@ -640,5 +703,5 @@ object PipelineQueries {
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
-    textChunks, dedupCanonical, sampleStratified)
+    textChunks, dedupCanonical, sampleStratified, textPii, textDecontam)
 }
