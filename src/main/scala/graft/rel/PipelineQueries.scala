@@ -698,10 +698,87 @@ object PipelineQueries {
                     CAST(COUNT(DISTINCT r) AS BIGINT) AS component_size
              FROM reach GROUP BY v ORDER BY doc_id"""))
 
+  /** Sequence packing: greedy contiguous token-budget binning (2048 tokens)
+    * of docs into training examples, per source — running token cumsum
+    * windowed by source, bin = start-offset DIV budget. Integer arithmetic
+    * throughout (exact cross-engine); partitioned by source so the window
+    * never globalizes. The pre-tokenizer packing pass every LLM data
+    * pipeline runs before writing training shards. */
+  val textPack = QueryDef(
+    "q_text_pack",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", $"source",
+          size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"source", $"n_tokens",
+          (($"cum" - $"n_tokens") / 2048).cast("long").as("bin"))
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM t)
+            SELECT doc_id, source, n_tokens,
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+            FROM c ORDER BY source, doc_id"""))
+
+  /** Int8 embedding quantization: per-vector symmetric scale (max |x|),
+    * q_i = ⌊x·127/scale⌋. floor (not round) keeps the comparison off the
+    * .5-boundary engine divergence; identical input doubles ⇒ identical
+    * quantized ints, so the checksum is exact. The 4× storage cut every
+    * billion-vector ANN corpus takes before indexing. */
+  val vecQuantize = QueryDef(
+    "q_vec_quantize",
+    (s, dir) => {
+      import s.implicits._
+      val vd = $"embedding".cast("array<double>")
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", vd.as("v"),
+          array_max(transform(vd, x => abs(x))).as("scale"))
+        // NB: round-for-display must happen in a LATER projection — Spark
+        // 4's lateral column aliases would otherwise resolve $"scale"
+        // inside these lambdas to the rounded alias, silently quantizing
+        // against the wrong denominator
+        .select($"vec_id", $"scale",
+          when($"scale" === 0.0, 0L).otherwise(
+            aggregate(transform($"v", x => floor(x * 127.0 / $"scale").cast("long")),
+              lit(0L), (acc, q) => acc + q)).as("q_checksum"),
+          when($"scale" === 0.0, 0)
+            .otherwise(size(filter($"v", x => abs(x) === $"scale")))
+            .as("n_at_scale"))
+        .select($"vec_id", round($"scale", 6).as("scale"),
+          $"q_checksum", $"n_at_scale")
+        .orderBy($"vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sc AS (SELECT vec_id, v,
+                          list_max(list_transform(v, x -> abs(x))) AS scale
+                   FROM e)
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(list_sum(list_transform(v,
+                               x -> CAST(floor(x * 127.0 / scale) AS BIGINT))) AS BIGINT)
+                   END AS q_checksum,
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(len(list_filter(v, x -> abs(x) = scale)) AS INT)
+                   END AS n_at_scale
+            FROM sc ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
-    textChunks, dedupCanonical, sampleStratified, textPii, textDecontam)
+    textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
+    textPack, vecQuantize)
 }
