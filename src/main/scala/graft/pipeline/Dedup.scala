@@ -119,7 +119,11 @@ object Dedup {
       org.apache.spark.sql.types.DoubleType))
     val trueDim =
       if (dim > 0) dim
-      else emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+      else emb.select(size(col(vecCol)).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (trueDim == 0) // empty corpus: no pairs, right schema
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos")).limit(0)
     val planes = Similarity.hyperplanes(numPlanes, trueDim)
     // per-row precompute (cast, norm, bucket) happens |rows| times; the
     // pair loop below touches only same-bucket candidates

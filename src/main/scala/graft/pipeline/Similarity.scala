@@ -42,7 +42,12 @@ object Similarity {
               dim: Int = 0): DataFrame = {
     val trueDim =
       if (dim > 0) dim
-      else queries.select(size(col(vecCol)).as("d")).head().getInt(0)
+      else queries.select(size(col(vecCol)).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (trueDim == 0) // no queries (or 0-dim vectors): empty result, right schema
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("cid"),
+          lit(0.0).as("cos"), lit(0).as("rn")).limit(0)
     val planes = hyperplanes(numPlanes, trueDim)
     val c = TextOps.spread(corpus)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),

@@ -33,4 +33,19 @@ class EdgeCaseSpec extends SparkSpec {
     e.createNode("some content here")
     assert(e.bm25Search("   ").isEmpty)
   }
+
+  test("LSH ANN/dedup on empty inputs return empty frames, not exceptions") {
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val someEmb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // no queries: dim underivable → empty result with the contract schema
+    val noQ = graft.pipeline.Similarity.lshTopK(
+      someEmb, emptyEmb, "vec_id", "embedding", k = 5)
+    assert(noQ.columns.toSeq == Seq("qid", "cid", "cos", "rn") && noQ.isEmpty)
+    // empty corpus: no candidate pairs
+    val noPairs = graft.pipeline.Dedup.embeddingCosineLsh(
+      emptyEmb, "vec_id", "embedding", topK = 5)
+    assert(noPairs.columns.toSeq == Seq("a", "b", "cos") && noPairs.isEmpty)
+  }
 }
