@@ -13,7 +13,31 @@ import graft.pipeline.TextOps
   * (see `api.Engine`'s version-keyed cache). At cluster scale the two
   * tables would persist as bucketed parquet keyed by term.
   */
-final case class Bm25Index(tf: DataFrame, idf: DataFrame, n: Long, avgdl: Double)
+final case class Bm25Index(tf: DataFrame, idf: DataFrame, n: Long, avgdl: Double) {
+  /** Persist the index as parquet — the durable cluster-scale form. At real
+    * scale both tables would be bucketed by `t` so the scoring joins
+    * co-locate without a shuffle; the fixture-scale writer keeps plain
+    * parquet (the search path broadcasts the tiny term/idf sides anyway). */
+  def save(dir: String): Unit = {
+    import tf.sparkSession.implicits._
+    tf.write.mode("overwrite").parquet(s"$dir/tf.parquet")
+    idf.write.mode("overwrite").parquet(s"$dir/idf.parquet")
+    Seq((n, avgdl)).toDF("n", "avgdl")
+      .write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+}
+
+object Bm25Index {
+  /** Reopen a saved index: searches run against the parquet directly (no
+    * rebuild, no tokenization — the warm-start path after a restart). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index = {
+    val stats = spark.read.parquet(s"$dir/stats.parquet").head()
+    Bm25Index(
+      spark.read.parquet(s"$dir/tf.parquet"),
+      spark.read.parquet(s"$dir/idf.parquet"),
+      stats.getAs[Long]("n"), stats.getAs[Double]("avgdl"))
+  }
+}
 
 /** BM25-Okapi keyword scoring as pure DataFrame aggregation algebra
   * (reference O14-O15, app.py:453-489; formula per rank_bm25 0.2.2's

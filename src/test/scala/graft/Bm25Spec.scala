@@ -30,6 +30,20 @@ class Bm25Spec extends SparkSpec {
     assert(s2.keySet == Set(3L))
   }
 
+  test("saved index reloads and searches identically (durable warm start)") {
+    import graft.search.Bm25Index
+    val docs = Seq((1L, "spark shuffle join"), (2L, "spark spark streaming"),
+      (3L, "graph traversal depth")).toDF("doc_id", "text")
+    val built = Bm25.build(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    built.save(dir)
+    val loaded = Bm25Index.load(spark, dir)
+    assert(loaded.n == built.n && loaded.avgdl == built.avgdl)
+    val a = Bm25.search(built, Seq("spark", "graph"), 10).as[(Long, Double)].collect().toMap
+    val b = Bm25.search(loaded, Seq("spark", "graph"), 10).as[(Long, Double)].collect().toMap
+    assert(a == b, s"$a vs $b")
+  }
+
   // Hand-computed BM25Okapi (rank_bm25 0.2.2 semantics) on a 3-doc corpus.
   test("bm25 closed form matches hand computation (k1=1.5, b=0.75, eps=0.25)") {
     val docs = Seq(
