@@ -67,6 +67,58 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
   }
 
+  /** Product-quantization ANN (asymmetric distance): split each vector
+    * into `m` subvectors; per subspace, quantize to the nearest codeword
+    * (deterministic ⌈√n⌉-spaced codebook, same no-RNG rule as [[ivfTopK]];
+    * swap in trained k-means codebooks at production scale); score a query
+    * as Σ_s dot(q_s, codeword(v, s)) — the table-lookup ADC that stores
+    * only m int codes per vector (the memory form billion-vector indexes
+    * actually ship).
+    *
+    * Shape at scale: assignment is corpus×m rows joined against a
+    * BROADCAST codebook (n·m·√n distance rows, no all-pairs anywhere);
+    * per-(vector,subspace) argmin via window on (round-6 L2², codeword id);
+    * final score sums the m per-subspace contributions through
+    * DECIMAL(20,10) so partial-aggregation order can't perturb the float
+    * result (contributions are pre-rounded to 6dp — identical doubles in
+    * any engine).
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queryVec: Seq[Double], k: Int, m: Int = 8,
+             roundTo: Int = 6, codewordEvery: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = queryVec.length / m
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
+    val spacing =
+      if (codewordEvery > 0) codewordEvery
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val sub = e.select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("vid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("xs"))
+    val cb = e.filter(col("vid") % spacing === 0)
+      .select(col("vid").as("cid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("cid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("cs"))
+    val wA = Window.partitionBy(col("vid"), col("s")).orderBy(col("d2"), col("cid"))
+    val assigned = sub.join(broadcast(cb), "s")
+      .withColumn("d2", round(
+        vec.dot(col("xs"), col("xs")) - lit(2.0) * vec.dot(col("xs"), col("cs")) +
+          vec.dot(col("cs"), col("cs")), roundTo))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vid"), col("s"), col("cid"))
+    val qv = typedlit(queryVec)
+    val contrib = cb.select(col("s"), col("cid"),
+      round(vec.dot(slice(qv, col("s") * d + 1, lit(d)), col("cs")), roundTo)
+        .as("contrib"))
+    assigned.join(broadcast(contrib), Seq("s", "cid"))
+      .groupBy(col("vid"))
+      .agg(round(sum(col("contrib").cast(DecimalType(20, 10))).cast("double"), roundTo)
+        .as("score"))
+      .orderBy(col("score").desc, col("vid"))
+      .limit(k)
+      .select(col("vid").as(idCol), col("score"))
+  }
+
   /** IVF-flat ANN: the inverted-file index re-expressed as DataFrames.
     *
     * Coarse quantizer = every `centroidEvery`-th corpus vector (deterministic

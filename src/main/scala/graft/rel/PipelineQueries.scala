@@ -317,6 +317,42 @@ object PipelineQueries {
          |SELECT qid, cid, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     })
 
+  /** Product-quantization ANN (Similarity.pqTopK): 8 subspaces × ⌈√n⌉-spaced
+    * deterministic codebook, asymmetric-distance scoring. Completes the ANN
+    * family (brute / sign-LSH / multi-probe / IVF / PQ). */
+  val annPq = QueryDef(
+    "q_ann_pq",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.pqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          VectorQueries.queryVec, k = 10)
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ss AS (SELECT unnest(range(8)) AS s),
+         |sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
+         |        FROM e CROSS JOIN ss),
+         |cb AS (SELECT vec_id AS cid, s, list_slice(v, s*8 + 1, s*8 + 8) AS cs
+         |       FROM e CROSS JOIN ss WHERE vec_id % (SELECT sp FROM sp) = 0),
+         |asg AS (SELECT vec_id, s, cid FROM (
+         |          SELECT sub.vec_id, sub.s, cb.cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+         |                   round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+         |                         + list_dot_product(cs, cs), 6), cb.cid) AS rn
+         |          FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+         |q AS (SELECT s, cid,
+         |             round(list_dot_product(list_slice($qv, s*8 + 1, s*8 + 8), cs), 6) AS contrib
+         |      FROM cb),
+         |sc AS (SELECT a.vec_id,
+         |              round(CAST(SUM(CAST(q.contrib AS DECIMAL(20,10))) AS DOUBLE), 6) AS score
+         |       FROM asg a JOIN q ON q.s = a.s AND q.cid = a.cid
+         |       GROUP BY a.vec_id)
+         |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    })
+
   // --------------------------------------------------------- text analysis
   val textLangId = QueryDef(
     "q_text_langid",
@@ -776,7 +812,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
-    dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256,
+    dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,

@@ -86,4 +86,26 @@ class SketchIvfSpec extends SparkSpec {
     assert(derived.length == 10)
     assert(derived.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("pqTopK: 1-spaced codebook (every vector is a codeword) == exact dot top-k") {
+    val emb = Tables(spark, sf, "embeddings")
+    val exact = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, scoreCol = "score", roundTo = Some(6))
+      .as[(Long, Double)].collect().toSeq
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, codewordEvery = 1L)
+      .as[(Long, Double)].collect().toSeq
+    // with zero quantization error PQ's ADC reduces to the exact dot;
+    // duplicate subvectors can reassign codes but never change the score
+    assert(pq.map(_._1) == exact.map(_._1), s"$pq vs $exact")
+    pq.zip(exact).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 2e-6, s"$a vs $b") // two independent 6dp roundings
+    }
+    // real PQ (√n codebook): full descending top-k, approximate scores
+    val approx = Similarity.pqTopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10)
+      .as[(Long, Double)].collect()
+    assert(approx.length == 10)
+    assert(approx.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
 }
