@@ -810,11 +810,103 @@ object PipelineQueries {
                    END AS n_at_scale
             FROM sc ORDER BY vec_id"""))
 
+  /** The END-TO-END training-data pipeline as ONE composed plan: plant
+    * duplicates + PII → scrub → language-ID → quality filter → exact
+    * dedup (min-id keeper on the CLEANED text) → token-budget sequence
+    * packing → per-(source, bin) shard stats. Every stage is an operator
+    * verified standalone elsewhere; this query proves they compose into
+    * the real pipeline DAG — all map-side or key-shuffled, no stage
+    * collects, so the same plan runs at any scale. (The PII suffix keys on
+    * doc_id % 100000 so planted copies stay byte-identical to their
+    * originals and the dedup stage visibly removes them.) */
+  val pipelineE2e = QueryDef(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val base = Tables(s, dir, "documents").select($"doc_id", $"source", $"text")
+      val withDups = base.unionByName(
+        base.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"), $"source", $"text"))
+      val clean = withDups
+        .withColumn("text", concat($"text", lit(" contact user"),
+          ($"doc_id" % 100000).cast("string"), lit("@example.com")))
+        .withColumn("text", regexp_replace($"text", emailRe, "<EMAIL>"))
+      val lang = TextAnalysis.languageId(clean, "doc_id", "text")
+        .select($"doc_id", $"pred_lang")
+      val qual = TextAnalysis.qualityScore(clean, "doc_id", "text")
+        .select($"doc_id", $"quality", $"n_tokens")
+      val keepers = clean.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val surviving = clean.join(keepers, "doc_id")
+        .join(lang, "doc_id").join(qual, "doc_id")
+        .filter($"pred_lang" === "en" && $"quality" >= 0.5)
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      surviving
+        .withColumn("nt", $"n_tokens".cast("long"))
+        .withColumn("cum", sum($"nt").over(w))
+        .withColumn("bin", (($"cum" - $"nt") / 2048).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))
+        .orderBy($"source", $"bin")
+    },
+    Some {
+      val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+        val litList = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct($toksSql), $litList)) AS INT) AS hits_$lang"
+      }.mkString(",\n                ")
+      val allStop = TextAnalysis.stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+         |wd AS (SELECT doc_id, source, text FROM base
+         |       UNION ALL SELECT doc_id + 100000, source, text FROM base WHERE doc_id < 20),
+         |corpus AS (SELECT doc_id, source,
+         |                  regexp_replace(
+         |                    text || ' contact user' || CAST(doc_id % 100000 AS VARCHAR) || '@example.com',
+         |                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') AS text
+         |           FROM wd),
+         |h AS (SELECT doc_id, $hits FROM corpus),
+         |lang AS (SELECT doc_id,
+         |                CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |                     WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |                     WHEN hits_es >= hits_fr THEN 'es'
+         |                     ELSE 'fr' END AS pred_lang
+         |         FROM h),
+         |qb AS (SELECT doc_id,
+         |              CAST(len($toksSql) AS INT) AS n_tokens,
+         |              CAST(length(text) AS INT) AS n_chars,
+         |              CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         |              CAST(len(list_intersect(list_distinct($toksSql), $allStop)) AS INT) AS n_stop
+         |       FROM corpus),
+         |qual AS (SELECT doc_id, n_tokens,
+         |                round(0.4 * (n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE)) +
+         |                      0.3 * least(n_tokens / 100.0, 1.0) +
+         |                      0.3 * (1.0 - n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)), 6) AS quality
+         |         FROM qb),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |surv AS (SELECT c.doc_id, c.source, CAST(q.n_tokens AS BIGINT) AS nt
+         |         FROM corpus c
+         |         JOIN keep USING (doc_id)
+         |         JOIN lang USING (doc_id)
+         |         JOIN qual q USING (doc_id)
+         |         WHERE lang.pred_lang = 'en' AND q.quality >= 0.5),
+         |p AS (SELECT doc_id, source, nt,
+         |             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM surv)
+         |SELECT source, CAST((cum - nt) // 2048 AS BIGINT) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nt) AS BIGINT) AS sum_tokens
+         |FROM p GROUP BY source, bin ORDER BY source, bin""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
-    textPack, vecQuantize)
+    textPack, vecQuantize, pipelineE2e)
 }

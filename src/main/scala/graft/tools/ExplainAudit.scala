@@ -14,8 +14,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_filter_pred", "q_join_broadcast", "q_topk", "q_vec_topk",
-        "q1_agg", "q_join_asof", "q_join_range", "q_ann_ivf",
-        "q_stats_moments", "q_graph_triangles")
+        "q1_agg", "q_join_asof", "q_join_range", "q_ann_ivf", "q_ann_pq",
+        "q_stats_moments", "q_graph_triangles", "q_dedup_embcos_lsh",
+        "q_text_decontam", "q_text_pack")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
