@@ -810,6 +810,55 @@ object PipelineQueries {
                    END AS n_at_scale
             FROM sc ORDER BY vec_id"""))
 
+  /** Corpus-trained bigram-LM perplexity scoring — the classic
+    * model-based quality filter (docs the corpus LM finds surprising are
+    * outliers). Train = two count aggregations (unigrams, bigrams) over
+    * the corpus; score = per-doc mean negative log add-one-smoothed
+    * bigram probability. Float discipline: each log is rounded to 8dp,
+    * summed through DECIMAL(20,12) (order-independent), mean rounded to
+    * 6dp. At scale both count tables partition by their leading token —
+    * a broadcast join against the doc bigrams. */
+  val textPerplexity = QueryDef(
+    "q_text_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      val bg = docs
+        .select($"doc_id", $"toks",
+          posexplode(slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0)))))
+        .select($"doc_id", $"col".as("w1"), element_at($"toks", $"pos" + 2).as("w2"))
+      val uni = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val pair = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val v = docs.select(explode($"toks").as("w")).agg(countDistinct($"w").as("v"))
+      bg.join(broadcast(pair), Seq("w1", "w2"))
+        .join(broadcast(uni), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("nlp", round(-log(($"c12" + 1.0) / ($"c1" + $"v")), 8)
+          .cast(DecimalType(20, 12)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          // cast the exact decimal sum to double BEFORE dividing — decimal
+          // division scale rules would otherwise diverge from the oracle's
+          // double arithmetic in the last ulp
+          round(sum($"nlp").cast("double") / count(lit(1)), 6).as("avg_nll"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |bg AS (SELECT doc_id, toks[j+1] AS w1, toks[j+2] AS w2
+             |       FROM t, unnest(range(greatest(len(toks) - 1, 0))) AS u(j)),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+             |pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |v AS (SELECT COUNT(DISTINCT w) AS v FROM
+             |        (SELECT unnest(toks) AS w FROM t)),
+             |sc AS (SELECT bg.doc_id,
+             |              CAST(round(-ln((pair.c12 + 1.0) / (uni.c1 + v.v)), 8) AS DECIMAL(20,12)) AS nlp
+             |       FROM bg JOIN pair USING (w1, w2) JOIN uni USING (w1), v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |       round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** The END-TO-END training-data pipeline as ONE composed plan: plant
     * duplicates + PII → scrub → language-ID → quality filter → exact
     * dedup (min-id keeper on the CLEANED text) → token-budget sequence
@@ -908,5 +957,5 @@ object PipelineQueries {
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
-    textPack, vecQuantize, pipelineE2e)
+    textPack, vecQuantize, textPerplexity, pipelineE2e)
 }
