@@ -353,6 +353,66 @@ object PipelineQueries {
          |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     })
 
+  /** ANN quality evaluation as a query: recall@5 of multi-probe LSH
+    * against the exact brute-force top-5, per query vector — the metric
+    * every ANN deployment tracks, computed by the engine itself (join the
+    * approximate and exact top-k lists, count the intersection). */
+  val annRecall = QueryDef(
+    "q_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val approx = Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id",
+          "embedding", k = 5, probeRadius = 1)
+        .select($"qid", $"cid")
+      val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = TextOps.spread(e).select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val exact = c.join(broadcast(q))
+        .withColumn("cos", round(graft.functions.vec.cosine($"cv", $"qv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"cid")
+      exact.join(approx, Seq("qid", "cid"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_hit"),
+          (count(lit(1)) / 5.0).as("recall_at_5"))
+        .orderBy($"qid")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      val cos = (a: String, b: String) =>
+        s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+           |           THEN 0.0
+           |           ELSE list_dot_product($a, $b) /
+           |                (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |qp AS (SELECT qid, qv,
+         |              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                      xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM q),
+         |sa AS (SELECT qp.qid, c.vec_id AS cid, ${cos("c.v", "qp.qv")} AS cos
+         |       FROM b c JOIN qp ON c.bucket = qp.bucket),
+         |approx AS (SELECT qid, cid FROM (
+         |             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |             FROM sa) WHERE rn <= 5),
+         |se AS (SELECT q.qid, c.vec_id AS cid, ${cos("c.v", "q.qv")} AS cos
+         |       FROM e c CROSS JOIN q),
+         |exact AS (SELECT qid, cid FROM (
+         |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |            FROM se) WHERE rn <= 5)
+         |SELECT exact.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |       COUNT(*) / 5.0::DOUBLE AS recall_at_5
+         |FROM exact JOIN approx USING (qid, cid)
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
+    })
+
   // --------------------------------------------------------- text analysis
   val textLangId = QueryDef(
     "q_text_langid",
@@ -953,7 +1013,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
-    dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq,
+    dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
