@@ -17,22 +17,45 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
     "fr" -> Seq("le", "les", "et", "est", "un", "une", "dans"))
 
+  /** Column kernel: argmax language prediction over distinct-stopword hit
+    * counts (tie-break: list order en > de > es > fr). Pure expression —
+    * composable into any projection without a join. */
+  def predLangCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = array_distinct(tokens(textCol))
+    val Seq(en, de, es, fr) = stopwords.map { case (_, words) =>
+      size(array_intersect(toks, typedlit(words)))
+    }
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Column kernel: the heuristic quality score (stopword / length /
+    * punctuation ratios), rounded to 6dp. */
+  def qualityCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(textCol)
+    val lower6 = lower(textCol)
+    val allStop = typedlit(stopwords.flatMap(_._2))
+    val nTokens = size(toks)
+    val nChars = length(textCol)
+    val nPunct = length(lower6) - length(regexp_replace(lower6, "[^a-z0-9 ]", ""))
+    val nStop = size(array_intersect(array_distinct(toks), allStop))
+    round(
+      lit(0.4) * (nStop / greatest(nTokens, lit(1)).cast("double")) +
+        lit(0.3) * least(nTokens / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - nPunct / greatest(nChars, lit(1)).cast("double")), 6)
+  }
+
   /** Distinct-stopword hit counts per language + argmax prediction
     * (tie-break: list order en > de > es > fr). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = array_distinct(tokens(col(textCol)))
-    val withHits = docs.select(
+    docs.select(
       (col(idCol).as("doc_id") +:
         stopwords.map { case (lang, words) =>
           size(array_intersect(toks, typedlit(words))).as(s"hits_$lang")
-        }): _*)
-    // explicit argmax CASE chain, first-listed language wins ties
-    val Seq(en, de, es, fr) = stopwords.map(l => col(s"hits_${l._1}"))
-    withHits.withColumn("pred_lang",
-      when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es")
-        .otherwise("fr"))
+        }) :+ predLangCol(col(textCol)).as("pred_lang"): _*)
   }
 
   /** Heuristic quality score from length / punctuation / stopword ratios
@@ -47,13 +70,10 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars"),
       (length(lower6) - length(regexp_replace(lower6, "[^a-z0-9 ]", "")))
         .as("n_punct"),
-      size(array_intersect(array_distinct(toks), allStop)).as("n_stop"))
+      size(array_intersect(array_distinct(toks), allStop)).as("n_stop"),
+      qualityCol(col(textCol)).as("quality"))
       .withColumn("stop_ratio", col("n_stop") / greatest(col("n_tokens"), lit(1)).cast("double"))
       .withColumn("punct_ratio", col("n_punct") / greatest(col("n_chars"), lit(1)).cast("double"))
-      .withColumn("quality", round(
-        lit(0.4) * col("stop_ratio") +
-          lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("punct_ratio")), 6))
   }
 
   /** Token counts: whitespace tokens + a BPE-ish regex segmentation

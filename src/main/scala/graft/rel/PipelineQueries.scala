@@ -942,19 +942,21 @@ object PipelineQueries {
         .withColumn("text", concat($"text", lit(" contact user"),
           ($"doc_id" % 100000).cast("string"), lit("@example.com")))
         .withColumn("text", regexp_replace($"text", emailRe, "<EMAIL>"))
-      val lang = TextAnalysis.languageId(clean, "doc_id", "text")
-        .select($"doc_id", $"pred_lang")
-      val qual = TextAnalysis.qualityScore(clean, "doc_id", "text")
-        .select($"doc_id", $"quality", $"n_tokens")
+      // language + quality are COLUMN kernels — fused into one projection
+      // (self-joining per-row derivations would add two full-corpus
+      // shuffles for nothing); the only wide ops are the dedup groupBy,
+      // its keeper join, and the per-source packing window
+      val scored = clean
+        .withColumn("pred_lang", TextAnalysis.predLangCol($"text"))
+        .withColumn("quality", TextAnalysis.qualityCol($"text"))
+        .withColumn("nt", size(TextOps.tokens($"text")).cast("long"))
       val keepers = clean.groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-      val surviving = clean.join(keepers, "doc_id")
-        .join(lang, "doc_id").join(qual, "doc_id")
+      val surviving = scored.join(keepers, "doc_id")
         .filter($"pred_lang" === "en" && $"quality" >= 0.5)
       val w = Window.partitionBy($"source").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       surviving
-        .withColumn("nt", $"n_tokens".cast("long"))
         .withColumn("cum", sum($"nt").over(w))
         .withColumn("bin", (($"cum" - $"nt") / 2048).cast("long"))
         .groupBy($"source", $"bin")
