@@ -870,6 +870,67 @@ object PipelineQueries {
                    END AS n_at_scale
             FROM sc ORDER BY vec_id"""))
 
+  /** Domain-mixture reweighting: per-source token shares and the resample
+    * rate that flattens the mix to a uniform target — the "data mixing"
+    * stage that decides how much of each domain a training run sees.
+    * Integer token counts → one double division each; rates capped at 1. */
+  val mixWeights = QueryDef(
+    "q_mix_weights",
+    (s, dir) => {
+      import s.implicits._
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", size(TextOps.tokens($"text")).cast("long").as("nt"))
+      val bySource = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("tokens"))
+      val total = bySource.agg(sum($"tokens").as("total"),
+        count(lit(1)).as("n_sources"))
+      bySource.crossJoin(broadcast(total))
+        .select($"source", $"n_docs", $"tokens",
+          round($"tokens".cast("double") / $"total", 6).as("share"),
+          round(least(lit(1.0),
+            (lit(1.0) / $"n_sources") / ($"tokens".cast("double") / $"total")), 6)
+            .as("resample_rate"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH d AS (SELECT source,
+                    CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(nt) AS BIGINT) AS tokens
+                    FROM d GROUP BY source),
+             t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                          CAST(COUNT(*) AS BIGINT) AS n_sources FROM bs)
+             SELECT source, n_docs, tokens,
+                    round(CAST(tokens AS DOUBLE) / total, 6) AS share,
+                    round(least(1.0::DOUBLE,
+                      (1.0::DOUBLE / n_sources) / (CAST(tokens AS DOUBLE) / total)), 6)
+                      AS resample_rate
+             FROM bs, t ORDER BY source"""))
+
+  /** Per-label embedding centroids in exploded (label, idx, c) form —
+    * class prototypes for clustering/classifier init. Element-wise means
+    * go through DECIMAL(20,10) partial sums (order-independent; no float
+    * sits exactly on a 10dp half-boundary, so the decimal conversion is
+    * engine-identical), divided as doubles. */
+  val vecCentroids = QueryDef(
+    "q_vec_centroids",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      TextOps.spread(Tables(s, dir, "embeddings"))
+        .select($"label", posexplode($"embedding".cast("array<double>")))
+        .groupBy($"label", $"pos".as("idx"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"col".cast(DecimalType(20, 10))).cast("double") / count(lit(1)), 6)
+            .as("c"))
+        .orderBy($"label", $"idx")
+    },
+    Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            x AS (SELECT label, CAST(u.j AS INT) AS idx, v[u.j + 1] AS x
+                  FROM e, unnest(range(len(v))) AS u(j))
+            SELECT label, idx, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c
+            FROM x GROUP BY label, idx ORDER BY label, idx"""))
+
   /** Corpus-trained bigram-LM perplexity scoring — the classic
     * model-based quality filter (docs the corpus LM finds surprising are
     * outliers). Train = two count aggregations (unigrams, bigrams) over
@@ -1019,5 +1080,6 @@ object PipelineQueries {
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
-    textPack, vecQuantize, textPerplexity, pipelineE2e)
+    textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
+    pipelineE2e)
 }
