@@ -651,7 +651,11 @@ object ExtQueries {
       import s.implicits._
       val qv = typedlit(VectorQueries.queryVec)
       val a = $"embedding".cast("array<double>")
-      Tables(s, dir, "embeddings")
+      // nested HOFs run interpreted with the inner array re-evaluated per
+      // aggregate step (the documented lambda-inlining trap this query
+      // exists to demonstrate) — spread the scan so that cost at least
+      // parallelizes instead of landing on one small-file partition
+      graft.pipeline.TextOps.spread(Tables(s, dir, "embeddings"))
         .select($"vec_id",
           round(aggregate(zip_with(a, qv, (x, y) => x * y),
             lit(0.0), (acc, x) => acc + x), 6).as("dot"),
