@@ -161,6 +161,55 @@ class PipelineSpec extends SparkSpec {
     assert(resized.forall(_.payload.length <= 100))
   }
 
+  test("sequence packing: bins non-decreasing per source; greedy budget bound holds") {
+    val got = rel.PipelineQueries.textPack.run(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._2)
+    got.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last),
+        s"$src: bin ids must be non-decreasing in doc order")
+      // greedy contiguous packing: a bin holds < budget + its last doc
+      sorted.groupBy(_._4).foreach { case (bin, docs) =>
+        val tokens = docs.map(_._3).sum
+        assert(tokens < 2048 + docs.map(_._3).max,
+          s"$src bin $bin overshoots the greedy bound: $tokens")
+      }
+    }
+  }
+
+  test("int8 quantization: checksum bounded by ±127·dim; scale is max |x|") {
+    val got = rel.PipelineQueries.vecQuantize.run(spark, sf)
+      .as[(Long, Double, Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, scale, checksum, nAtScale) =>
+      assert(scale >= 0.0, s"$id")
+      assert(math.abs(checksum) <= 127L * 64, s"$id checksum $checksum")
+      assert(nAtScale >= 1 || scale == 0.0, s"$id: some component attains the max")
+    }
+  }
+
+  test("bigram perplexity: smoothed probabilities < 1 ⇒ strictly positive NLL") {
+    val got = rel.PipelineQueries.textPerplexity.run(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, nll) =>
+      assert(n >= 1, s"$id")
+      assert(nll > 0.0, s"$id: add-one smoothing keeps P < 1, so NLL > 0; got $nll")
+    }
+  }
+
+  test("mixture weights: shares sum to ~1; rates in (0, 1]") {
+    val got = rel.PipelineQueries.mixWeights.run(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length > 1)
+    val shareSum = got.map(_._4).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum $shareSum")
+    got.foreach { case (src, _, _, share, rate) =>
+      assert(share > 0 && rate > 0 && rate <= 1.0, s"$src: $share $rate")
+    }
+  }
+
   test("fingerprint is order-sensitive (unlike minhash)") {
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
