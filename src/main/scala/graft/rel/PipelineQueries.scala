@@ -1074,6 +1074,64 @@ object PipelineQueries {
          |FROM p GROUP BY source, bin ORDER BY source, bin""".stripMargin
     })
 
+  /** Pipeline survival funnel — the observability counterpart of
+    * q_pipeline_e2e: how many docs survive each curation stage (raw →
+    * dedup-keeper → language → quality), computed as conditional sums in
+    * ONE corpus pass + the keeper join. The audit row every production
+    * pipeline logs per run. */
+  val pipelineFunnel = QueryDef(
+    "q_pipeline_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "documents").select($"doc_id", $"source", $"text")
+      val corpus = base.unionByName(
+        base.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"), $"source", $"text"))
+      val scored = corpus
+        .withColumn("pred_lang", TextAnalysis.predLangCol($"text"))
+        .withColumn("quality", TextAnalysis.qualityCol($"text"))
+      val keepers = corpus.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", lit(1).as("k"))
+      scored.join(keepers, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          coalesce(sum($"k"), lit(0)).cast("bigint").as("n_dedup"),
+          coalesce(sum(when($"pred_lang" === "en", $"k")), lit(0))
+            .cast("bigint").as("n_lang"),
+          coalesce(sum(when($"pred_lang" === "en" && $"quality" >= 0.5, $"k")), lit(0))
+            .cast("bigint").as("n_quality"))
+    },
+    Some {
+      val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+        val litList = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct($toksSql), $litList)) AS INT) AS hits_$lang"
+      }.mkString(",\n                ")
+      val allStop = TextAnalysis.stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+         |corpus AS (SELECT doc_id, source, text FROM base
+         |           UNION ALL SELECT doc_id + 100000, source, text FROM base WHERE doc_id < 20),
+         |h AS (SELECT doc_id, text, $hits FROM corpus),
+         |scored AS (SELECT doc_id, text,
+         |                  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |                       WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |                       WHEN hits_es >= hits_fr THEN 'es'
+         |                       ELSE 'fr' END AS pred_lang,
+         |                  round(0.4 * (CAST(len(list_intersect(list_distinct($toksSql), $allStop)) AS INT)
+         |                               / CAST(greatest(CAST(len($toksSql) AS INT), 1) AS DOUBLE)) +
+         |                        0.3 * least(CAST(len($toksSql) AS INT) / 100.0, 1.0) +
+         |                        0.3 * (1.0 - (CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INT)
+         |                                      / CAST(greatest(CAST(length(text) AS INT), 1) AS DOUBLE))), 6) AS quality
+         |           FROM h),
+         |keep AS (SELECT MIN(doc_id) AS doc_id, 1 AS k FROM corpus GROUP BY md5(text))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS n_dedup,
+         |       CAST(COALESCE(SUM(CASE WHEN pred_lang = 'en' THEN k END), 0) AS BIGINT) AS n_lang,
+         |       CAST(COALESCE(SUM(CASE WHEN pred_lang = 'en' AND quality >= 0.5 THEN k END), 0) AS BIGINT) AS n_quality
+         |FROM scored LEFT JOIN keep USING (doc_id)""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
@@ -1081,5 +1139,5 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    pipelineE2e)
+    pipelineE2e, pipelineFunnel)
 }
