@@ -298,6 +298,97 @@ object GraphQueries {
              SELECT node, round(MIN(pw), 6) AS dist
              FROM walk GROUP BY node ORDER BY node"""))
 
+  /** Per-node local clustering coefficient: cc = 2·tri / (deg·(deg−1)).
+    *
+    * Composes the O(m^1.5) degree-ordered triangle count with undirected
+    * degrees — one extra broadcastable join over q_graph_triangles' plan.
+    * FP-safe: 2·tri and deg·(deg−1) are exactly representable integers, so
+    * the single IEEE division is bit-identical in both engines.
+    */
+  val graphClustering = QueryDef(
+    "q_graph_clustering",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir)
+      val und = graft.graph.GraphAnalytics.undirected(ed.select($"src", $"dst"))
+      val deg = graft.graph.GraphAnalytics.degrees(und)
+      val tri = graft.graph.GraphAnalytics.triangleCounts(ed)
+      deg.join(tri, deg("n") === tri("node"), "left")
+        .select(deg("n").as("node"), $"deg",
+          coalesce($"tri", lit(0L)).as("tri"),
+          when($"deg" >= 2,
+            (lit(2.0) * coalesce($"tri", lit(0L))) / ($"deg" * ($"deg" - 1)))
+            .otherwise(lit(0.0)).as("cc"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM ed WHERE src <> dst),
+             deg AS (SELECT n, COUNT(*) AS d
+                     FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+                     GROUP BY n),
+             ori AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                                 THEN u ELSE v END AS a,
+                            CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                                 THEN v ELSE u END AS b,
+                            CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                                 THEN dv.d ELSE du.d END AS db
+                     FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+             w AS (SELECT e1.a AS a, e1.b AS y, e2.b AS z
+                   FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+                   WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+             t AS (SELECT w.a, w.y, w.z FROM w JOIN ori c ON c.a = w.y AND c.b = w.z),
+             tri AS (SELECT node, COUNT(*) AS tri
+                     FROM (SELECT unnest([a, y, z]) AS node FROM t) GROUP BY node)
+             SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS deg,
+                    CAST(COALESCE(tri.tri, 0) AS BIGINT) AS tri,
+                    CASE WHEN deg.d >= 2
+                         THEN (2.0 * COALESCE(tri.tri, 0)) / (deg.d * (deg.d - 1))
+                         ELSE 0.0 END AS cc
+             FROM deg LEFT JOIN tri ON tri.node = deg.n
+             ORDER BY node"""))
+
+  /** Item-item neighbor-Jaccard similarity (link prediction / co-occurrence).
+    *
+    * Treats the derived graph bipartitely: an "item" is any dst node, its
+    * neighborhood the distinct src users pointing at it. Common neighbors
+    * come from one equi-join on user — the standard co-occurrence shape
+    * whose cost is Σ_user (items-per-user)², bounded here by the 15-item
+    * universe and at scale by capping per-user lists (the usual guard).
+    * Jaccard = |∩| / (|A|+|B|−|∩|): one IEEE division of exact integers,
+    * bit-identical both engines, so ranking on it is hash-stable.
+    */
+  val graphJaccard = QueryDef(
+    "q_graph_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val adj = eventEdges(s, dir)
+        .select($"dst".as("item"), $"src".as("usr")).distinct()
+        .localCheckpoint()
+      val d = adj.groupBy($"item").agg(count(lit(1)).as("di"))
+      val a = adj.select($"item".as("ia"), $"usr")
+      val b = adj.select($"item".as("ib"), $"usr")
+      val pairs = a.join(b, Seq("usr")).filter($"ia" < $"ib")
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("common"))
+      pairs
+        .join(d.select($"item".as("ia"), $"di".as("da")), Seq("ia"))
+        .join(d.select($"item".as("ib"), $"di".as("db")), Seq("ib"))
+        .select($"ia", $"ib", $"common",
+          ($"common".cast("double") / ($"da" + $"db" - $"common")).as("jaccard"))
+        .orderBy($"jaccard".desc, $"ia", $"ib")
+        .limit(20)
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             adj AS (SELECT DISTINCT dst AS item, src AS usr FROM ed),
+             d AS (SELECT item, COUNT(*) AS di FROM adj GROUP BY item),
+             pr AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS common
+                    FROM adj a JOIN adj b ON a.usr = b.usr AND a.item < b.item
+                    GROUP BY 1, 2)
+             SELECT ia, ib, CAST(common AS BIGINT) AS common,
+                    CAST(common AS DOUBLE) / (da.di + db.di - common) AS jaccard
+             FROM pr JOIN d da ON da.item = pr.ia JOIN d db ON db.item = pr.ib
+             ORDER BY jaccard DESC, ia, ib LIMIT 20"""))
+
   private def pagerankSql(iters: Int): String = {
     val head =
       s"""WITH $edgesCte, $edCte,
@@ -322,5 +413,6 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
-      graphDegree, graphTriangles, graphPagerankExact, graphSssp)
+      graphDegree, graphTriangles, graphPagerankExact, graphSssp,
+      graphClustering, graphJaccard)
 }
