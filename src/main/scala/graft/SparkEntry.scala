@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     rel.RelQueries.all ++ rel.VectorQueries.all ++ rel.GraphQueries.all ++
       rel.GraphXQueries.all ++ rel.PipelineQueries.all ++ rel.StreamQueries.all ++
-      rel.ExtQueries.all
+      rel.ExtQueries.all ++ rel.ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hybrid fusion pipeline — the reference's distinguishing operator

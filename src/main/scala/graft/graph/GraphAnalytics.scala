@@ -121,4 +121,61 @@ object GraphAnalytics {
     }
     rank.select(col("n").as("node"), col("r").as("rank_fp"))
   }
+
+  /** Both directions of the undirected simple edge set — the adjacency
+    * relation the per-node iterative algorithms below join against. */
+  private def bothWays(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    und.unionAll(und.select(col("v"), col("u"))).toDF("u", "v")
+  }
+
+  /** Synchronous min-label propagation, `iters` rounds of
+    * label(v) ← min(label(v), min over neighbors label(u)), labels seeded
+    * with node ids. The min semiring makes every round order-independent —
+    * no random tie-breaks, so the result hash-matches a sequential oracle
+    * at any parallelism. After diam(G) rounds this is exactly connected
+    * components; at fewer rounds it is bounded-radius community labels
+    * (what the declared query uses). One equi-join + one min-agg shuffle
+    * per round, lineage cut per round. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    var lab = ee.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val nb = ee.join(lab, ee("u") === lab("node"))
+        .select(ee("v").as("node"), col("label"))
+      lab = lab.unionByName(nb)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** Bounded-round k-core peeling (onion decomposition): round i removes
+    * every node whose degree within the surviving induced subgraph is < k.
+    * Returns (node, peel_round) over ALL nodes — the 1-based round the node
+    * was peeled at, 0 for survivors. Each non-final round removes ≥1 node,
+    * so `rounds` ≥ |V| always reaches the fixpoint, where the 0-labels are
+    * exactly the k-core; the declared query's round budget is past the
+    * fixpoint on every fixture (asserted by GraphAnalyticsSpec). Two
+    * shuffles per round (survivor semi-joins + degree agg). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    var alive = ee.select(col("u").as("node")).distinct().localCheckpoint()
+    var peeled = alive.select(col("node"), lit(0).as("peel_round")).limit(0)
+    for (i <- 1 to rounds) {
+      val keep = ee
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("node"))
+        .localCheckpoint()
+      val dropped = alive.join(keep, Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("peel_round"))
+      peeled = peeled.unionByName(dropped)
+      alive = keep
+    }
+    peeled.unionByName(alive.select(col("node"), lit(0).as("peel_round")))
+  }
 }

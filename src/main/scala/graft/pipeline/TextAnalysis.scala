@@ -97,4 +97,41 @@ object TextAnalysis {
         transform(tokens(col(textCol)), t => strHash(t)),
         lit(0L),
         (acc, h) => (acc * 31L + h) % P).as("fp"))
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    * quality rules): token count, distinct-token ratio, most-frequent-token
+    * fraction, most-frequent-bigram fraction, and the repetition flag the
+    * filter stage keys on. Boilerplate and degenerate generations are
+    * exactly the docs these ratios expose.
+    *
+    * Shape: two explode→groupBy pipelines keyed by doc id joined back —
+    * every shuffle is hash-partitioned on the id, no per-doc driver state,
+    * so it scales as ordinary aggregation. Ratios are rounded to 6dp
+    * BEFORE the flag comparison (CLAUDE.md float rule) so the flag is
+    * cross-engine deterministic. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val tokStats = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+          (t, i) => concat(t, lit(" "), element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val bgStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("n_distinct").cast("double") / col("n_tok"), 6).as("distinct_ratio"),
+        round(col("top_tok").cast("double") / col("n_tok"), 6).as("top_tok_frac"),
+        round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("distinct_ratio") < 0.2)
+  }
 }

@@ -1,0 +1,363 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.functions.vec
+import graft.graph.GraphAnalytics
+import graft.operators.ZOrder
+import graft.pipeline.{TextAnalysis, TextOps, WebOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 declared operators: URL parsing/canonical dedup, Gopher-style
+  * repetition quality, corpus n-gram stats, cohort retention, Z-order data
+  * layout, bounded label propagation + k-core peeling over a sparse derived
+  * graph, and coarse-to-fine (prefix-dim) vector reranking.
+  *
+  * The graph queries derive a SPARSE bipartite graph (user ↔ prop-key) by
+  * deterministic hash sampling — the dense ≤15-node event graph that feeds
+  * the BFS queries is near-complete, which would make community/core
+  * structure vacuous. Hash sampling (TextOps.strHash % 5 = 0) keeps the
+  * same 20% of edges in both engines at every scale factor.
+  */
+object ScaleQueries {
+
+  // ------------------------------------------------------------ shared SQL
+  private val toksSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  /** Sparse user↔key bipartite edges, Spark side. Node ids: users < 100000,
+    * prop keys 100000+k — disjoint ranges, so the canonical undirected form
+    * is exactly (user, key). */
+  private[graft] def sparseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = get_json_object($"props", "$.k")
+    Tables(s, dir, "events")
+      .select($"user_id".as("src"), (lit(100000L) + k.cast("long")).as("dst"),
+        TextOps.strHash(concat($"user_id".cast("string"), lit(":"), k)).as("hv"))
+      .filter($"hv" % 5 === 0)
+      .select($"src", $"dst")
+      .distinct()
+  }
+
+  /** The same graph, DuckDB side: e0 = canonical edges, ee = both ways. */
+  private val eeCte =
+    """e0 AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         100000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |  FROM events
+      |  WHERE (CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+      |           json_extract_string(props, '$.k')), 1, 15)) AS BIGINT)
+      |         % 2147483647) % 5 = 0),
+      |ee AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)""".stripMargin
+
+  // ----------------------------------------------------------------- URLs
+  /** URL component extraction (cat 8 surface a crawl pipeline lives on).
+    * Spark uses the native parse_url; the oracle mirrors with regexes. */
+  val fnUrl = QueryDef(
+    "q_fn_url",
+    (s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://"), $"source", lit(".example.com/docs/"),
+        ($"doc_id" % 7).cast("string"), lit("/page?ref="), $"lang",
+        lit("&utm_source=feed&id="), $"doc_id".cast("string"))
+      Tables(s, dir, "documents")
+        .select($"doc_id", url.as("url"))
+        .select($"doc_id",
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").as("id_param"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' ||
+                   CAST(doc_id % 7 AS VARCHAR) || '/page?ref=' || lang ||
+                   '&utm_source=feed&id=' || CAST(doc_id AS VARCHAR) AS url
+                 FROM documents)
+            SELECT doc_id,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                   regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+            FROM u ORDER BY doc_id"""))
+
+  /** URL-canonicalization dedup: plant tracking-link variants (uppercase
+    * host + utm query + fragment + trailing slash) for 25 docs, group by
+    * the canonical form (WebOps.canonicalize), report groups > 1. The
+    * cheapest dedup signal in a crawl: one string kernel + one groupBy. */
+  val dedupUrl = QueryDef(
+    "q_dedup_url",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val baseUrl = concat(lit("https://"), $"source", lit(".example.com/docs/"),
+        ($"doc_id" % 7).cast("string"), lit("/p"), $"doc_id".cast("string"))
+      val variantUrl = concat(lit("HTTPS://"), upper($"source"), lit(".EXAMPLE.COM/docs/"),
+        ($"doc_id" % 7).cast("string"), lit("/p"), $"doc_id".cast("string"),
+        lit("/?utm_source=x&utm_campaign=y#frag"))
+      val corpus = docs.select($"doc_id", baseUrl.as("url")).unionByName(
+        docs.filter($"doc_id" < 25)
+          .select(($"doc_id" + 100000).as("doc_id"), variantUrl.as("url")))
+      corpus.groupBy(WebOps.canonicalize($"url").as("url"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .filter($"n" > 1)
+        .orderBy($"keep_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/docs/' ||
+                     CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     'HTTPS://' || upper(source) || '.EXAMPLE.COM/docs/' ||
+                     CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) ||
+                     '/?utm_source=x&utm_campaign=y#frag'
+              FROM documents WHERE doc_id < 25),
+            canon AS (SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         lower(regexp_extract(url, '(?i)^(https?://[^/]+)', 1)) ||
+                         regexp_extract(url, '(?i)^https?://[^/]+(.*)$', 1),
+                         '#.*$', ''),
+                       '\?utm_[^#]*$', ''),
+                     '/$', '') AS url
+              FROM corpus)
+            SELECT url, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM canon GROUP BY url HAVING COUNT(*) > 1
+            ORDER BY keep_id"""))
+
+  // ------------------------------------------------------- text repetition
+  /** Gopher repetition-quality metrics over corpus + 10 planted degenerate
+    * docs ('spam ham eggs ' × 40) — the filter stage that drops boilerplate
+    * and repetitive generations from training data. */
+  val textRepetition = QueryDef(
+    "q_text_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 10).select(($"doc_id" + 200000).as("doc_id"),
+          repeat(lit("spam ham eggs "), 40).as("text")))
+      TextAnalysis.repetitionMetrics(corpus, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 200000, repeat('spam ham eggs ', 40)
+               FROM documents WHERE doc_id < 10),
+             t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             tc AS (SELECT doc_id, tok, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+             ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                           CAST(MAX(c) AS BIGINT) AS top_tok
+                    FROM tc GROUP BY 1),
+             bc AS (SELECT doc_id, b, COUNT(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(CASE WHEN len(toks) >= 2
+                                        THEN list_transform(range(len(toks)-1),
+                                               j -> toks[j+1] || ' ' || toks[j+2])
+                                        ELSE [] END) AS b
+                          FROM t) GROUP BY 1, 2),
+             bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+                           CAST(MAX(c) AS BIGINT) AS top_bg
+                    FROM bc GROUP BY 1),
+             m AS (SELECT ts.doc_id, ts.n_tok,
+                          round(CAST(ts.n_distinct AS DOUBLE) / ts.n_tok, 6) AS distinct_ratio,
+                          round(CAST(ts.top_tok AS DOUBLE) / ts.n_tok, 6) AS top_tok_frac,
+                          round(COALESCE(CAST(bs.top_bg AS DOUBLE) / bs.n_bg, 0.0), 6) AS top_bigram_frac
+                   FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)
+             SELECT *, (top_bigram_frac > 0.18 OR distinct_ratio < 0.2) AS repetitive
+             FROM m ORDER BY doc_id"""))
+
+  /** Corpus-level top-20 bigrams (count desc, bigram asc) — the n-gram
+    * frequency table that feeds contamination checks and LM smoothing.
+    * Explode + one hash groupBy + TakeOrdered: no global sort. */
+  val textNgramTopk = QueryDef(
+    "q_text_ngram_topk",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      Tables(s, dir, "documents")
+        .select(explode(when(size(toks) >= 2,
+          transform(slice(toks, lit(1), size(toks) - 1),
+            (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+        .groupBy($"ngram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"ngram")
+        .limit(20)
+    },
+    Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+             bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(len(toks)-1),
+                                   j -> toks[j+1] || ' ' || toks[j+2])
+                            ELSE [] END) AS ngram FROM t)
+             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+             FROM bg GROUP BY ngram
+             ORDER BY n DESC, ngram LIMIT 20"""))
+
+  // ------------------------------------------------------ cohort retention
+  /** Weekly cohort retention over events: cohort = user's first active
+    * week, offset = weeks since cohort, n_users = distinct users active.
+    * Two hash-partitioned aggregations on user_id — the product-analytics
+    * staple, shaped exactly like its 100 TB form. */
+  val eventsRetention = QueryDef(
+    "q_events_retention",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", date_trunc("week", $"ts").as("w"))
+      val cohort = ev.groupBy($"user_id").agg(min($"w").as("cw"))
+      ev.join(cohort, "user_id")
+        .select($"cw".cast("date").as("cohort_week"),
+          (datediff($"w", $"cw") / 7).cast("int").as("week_offset"), $"user_id")
+        .distinct()
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+            ch AS (SELECT user_id, MIN(w) AS cw FROM ev GROUP BY 1),
+            j AS (SELECT DISTINCT CAST(cw AS DATE) AS cohort_week,
+                         CAST(date_diff('day', cw, w) / 7 AS INT) AS week_offset,
+                         ev.user_id
+                  FROM ev JOIN ch USING (user_id))
+            SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+
+  // ------------------------------------------------------- Z-order layout
+  /** Z-order clustered sink: Morton-interleave (l_orderkey%1024,
+    * l_partkey%1024), range-partition + sort by the key, write parquet,
+    * read back and report per-bucket extents — bounded min/max ranges on
+    * BOTH dimensions per bucket are what make file-skipping work. The
+    * oracle mirrors the same unrolled bit arithmetic (no sink). */
+  val sinkZorder = QueryDef(
+    "q_sink_zorder",
+    (s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_sink_zorder_${math.abs(dir.hashCode)}"
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey",
+          ($"l_orderkey" % 1024).as("zx"), ($"l_partkey" % 1024).as("zy"))
+        .withColumn("zkey", ZOrder.interleave($"zx", $"zy", 10))
+        .repartitionByRange(8, $"zkey")
+        .sortWithinPartitions($"zkey")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(shiftright($"zkey", 14).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"zx").as("min_zx"), max($"zx").as("max_zx"),
+          min($"zy").as("min_zy"), max($"zy").as("max_zy"))
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH z AS (SELECT l_orderkey % 1024 AS zx, l_partkey % 1024 AS zy
+                        FROM lineitem),
+             zk AS (SELECT zx, zy, ${ZOrder.interleaveSql("zx", "zy", 10)} AS zkey FROM z)
+             SELECT zkey >> 14 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                    MIN(zx) AS min_zx, MAX(zx) AS max_zx,
+                    MIN(zy) AS min_zy, MAX(zy) AS max_zy
+             FROM zk GROUP BY 1 ORDER BY bucket"""))
+
+  // ------------------------------------------------------ graph structure
+  private def lpaCtes(iters: Int): String =
+    (1 to iters).foldLeft(
+      "l0 AS (SELECT node, node AS label FROM (SELECT DISTINCT u AS node FROM ee))") {
+      (acc, i) =>
+        acc + s""",
+          l$i AS (SELECT node, MIN(label) AS label FROM (
+            SELECT node, label FROM l${i - 1}
+            UNION ALL
+            SELECT ee.v AS node, l${i - 1}.label
+            FROM ee JOIN l${i - 1} ON ee.u = l${i - 1}.node) GROUP BY node)"""
+    }
+
+  /** 3-round synchronous min-label propagation over the sparse graph —
+    * bounded-radius community labels (15/26/30 distinct labels at the three
+    * fixture SFs: structure, not the vacuous 1-label fixpoint). */
+  val graphLpa = QueryDef(
+    "q_graph_lpa",
+    (s, dir) => {
+      import s.implicits._
+      GraphAnalytics.labelPropagation(sparseEdges(s, dir), iters = 3)
+        .orderBy($"node")
+    },
+    Some(s"""WITH $eeCte,
+             ${lpaCtes(3)}
+             SELECT node, label FROM l3 ORDER BY node"""))
+
+  private def kcoreCtes(k: Int, rounds: Int): String =
+    (1 to rounds).foldLeft("s0 AS (SELECT DISTINCT u AS node FROM ee)") { (acc, i) =>
+      acc + s""",
+        s$i AS (SELECT ee.u AS node FROM ee
+                JOIN s${i - 1} sa ON ee.u = sa.node
+                JOIN s${i - 1} sb ON ee.v = sb.node
+                GROUP BY ee.u HAVING COUNT(*) >= $k)"""
+    }
+
+  /** 5-core onion decomposition, 8 peeling rounds (past the fixpoint on
+    * every fixture — GraphAnalyticsSpec asserts round 9 changes nothing):
+    * (node, peel_round) for every node, 0 = in the 5-core. */
+  val graphKcore = QueryDef(
+    "q_graph_kcore",
+    (s, dir) => {
+      import s.implicits._
+      GraphAnalytics.kCorePeel(sparseEdges(s, dir), k = 5, rounds = 8)
+        .orderBy($"node")
+    },
+    Some {
+      val rounds = 8
+      val cases = (1 to rounds).map(i => s"WHEN a$i.node IS NULL THEN $i").mkString(" ")
+      val joins = (1 to rounds).map(i => s"LEFT JOIN s$i a$i ON n.node = a$i.node").mkString(" ")
+      s"""WITH $eeCte,
+          ${kcoreCtes(5, rounds)}
+          SELECT n.node AS node, CAST(CASE $cases ELSE 0 END AS INT) AS peel_round
+          FROM s0 n $joins
+          ORDER BY n.node"""
+    })
+
+  // --------------------------------------------------- coarse-fine rerank
+  private val queryVecSql =
+    VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+  private val prefVecSql =
+    VectorQueries.queryVec.take(16).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Matryoshka-style coarse-to-fine ANN: rank by the 16-dim prefix dot
+    * product (4× less arithmetic + memory traffic per candidate), keep the
+    * top 50, exact-cosine rerank to top 10. At 100 TB the prefix pass is
+    * the scan-limited stage — a short-vector scan is exactly what MRL
+    * embeddings are trained to make accurate. */
+  val vecPrefixRerank = QueryDef(
+    "q_vec_prefix_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val qFull = array(VectorQueries.queryVec.map(lit): _*)
+      val qPref = array(VectorQueries.queryVec.take(16).map(lit): _*)
+      val coarse = Tables(s, dir, "embeddings")
+        .filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding",
+          round(vec.dot(slice($"embedding", 1, 16), qPref), 6).as("cs"))
+        .orderBy($"cs".desc, $"vec_id").limit(50)
+      coarse
+        .select($"vec_id", round(vec.cosine($"embedding", qFull), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id").limit(10)
+    },
+    Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                        FROM embeddings WHERE len(embedding) = 64),
+             co AS (SELECT vec_id, ev,
+                           round(list_dot_product(ev[1:16], $prefVecSql), 6) AS cs
+                    FROM c),
+             top AS (SELECT vec_id, ev FROM co ORDER BY cs DESC, vec_id LIMIT 50),
+             sc AS (SELECT vec_id, list_dot_product(ev, $queryVecSql) AS d,
+                           sqrt(list_dot_product(ev, ev)) *
+                           sqrt(list_dot_product($queryVecSql, $queryVecSql)) AS nn
+                    FROM top)
+             SELECT vec_id, round(CASE WHEN nn = 0 THEN 0.0 ELSE d / nn END, 6) AS score
+             FROM sc ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  val all: Seq[QueryDef] = Seq(
+    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
+    sinkZorder, graphLpa, graphKcore, vecPrefixRerank)
+}
