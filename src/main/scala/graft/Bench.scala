@@ -46,7 +46,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries" first, headline totals last: the driver stores only a
+    // bounded TAIL of this output, and with 149 queries the map is what
+    // gets truncated — the totals must sit at the end to survive. A
+    // compact summary line (valid JSON on its own) follows for parsers
+    // that scan line-by-line.
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
