@@ -151,6 +151,64 @@ object GraphAnalytics {
     lab
   }
 
+  /** Integer fixed-point HITS over the DIRECTED edge set (src → dst),
+    * `iters` unnormalized rounds: auth ← Aᵀ·hub, hub ← A·auth, seeds 1.
+    * Skipping the usual L2 normalization keeps every value an exact
+    * BIGINT — rankings are identical (normalization is a positive scalar)
+    * and the result hash-matches a sequential oracle at any parallelism.
+    * Values grow ~(d_max²)^iters, so iters must stay small (the declared
+    * query uses 2 — far inside BIGINT for any fixture and for any graph
+    * with d_max < ~2000 at iters 2). One equi-join + one sum-agg shuffle
+    * per half-step, lineage cut per step. Returns (node, hub, auth). */
+  def hitsFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct().localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1L).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aIn = e.join(hub, e("u") === hub("node"))
+        .groupBy(e("v").as("node")).agg(sum(col("h")).as("a"))
+      auth = nodes.join(aIn, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hOut = e.join(auth, e("v") === auth("node"))
+        .groupBy(e("u").as("node")).agg(sum(col("a")).as("h"))
+      hub = nodes.join(hOut, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** Adamic-Adar link prediction: for each non-adjacent pair (a, b),
+    * score = Σ over common neighbors w of 1/ln(deg(w)). Hubs with
+    * degree > `maxHubDeg` are skipped — the standard pruning: a hub's
+    * per-pair contribution 1/ln(d) is tiny while its wedge count C(d,2)
+    * is what makes naive AA quadratic. With the cap, wedge rows are
+    * ≤ |V|·C(maxHubDeg,2) — linear in nodes, cluster-safe. Degree-1 nodes
+    * are filtered BEFORE the contribution divide (they'd produce no pair
+    * anyway, but ANSI mode evaluates 1/ln(1) eagerly). Each contribution is
+    * rounded to 8dp then summed as DECIMAL (order-independent); final
+    * score rounded to 6dp. Returns (a, b, score). */
+  def adamicAdar(edges: DataFrame, maxHubDeg: Int): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    val deg = ee.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    val nbr = ee.select(col("u").as("w"), col("v").as("n"))
+      .join(deg.filter(col("deg") <= maxHubDeg && col("deg") >= 2), "w")
+      .withColumn("c", round(lit(1.0) / log(col("deg").cast("double")), 8)
+        .cast("decimal(18,8)"))
+    val wedges = nbr.as("x").join(nbr.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"), col("x.c").as("c"))
+    wedges.join(ee.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .groupBy("a", "b")
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+  }
+
   /** Bounded-round k-core peeling (onion decomposition): round i removes
     * every node whose degree within the surviving induced subgraph is < k.
     * Returns (node, peel_round) over ALL nodes — the 1-based round the node

@@ -165,4 +165,42 @@ object Dedup {
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Segment-level boilerplate removal (the line-dedup stage of CCNet-style
+    * web pipelines, on token segments since fixture docs are single-line):
+    * split each doc into fixed `segLen`-token segments, count how many
+    * DISTINCT docs each segment appears in, and drop segments shared by
+    * ≥ `minDocs` docs — headers, footers, cookie banners. Returns one row
+    * per doc: (doc_id, n_seg, n_kept, cleaned) where cleaned is the md5 of
+    * the surviving segments rejoined in order.
+    *
+    * Scale shape: explode to (doc, j, seg), ONE distinct-count groupBy on
+    * the segment string, one broadcast-or-shuffle join back, one groupBy
+    * on doc id. No pairwise comparison anywhere — frequency IS the
+    * boilerplate signal. */
+  def segmentCleanse(docs: DataFrame, idCol: String, textCol: String,
+                     segLen: Int = 10, minDocs: Long = 10): DataFrame = {
+    val nSeg = ceil(size(col("toks")).cast("double") / segLen).cast("int")
+    val segs = spread(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nSeg - 1),
+          j => array_join(slice(col("toks"), j * segLen + lit(1), lit(segLen)), " "))))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "seg")
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"), lit(true).as("boiler"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("boiler").isNull, struct(col("j"), col("seg"))))),
+            s => s.getField("seg")),
+          " ")).as("cleaned"))
+  }
 }

@@ -39,15 +39,54 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 4,
               probeRadius: Int = 0, roundTo: Int = 6,
-              dim: Int = 0): DataFrame = {
+              dim: Int = 0): DataFrame =
+    lshScored(corpus, queries, idCol, vecCol, numPlanes, probeRadius,
+        roundTo, dim) match {
+      case None => // no queries (or 0-dim vectors): empty result, right schema
+        corpus.sparkSession.emptyDataFrame
+          .select(lit(0L).as("qid"), lit(0L).as("cid"),
+            lit(0.0).as("cos"), lit(0).as("rn")).limit(0)
+      case Some(sc) =>
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid"))
+        sc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("qid"), col("cid"), col("cos"), col("rn"))
+    }
+
+  /** Radius (range) search: every same/probed-bucket candidate with
+    * cosine ≥ `minCos` — "all near-duplicates of these queries", the
+    * retrieval mode dedup and contamination sweeps use where top-k's
+    * fixed cutoff either truncates dense neighborhoods or pads sparse
+    * ones. Same candidate generation as [[lshTopK]] (bucket equi-join,
+    * no window at all — cheaper: a scan-side filter replaces the per-query
+    * rank). Returns (qid, cid, cos). */
+  def lshRange(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, minCos: Double, numPlanes: Int = 4,
+               probeRadius: Int = 0, roundTo: Int = 6,
+               dim: Int = 0): DataFrame =
+    lshScored(corpus, queries, idCol, vecCol, numPlanes, probeRadius,
+        roundTo, dim) match {
+      case None =>
+        corpus.sparkSession.emptyDataFrame
+          .select(lit(0L).as("qid"), lit(0L).as("cid"),
+            lit(0.0).as("cos")).limit(0)
+      case Some(sc) =>
+        sc.filter(col("cos") >= minCos)
+          .select(col("qid"), col("cid"), col("cos"))
+    }
+
+  /** Shared LSH candidate generation + exact rescore: (qid, cid, cos) for
+    * every candidate sharing a (probed) bucket with a query. None when the
+    * query side is empty/0-dim (hyperplane dim underivable). */
+  private def lshScored(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, numPlanes: Int, probeRadius: Int,
+                        roundTo: Int, dim: Int): Option[DataFrame] = {
     val trueDim =
       if (dim > 0) dim
       else queries.select(size(col(vecCol)).as("d")).head(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
-    if (trueDim == 0) // no queries (or 0-dim vectors): empty result, right schema
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("qid"), lit(0L).as("cid"),
-          lit(0.0).as("cos"), lit(0).as("rn")).limit(0)
+    if (trueDim == 0) return None
     val planes = hyperplanes(numPlanes, trueDim)
     val c = TextOps.spread(corpus)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
@@ -59,12 +98,8 @@ object Similarity {
         .map(b => qBucket.bitwiseXOR(1L << b)): _*)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
         explode(probes).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    c.join(broadcast(q), "bucket")
-      .withColumn("cos", round(vec.cosine(col("cv"), col("qv")), roundTo))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+    Some(c.join(broadcast(q), "bucket")
+      .withColumn("cos", round(vec.cosine(col("cv"), col("qv")), roundTo)))
   }
 
   /** Product-quantization ANN (asymmetric distance): split each vector

@@ -134,4 +134,39 @@ object TextAnalysis {
       .withColumn("repetitive",
         col("top_bigram_frac") > 0.18 || col("distinct_ratio") < 0.2)
   }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    * slope/intercept of ln(freq) against ln(rank) for the `topN` most
+    * frequent tokens — the one-row corpus health stat (natural text slopes
+    * ≈ −1; synthetic or templated corpora flatten). Deterministic rank
+    * tie-break (count desc, token asc); each ln is rounded to 8dp then the
+    * moment sums run in DECIMAL (order-independent), and the closed-form
+    * slope/intercept divide as doubles rounded to 6dp. Shape: one token
+    * count groupBy + a topN TakeOrdered + a single-row aggregate. */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topN)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))))
+    val xy = freq.select(
+      col("c"),
+      round(log(col("rn").cast("double")), 8).cast("decimal(18,8)").as("x"),
+      round(log(col("c").cast("double")), 8).cast("decimal(18,8)").as("y"))
+    xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("mass"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(
+        col("n"), col("mass"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
 }

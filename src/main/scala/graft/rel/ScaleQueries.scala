@@ -3,8 +3,8 @@ package graft.rel
 import graft.{QueryDef, Tables}
 import graft.functions.vec
 import graft.graph.GraphAnalytics
-import graft.operators.ZOrder
-import graft.pipeline.{TextAnalysis, TextOps, WebOps}
+import graft.operators.{BloomJoin, ZOrder}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, TextOps, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -357,7 +357,223 @@ object ScaleQueries {
              SELECT vec_id, round(CASE WHEN nn = 0 THEN 0.0 ELSE d / nn END, 6) AS score
              FROM sc ORDER BY score DESC, vec_id LIMIT 10"""))
 
+  // ------------------------------------------------------ segment dedup
+  private val boiler =
+    "terms of service apply contact site admin before copying content"
+
+  /** CCNet-style line/segment-level boilerplate removal: plant a shared
+    * 10-token prefix on every third doc, split docs into 10-token
+    * segments, drop segments appearing in ≥ 10 distinct docs, report
+    * per-doc kept counts + md5 of the cleaned text. Frequency is the
+    * whole signal — one distinct-count groupBy, no pairwise compare. */
+  val dedupSegments = QueryDef(
+    "q_dedup_segments",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = Tables(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0, concat(lit(boiler + " "), $"text"))
+            .otherwise($"text").as("text"))
+      Dedup.segmentCleanse(corpus, "doc_id", "text", segLen = 10, minDocs = 10)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN '$boiler ' || text
+                           ELSE text END AS text
+               FROM documents),
+             t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             s AS (SELECT doc_id, j,
+                          array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS seg
+                   FROM (SELECT doc_id, toks,
+                                unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS j
+                         FROM t)),
+             b AS (SELECT seg FROM s GROUP BY seg
+                   HAVING COUNT(DISTINCT doc_id) >= 10),
+             m AS (SELECT s.doc_id, s.j, s.seg, b.seg IS NOT NULL AS boiler
+                   FROM s LEFT JOIN b ON s.seg = b.seg)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+                    CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                    md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN seg END,
+                                            ' ' ORDER BY j), '')) AS cleaned
+             FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- HITS
+  private def hitsCtes(iters: Int): String = {
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""a$i AS (SELECT n.node, CAST(COALESCE(s.a, 0) AS BIGINT) AS a
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS node, SUM(h${i - 1}.h) AS a
+           |    FROM e0 e JOIN h${i - 1} ON e.u = h${i - 1}.node GROUP BY e.v) s
+           |  ON n.node = s.node)""".stripMargin,
+        s"""h$i AS (SELECT n.node, CAST(COALESCE(s.h, 0) AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.u AS node, SUM(a$i.a) AS h
+           |    FROM e0 e JOIN a$i ON e.v = a$i.node GROUP BY e.u) s
+           |  ON n.node = s.node)""".stripMargin)
+    }
+    ("""nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+      |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)""".stripMargin
+      +: steps).mkString(",\n")
+  }
+
+  /** 2-iteration integer HITS on the directed user→key graph: hubs =
+    * users touching high-traffic keys, authorities = keys touched by
+    * strong hubs. Unnormalized BIGINT fixed point — hash-exact at any
+    * parallelism (see GraphAnalytics.hitsFixedPoint). */
+  val graphHits = QueryDef(
+    "q_graph_hits",
+    (s, dir) => {
+      import s.implicits._
+      GraphAnalytics.hitsFixedPoint(sparseEdges(s, dir), iters = 2)
+        .orderBy($"node")
+    },
+    Some(s"""WITH $eeCte,
+             ${hitsCtes(2)}
+             SELECT n.node AS node, h2.h AS hub, a2.a AS auth
+             FROM nodes n JOIN h2 ON n.node = h2.node
+             JOIN a2 ON n.node = a2.node
+             ORDER BY n.node"""))
+
+  // ------------------------------------------------------- Adamic-Adar
+  /** Adamic-Adar link prediction, top 30 non-adjacent pairs. Hub cap 50
+    * keeps wedge rows linear in |V| (the 1/ln(d) contribution of a
+    * degree-10⁶ hub is noise; its C(d,2) wedge count is the blow-up). */
+  val graphAdamic = QueryDef(
+    "q_graph_adamic",
+    (s, dir) => {
+      import s.implicits._
+      GraphAnalytics.adamicAdar(sparseEdges(s, dir), maxHubDeg = 50)
+        .orderBy($"score".desc, $"a", $"b").limit(30)
+    },
+    Some(s"""WITH $eeCte,
+             deg AS (SELECT u AS w, COUNT(*) AS deg FROM ee GROUP BY u),
+             nbr AS (SELECT ee.u AS w, ee.v AS n,
+                            CAST(round(1.0/ln(deg.deg), 8) AS DECIMAL(18,8)) AS c
+                     FROM ee JOIN deg ON ee.u = deg.w
+                     WHERE deg.deg <= 50 AND deg.deg >= 2),
+             wed AS (SELECT x.n AS a, y.n AS b, x.c
+                     FROM nbr x JOIN nbr y ON x.w = y.w AND x.n < y.n),
+             nadj AS (SELECT * FROM wed w WHERE NOT EXISTS (
+                        SELECT 1 FROM ee WHERE ee.u = w.a AND ee.v = w.b))
+             SELECT a, b, round(CAST(SUM(c) AS DOUBLE), 6) AS score
+             FROM nadj GROUP BY a, b
+             ORDER BY score DESC, a, b LIMIT 30"""))
+
+  // --------------------------------------------------------- Bloom join
+  /** Bloom-filter pre-filtered join: 1024-bit/3-hash filter built from
+    * every fifth nation's suppliers, probed by every lineitem BEFORE the exact
+    * join — per returnflag: rows passing the bloom, true matches, false
+    * positives. At 100 TB this is the runtime-filter shape: the big side
+    * is filtered scan-side by a broadcast of 17 longs; only survivors
+    * shuffle. FP count is hash-deterministic, so it oracle-checks. */
+  val joinBloom = QueryDef(
+    "q_join_bloom",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Tables(s, dir, "supplier")
+        .filter($"s_nationkey" % 5 === 0).select($"s_suppkey".as("key"))
+      val words = BloomJoin.buildWords(dim, $"key", k = 3, mBits = 1024)
+      val big = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_suppkey".as("key"))
+      BloomJoin.probe(big, $"key", words, k = 3, mBits = 1024)
+        .join(dim.withColumn("hit", lit(1L)), Seq("key"), "left")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_pass"),
+          sum(coalesce($"hit", lit(0L))).as("n_true"))
+        .withColumn("n_fp", $"n_pass" - $"n_true")
+        .orderBy($"l_returnflag")
+    },
+    Some {
+      val (k, m) = (3, 1024)
+      def posUnion(src: String): String = (0 until k)
+        .map(j => s"SELECT *, ${BloomJoin.positionSql("key", j, m)} AS pos FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH dim AS (SELECT s_suppkey AS key FROM supplier WHERE s_nationkey % 5 = 0),
+         |words AS (SELECT pos // 63 AS widx,
+         |                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |          FROM (${posUnion("dim")}) GROUP BY 1),
+         |big AS (SELECT row_number() OVER () AS rid, l_returnflag, l_suppkey AS key
+         |        FROM lineitem),
+         |hit AS (SELECT rid, any_value(l_returnflag) AS l_returnflag,
+         |               any_value(key) AS key
+         |        FROM (${posUnion("big")}) p
+         |        JOIN words w ON p.pos // 63 = w.widx
+         |        WHERE ((w.bits >> CAST(p.pos % 63 AS INT)) & 1) = 1
+         |        GROUP BY rid HAVING COUNT(*) = $k)
+         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_pass,
+         |       CAST(SUM(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       CAST(COUNT(*) - SUM(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         |FROM hit h LEFT JOIN dim d ON h.key = d.key
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    })
+
+  // -------------------------------------------------------- range search
+  /** LSH radius search: all multi-probe candidates at cosine ≥ 0.15 for
+    * 3 queries — the retrieval mode dedup sweeps use (top-k truncates
+    * dense neighborhoods, pads sparse ones). No window: the cutoff is a
+    * scan-side filter. Oracle mirrors buckets, probes, and threshold. */
+  val vecRange = QueryDef(
+    "q_vec_range",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      Similarity.lshRange(e, e.filter($"vec_id" < 3), "vec_id", "embedding",
+          minCos = 0.15, probeRadius = 1)
+        .orderBy($"qid", $"cos".desc, $"cid")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 3),
+         |qp AS (SELECT qid, qv,
+         |              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                      xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM q),
+         |s AS (SELECT qp.qid, c.vec_id AS cid,
+         |             round(CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
+         |                             sqrt(list_dot_product(qp.qv, qp.qv)) = 0 THEN 0.0
+         |                        ELSE list_dot_product(c.v, qp.qv) /
+         |                             (sqrt(list_dot_product(c.v, c.v)) *
+         |                              sqrt(list_dot_product(qp.qv, qp.qv))) END, 6) AS cos
+         |      FROM b c JOIN qp ON c.bucket = qp.bucket)
+         |SELECT qid, cid, cos FROM s WHERE cos >= 0.15
+         |ORDER BY qid, cos DESC, cid""".stripMargin
+    })
+
+  // --------------------------------------------------------------- Zipf
+  /** Zipf rank-frequency fit over the top-100 vocabulary: ln-ln least
+    * squares slope/intercept + total corpus token mass, one row. */
+  val textZipf = QueryDef(
+    "q_text_zipf",
+    (s, dir) => TextAnalysis.zipfSlope(Tables(s, dir, "documents"), "text", 100),
+    Some(s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+             f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+             r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+                   FROM f ORDER BY c DESC, tok LIMIT 100),
+             xy AS (SELECT c,
+                           CAST(round(ln(CAST(rn AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+                           CAST(round(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+                    FROM r),
+             a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(c) AS BIGINT) AS mass,
+                          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                          CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+                   FROM xy)
+             SELECT n, mass,
+                    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+                    round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+                      AS intercept
+             FROM a"""))
+
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
-    sinkZorder, graphLpa, graphKcore, vecPrefixRerank)
+    sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
+    dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf)
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.graph.GraphAnalytics
 import graft.operators.ZOrder
-import graft.pipeline.{TextAnalysis, WebOps}
+import graft.pipeline.{Dedup, TextAnalysis, WebOps}
 import org.apache.spark.sql.functions._
 
 /** Round-4 operators: label propagation, k-core peeling, repetition
@@ -92,6 +92,104 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(2) == "https://docs.example.com/A/b?id=7")
     assert(got(3) == "https://docs.example.com/a/b")
     assert(got(3) != got(0), "path case must be preserved (RFC 3986)")
+  }
+
+  test("hitsFixedPoint: star graph — center is the sole authority") {
+    // 1,2,3 all point at 0; 3 also points at 4
+    val g = Seq((1L, 0L), (2L, 0L), (3L, 0L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.hitsFixedPoint(g, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // a1: in-sums of h0=1 -> a(0)=3, a(4)=1; h1: out-sums of a1
+    assert(got(0L) == (0L, 3L), s"center: ${got(0L)}")
+    assert(got(4L) == (0L, 1L))
+    assert(got(1L) == (3L, 0L) && got(2L) == (3L, 0L))
+    assert(got(3L) == (4L, 0L), "3 points at both authorities")
+  }
+
+  test("hitsFixedPoint: partition-order independent (exact integers)") {
+    val g = rel.ScaleQueries.sparseEdges(spark, sf)
+    val a = GraphAnalytics.hitsFixedPoint(g, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = GraphAnalytics.hitsFixedPoint(g.repartition(7), 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("adamicAdar: two common neighbors, hub cap excludes, adjacency excluded") {
+    // w=10 links a=1,b=2; w=11 links 1,2 as well; 1-2 NOT adjacent
+    // hub h=20 with degree 4 links 1,2,3,4 — capped out at maxHubDeg=3
+    val g = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (20L, 1L), (20L, 2L), (20L, 3L), (20L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.adamicAdar(g, maxHubDeg = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // deg(10)=deg(11)=2 -> 2 * round(1/ln 2, 8) = 2.88539008 -> round 6
+    assert(got((1L, 2L)) == 2.885390, s"pair (1,2): ${got.get((1L, 2L))}")
+    // pairs through the capped hub only (e.g. (3,4)) must be absent
+    assert(!got.contains((3L, 4L)), "hub-only pairs must be pruned")
+    // adjacent pairs never appear: (10,1) etc are edges
+    assert(got.keySet.forall { case (a, b) => a < b })
+    // wedge centers (deg-2 hubs 10/11 are also nodes) generate (10,11)
+    // through common neighbors 1 and 2 (deg(1)=deg(2)=3 <= cap)
+    assert(got.contains((10L, 11L)))
+  }
+
+  test("bloom join: no false negatives; FPs exist then exact join removes them") {
+    val dim = (0L until 20L).map(i => i * 7).toDF("key")
+    val big = (0L until 2000L).toDF("key")
+    // tiny filter (128 bits) to force some false positives
+    val words = graft.operators.BloomJoin.buildWords(dim, $"key", 3, 128)
+    val pass = graft.operators.BloomJoin.probe(big, $"key", words, 3, 128)
+      .select($"key").as[Long].collect().toSet
+    val truth = dim.as[Long].collect().toSet.filter(_ < 2000)
+    assert(truth.subsetOf(pass), "bloom must never drop a true match")
+    assert(pass.size > truth.size, "128-bit filter over 20 keys should FP")
+    assert(pass.size < 2000, "filter must actually filter")
+  }
+
+  test("segmentCleanse: shared segments drop, unique ones survive") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val docs = (0 until 12).map { i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i u${i}j")
+    }.toDF("id", "text")
+    val got = Dedup.segmentCleanse(docs, "id", "text", segLen = 10, minDocs = 10)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 12)
+    got.values.foreach { case (_, nSeg, nKept, _) =>
+      assert(nSeg == 2L && nKept == 1L, s"boiler seg dropped, unique kept: $nSeg/$nKept")
+    }
+    // cleaned = md5 of the unique tail only
+    val exp0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("u0a u0b u0c u0d u0e u0f u0g u0h u0i u0j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0L)._4 == exp0)
+  }
+
+  test("lshRange: exactly the same-bucket candidates above the threshold") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val ranged = graft.pipeline.Similarity
+      .lshRange(e, q, "vec_id", "embedding", minCos = 0.15, probeRadius = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(ranged.nonEmpty)
+    assert(ranged.forall(_._3 >= 0.15))
+    // must be a superset of top-k restricted to the threshold
+    val topk = graft.pipeline.Similarity
+      .lshTopK(e, q, "vec_id", "embedding", k = 5, probeRadius = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .filter(_._3 >= 0.15).map(r => (r._1, r._2)).toSet
+    assert(topk.subsetOf(ranged.map(r => (r._1, r._2)).toSet))
+  }
+
+  test("zipfSlope: exact power law fits with slope -1") {
+    // freq(rank r) = 720/r for r=1..6 -> ln f = ln 720 - ln r exactly-ish
+    val docs = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"w$r"))
+      .map(w => Tuple1(w)).toDF("text") // one token per row
+    val got = TextAnalysis.zipfSlope(docs, "text", topN = 6)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == 6L)
+    assert(got._2 == (1 to 6).map(720 / _).sum.toLong)
+    assert(math.abs(got._3 - (-1.0)) < 1e-3, s"slope ${got._3}")
+    assert(math.abs(got._4 - math.log(720)) < 1e-3, s"intercept ${got._4}")
   }
 
   test("interleave: bit positions, and SQL fragment mirrors the Column form") {
