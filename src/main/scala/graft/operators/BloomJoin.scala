@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   * exact same bit pattern — k positions per key, j-salted.
   */
 object BloomJoin {
-  /** k salted hash positions of a key in an m-bit filter. */
-  def positions(key: Column, k: Int, mBits: Int): Column =
-    array((0 until k).map(j =>
-      TextOps.strHash(concat(key.cast("string"), lit(":" + j))) % mBits): _*)
+  /** k hash positions of a key in an m-bit filter via Kirsch-Mitzenmacher
+    * double hashing: pos_j = (h₁ + j·h₂) mod m from ONE md5 — k
+    * independent-enough probes at a third of the hashing cost (the probe
+    * side pays one digest per row, not k). h₂ is forced odd so it is
+    * coprime to the power-of-two m (probes cycle all positions). */
+  def positions(key: Column, k: Int, mBits: Int): Column = {
+    val h = TextOps.strHash(key.cast("string"))
+    val h1 = h % mBits
+    val h2 = (shiftright(h, 10) % mBits).bitwiseOR(lit(1L))
+    array((0 until k).map(j => (h1 + lit(j.toLong) * h2) % mBits): _*)
+  }
 
   /** Aggregate the small side's keys to a one-row map widx → word. */
   def buildWords(dim: DataFrame, key: Column, k: Int, mBits: Int): DataFrame =
@@ -47,8 +54,10 @@ object BloomJoin {
           |              CAST(p % 63 AS INT)) & 1) = 1)""".stripMargin))
       .drop("__pos", "bloom")
 
-  /** DuckDB fragment for one salted position (mirrors [[positions]]). */
-  def positionSql(key: String, j: Int, mBits: Int): String =
-    s"((CAST(('0x' || substr(md5(CAST($key AS VARCHAR) || ':$j'), 1, 15)) AS BIGINT) " +
-      s"% ${TextOps.P}) % $mBits)"
+  /** DuckDB fragment for position j (mirrors [[positions]] exactly). */
+  def positionSql(key: String, j: Int, mBits: Int): String = {
+    val h = s"(CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT)" +
+      s" % ${TextOps.P})"
+    s"((($h % $mBits) + $j * ((($h // 1024) % $mBits) | 1)) % $mBits)"
+  }
 }

@@ -117,10 +117,13 @@ object TextAnalysis {
         sum(col("c")).as("n_tok"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_tok"))
+    // zip_with over two slices, NOT transform+element_at: element_at on
+    // the outer array inside a lambda re-inlines its producer per element
     val bigrams = base.select(col("doc_id"),
       explode(when(size(col("toks")) >= 2,
-        transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
-          (t, i) => concat(t, lit(" "), element_at(col("toks"), i + 2))))
+        zip_with(slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
         .otherwise(array().cast("array<string>"))).as("bg"))
     val bgStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg"))

@@ -180,11 +180,16 @@ object ScaleQueries {
     "q_text_ngram_topk",
     (s, dir) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
+      // bigrams via zip_with over two slices: element_at(toks, i) inside a
+      // transform lambda inlines the whole tokenizer per ELEMENT (O(L²)
+      // regex work per doc — 6× slower, measured); zip_with's arguments
+      // evaluate once per row
       Tables(s, dir, "documents")
-        .select(explode(when(size(toks) >= 2,
-          transform(slice(toks, lit(1), size(toks) - 1),
-            (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))
+        .select(TextOps.tokens($"text").as("toks"))
+        .select(explode(when(size($"toks") >= 2,
+          zip_with(slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b)))
           .otherwise(array().cast("array<string>"))).as("ngram"))
         .groupBy($"ngram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"ngram")
