@@ -31,10 +31,17 @@ object TextOps {
   def strHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
 
-  /** Word k-shingles (distinct), e.g. k=3: "a b c" sliding windows. */
+  /** Word k-shingles (distinct), e.g. k=3: "a b c" sliding windows.
+    * Built as a fold of zip_with over k shifted slices, NOT
+    * transform+element_at: element_at(toks, j+o) inside the lambda makes
+    * Catalyst inline the producer of `toks` (usually the whole tokenizer
+    * chain) per ELEMENT — O(L²) regex work per doc. zip_with arguments
+    * evaluate once per row. */
   def shingles(toks: Column, k: Int = 3): Column = {
-    val sh = transform(sequence(lit(0), size(toks) - k),
-      j => concat_ws(" ", (1 to k).map(o => element_at(toks, j + o)): _*))
+    val n = size(toks) - (k - 1)
+    val sh = (2 to k).foldLeft(slice(toks, lit(1), n)) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o), n), (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(when(size(toks) >= k, sh).otherwise(array()))
   }
 
