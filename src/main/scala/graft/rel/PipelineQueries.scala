@@ -107,6 +107,60 @@ object PipelineQueries {
              SELECT a, b, round(ej, 6) AS est_jaccard FROM est
              WHERE ej >= 0.5 ORDER BY a, b"""))
 
+  /** MinHash estimator quality, self-measured in-engine (the sketch
+    * analog of q_ann_recall): for the 20 planted near-dup pairs, the
+    * 16-component signature agreement rate vs the exact shingle Jaccard,
+    * plus |error|. Both sides are existing oracle-checked operators; this
+    * query closes the loop on HOW GOOD the cheap estimate is — the number
+    * that justifies choosing the LSH threshold. Estimates are k/16 (exact
+    * binary fractions), so the comparison is float-safe. */
+  val dedupMinhashEval = QueryDef(
+    "q_dedup_minhash_eval",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val pairs = docs.filter($"doc_id" < 20)
+        .select($"doc_id".as("a"), ($"doc_id" + 100000).as("b"))
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      val est = pairs
+        .join(sigs.toDF("a", "i", "mha"), Seq("a"))
+        .join(sigs.toDF("b", "i", "mhb"), Seq("b", "i"))
+        .groupBy($"a", $"b")
+        .agg(round(avg(when($"mha" === $"mhb", 1.0).otherwise(0.0)), 6).as("est"))
+      val exact = Dedup.ngramJaccard(corpus, "doc_id", "text", pairs)
+        .select($"a", $"b", round($"jaccard", 6).as("exact"))
+      est.join(exact, Seq("a", "b"))
+        .withColumn("err", round(abs($"est" - $"exact"), 6))
+        .orderBy($"a")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             $minhashCte,
+             pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b
+                       FROM documents WHERE doc_id < 20),
+             e AS (SELECT p.a, p.b,
+                          round(AVG(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END), 6) AS est
+                   FROM pairs p
+                   JOIN mh ma ON ma.doc_id = p.a
+                   JOIN mh mb ON mb.doc_id = p.b AND ma.i = mb.i
+                   GROUP BY p.a, p.b),
+             x AS (SELECT p.a, p.b,
+                          round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+                                (len(sa.shs) + len(sb.shs)
+                                 - len(list_intersect(sa.shs, sb.shs))), 6) AS exact
+                   FROM pairs p
+                   JOIN sh sa ON sa.doc_id = p.a
+                   JOIN sh sb ON sb.doc_id = p.b)
+             SELECT e.a, e.b, e.est, x.exact, round(abs(e.est - x.exact), 6) AS err
+             FROM e JOIN x ON e.a = x.a AND e.b = x.b ORDER BY e.a"""))
+
   /** 32-bit SimHash per document. */
   val dedupSimhash = QueryDef(
     "q_dedup_simhash",
@@ -1133,7 +1187,8 @@ object PipelineQueries {
     })
 
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupNgram,
+    dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
+    dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,

@@ -577,8 +577,107 @@ object ScaleQueries {
                       AS intercept
              FROM a"""))
 
+  // -------------------------------------------------- incremental dedup
+  /** Incremental-ingest dedup: a new batch (20 exact corpus copies, 10
+    * batch-internal dup pairs of genuinely new text, 15 fresh edits) is
+    * deduped FIRST within itself (min-id per digest) and then against the
+    * existing corpus by digest anti-join — the arriving-shard shape where
+    * the corpus side is only ever touched as a digest index, never
+    * re-texted. Survivors: the 10 internal-pair keepers + 15 edits. */
+  val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 300000).as("doc_id"), $"text")
+        .unionByName(docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 350000).as("doc_id"),
+            concat($"text", lit(" brandnew")).as("text")))
+        .unionByName(docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 360000).as("doc_id"),
+            concat($"text", lit(" brandnew")).as("text")))
+        .unionByName(docs.filter($"doc_id" < 15)
+          .select(($"doc_id" + 400000).as("doc_id"),
+            concat($"text", lit(" fresh v2")).as("text")))
+      batch.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+        .join(docs.select(md5($"text").as("h")), Seq("h"), "left_anti")
+        .select($"doc_id", $"h")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH batch AS (
+              SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 350000, text || ' brandnew' FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 360000, text || ' brandnew' FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 400000, text || ' fresh v2' FROM documents WHERE doc_id < 15),
+            keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+                     FROM batch GROUP BY md5(text))
+            SELECT doc_id, h FROM keep
+            WHERE h NOT IN (SELECT md5(text) FROM documents)
+            ORDER BY doc_id"""))
+
+  // ------------------------------------------------- correlation matrix
+  /** Pairwise Pearson correlations of the four lineitem measures in ONE
+    * aggregation pass (count + 4 sums + 4 sum-of-squares + 6 cross sums,
+    * all decimal-exact), unpivoted to 6 (x, y, r) rows. The data-profile
+    * stat that needs no second scan — at 100 TB the single pass IS the
+    * feature. */
+  val profileCorr = QueryDef(
+    "q_profile_corr",
+    (s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val d = Tables(s, dir, "lineitem")
+        .select(cols.map(c => col(c).cast("decimal(18,2)").as(c)): _*)
+      val sums =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+          cols.map(c => sum(col(c)).cast("double").as(s"s_$c")) ++
+          cols.map(c => sum(col(c) * col(c)).cast("double").as(s"ss_$c")) ++
+          cols.combinations(2).map { case Seq(x, y) =>
+            sum(col(x) * col(y)).cast("double").as(s"sp_${x}_$y")
+          }.toSeq
+      val a = d.agg(sums.head, sums.tail: _*)
+      def r(x: String, y: String) = round(
+        (col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+          sqrt((col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+            (col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))), 6)
+      a.select(inline(array(cols.combinations(2).map { case Seq(x, y) =>
+          struct(lit(x).as("x"), lit(y).as("y"), r(x, y).as("r"))
+        }.toSeq: _*)))
+        .orderBy($"x", $"y")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val castSel = cols.map(c => s"CAST(${c} AS DECIMAL(18,2)) AS ${short(c)}")
+        .mkString(", ")
+      val aggSel = (
+        Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+          cols.map(c => s"CAST(SUM(${short(c)}) AS DOUBLE) AS s_${short(c)}") ++
+          cols.map(c => s"CAST(SUM(${short(c)}*${short(c)}) AS DOUBLE) AS ss_${short(c)}") ++
+          cols.combinations(2).map { case Seq(x, y) =>
+            s"CAST(SUM(${short(x)}*${short(y)}) AS DOUBLE) AS sp_${short(x)}${short(y)}"
+          }).mkString(", ")
+      val branches = cols.combinations(2).map { case Seq(x, y) =>
+        val (sx, sy) = (short(x), short(y))
+        s"""SELECT '$x' AS x, '$y' AS y,
+           |  round((n*sp_$sx$sy - s_$sx*s_$sy) /
+           |        sqrt((n*ss_$sx - s_$sx*s_$sx) * (n*ss_$sy - s_$sy*s_$sy)), 6) AS r
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT $castSel FROM lineitem),
+         |a AS (SELECT $aggSel FROM d)
+         |$branches
+         |ORDER BY x, y""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
-    dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf)
+    dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
+    dedupIncremental, profileCorr)
 }
