@@ -675,9 +675,40 @@ object ScaleQueries {
          |ORDER BY x, y""".stripMargin
     })
 
+  // ---------------------------------------------------- weighted sample
+  /** Token-weighted document sampling (Efraimidis-Spirakis): priority
+    * u^(1/w) with u a deterministic md5-derived uniform and w the doc's
+    * token count — the top-50 is a weighted-without-replacement sample,
+    * i.e. uniform over TOKENS, the distribution training-data epochs
+    * actually want. Scale shape: one scan + TakeOrdered(50); no global
+    * sort, no RNG state, reproducible across reruns and engines (priority
+    * rounded to 6dp, doc_id tie-break). */
+  val sampleWeighted = QueryDef(
+    "q_sample_weighted",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tok"),
+          TextOps.strHash($"doc_id".cast("string")).as("h"))
+        .filter($"n_tok" > 0)
+        .withColumn("key",
+          round(pow(($"h" + 1.0) / (TextOps.P + 1.0),
+            lit(1.0) / $"n_tok"), 6))
+        .select($"doc_id", $"n_tok", $"key")
+        .orderBy($"key".desc, $"doc_id").limit(50)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+                    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % ${TextOps.P}) AS h
+                 FROM documents)
+             SELECT doc_id, n_tok,
+                    round(power((h + 1.0) / ${TextOps.P + 1}.0, 1.0 / n_tok), 6) AS key
+             FROM d WHERE n_tok > 0
+             ORDER BY key DESC, doc_id LIMIT 50"""))
+
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
-    dedupIncremental, profileCorr)
+    dedupIncremental, profileCorr, sampleWeighted)
 }
