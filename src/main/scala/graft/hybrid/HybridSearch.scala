@@ -69,21 +69,30 @@ object HybridSearch {
     * with tied scores. Documents missing from a ranker contribute nothing
     * for that ranker (standard RRF).
     *
-    * PRECONDITION: rankers must be pre-limited top-N lists (as RRF inputs
-    * always are) — the global rank window runs single-partition per
-    * ranker, which is exactly right for a top-50 list and exactly wrong
-    * for a full corpus scan. With >2 rankers the per-doc sum becomes
-    * order-sensitive in the last ulp; round the result (roundTo) before
-    * comparing across engines. */
+    * PRECONDITION (enforced): rankers must be pre-limited top-N lists (as
+    * RRF inputs always are). Ranks come from ONE window partitioned by
+    * ranker id — never a global single-partition window — and any ranker
+    * longer than `maxInput` raises in-plan (raise_error fires during
+    * execution, before a full-corpus ranker could silently serialize the
+    * fusion). With >2 rankers the per-doc sum becomes order-sensitive in
+    * the last ulp; round the result (roundTo) before comparing across
+    * engines. */
   def rrfFuse(rankers: Seq[DataFrame], topK: Int, k: Int = 60,
-              idCol: String = "id", roundTo: Option[Int] = None): DataFrame = {
+              idCol: String = "id", roundTo: Option[Int] = None,
+              maxInput: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(round(col("score"), 6).desc, col(idCol))
-    val contribs = rankers.map { r =>
-      r.select(col(idCol), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .select(col(idCol), (lit(1.0) / (lit(k) + col("rank"))).as("contrib"))
+    val tagged = rankers.zipWithIndex.map { case (r, i) =>
+      r.select(lit(i).as("rid"), col(idCol), col("score"))
     }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("rid"))
+      .orderBy(round(col("score"), 6).desc, col(idCol))
+    val contribs = tagged
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol),
+        when(col("rank") > maxInput,
+          raise_error(concat(lit("rrfFuse: ranker "), col("rid").cast("string"),
+            lit(s" exceeds maxInput=$maxInput rows — pre-limit RRF inputs"))))
+          .otherwise(lit(1.0) / (lit(k) + col("rank"))).as("contrib"))
     val fused = contribs.groupBy(idCol).agg(sum(col("contrib")).as("rrf"))
       .withColumn("rrf", roundTo.fold(col("rrf"))(d => round(col("rrf"), d)))
     fused.orderBy(col("rrf").desc, col(idCol)).limit(topK)

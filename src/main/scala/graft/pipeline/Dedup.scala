@@ -50,9 +50,7 @@ object Dedup {
                    numHashes: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val mh = minhashSignatures(docs, idCol, textCol, numHashes)
-    val bands = mh
-      .groupBy(col("doc_id"), floor(col("i") / rowsPerBand).as("band"))
-      .agg(sum((col("i") % rowsPerBand + 1) * col("mh")).as("bkey"))
+    val bands = bandKeys(mh, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -66,6 +64,18 @@ object Dedup {
         lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Band keys for LSH banding over (doc_id, i, mh) signature rows: one
+    * row per (doc, band) keyed by the md5 of the band's minhashes in
+    * i-order. Collision-free for distinct band contents (a weighted sum —
+    * the previous key — can collide, adding spurious candidates),
+    * fixed-width, and cross-engine reproducible (md5 of the
+    * comma-joined decimal values). */
+  private[graft] def bandKeys(mh: DataFrame, rowsPerBand: Int): DataFrame =
+    mh.groupBy(col("doc_id"), floor(col("i") / rowsPerBand).as("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast("string")))).as("bkey"))
 
   /** 32-bit SimHash over unigram TF: bit b set iff Σ tf·(±1 by hash bit b)
     * is positive. One doc → one int64; near-dups differ in few bits. */
@@ -166,6 +176,55 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Rolling-window substring dedup (Lee et al.-style exact substring
+    * dedup, on stride-1 token windows): fingerprint EVERY k-token window
+    * of every doc (TextOps.kgrams — the zip_with-over-slices rolling
+    * build), find windows shared by ≥ `minDocs` distinct docs, and remove
+    * every token position covered by a shared window. Catches what
+    * [[segmentCleanse]]'s FIXED windows structurally miss: two docs
+    * sharing a long span at different token offsets never collide on a
+    * fixed segment boundary, but every interior k-window of the shared
+    * span collides here regardless of offset.
+    *
+    * Returns one row per non-empty doc:
+    * (doc_id, n_toks, n_dup_toks, cleaned = md5 of surviving tokens in
+    * order; md5("") when the whole doc is duplicated span).
+    *
+    * Scale shape: windows explode to ≈ |tokens| rows/doc; ONE
+    * distinct-count groupBy on the 64-bit window fingerprint finds shared
+    * windows (frequency is the signal — no pairwise compare anywhere); one
+    * join back + one positional explode bounded by k·|dup windows|; one
+    * per-doc aggregation. All linear in corpus token count. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20, minDocs: Long = 2): DataFrame = {
+    val t = spread(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val g = t.select(col("doc_id"), posexplode(kgrams(col("toks"), k)))
+      .select(col("doc_id"), col("pos").as("j"), strHash(col("col")).as("gh"))
+    val dup = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"))
+    val cov = g.join(dup, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("j"), col("j") + (k - 1))).as("p"))
+      .distinct()
+      .withColumn("c", lit(true))
+    val tok = t.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
+    tok.join(cov, Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_dup_toks"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("c").isNull, struct(col("p"), col("w"))))),
+            s => s.getField("w")),
+          " ")).as("cleaned"))
+  }
+
   /** Segment-level boilerplate removal (the line-dedup stage of CCNet-style
     * web pipelines, on token segments since fixture docs are single-line):
     * split each doc into fixed `segLen`-token segments, count how many
@@ -181,10 +240,15 @@ object Dedup {
   def segmentCleanse(docs: DataFrame, idCol: String, textCol: String,
                      segLen: Int = 10, minDocs: Long = 10): DataFrame = {
     val nSeg = ceil(size(col("toks")).cast("double") / segLen).cast("int")
+    // zero-token docs: sequence(0, -1) yields the DESCENDING [0,-1], which
+    // would emit two phantom empty segments where the oracle's range(0)
+    // emits none — guard to an empty array so both engines drop the doc
+    val segIdx = when(col("toks").isNotNull && size(col("toks")) > 0,
+      sequence(lit(0), nSeg - 1)).otherwise(array().cast("array<int>"))
     val segs = spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), nSeg - 1),
+        transform(segIdx,
           j => array_join(slice(col("toks"), j * segLen + lit(1), lit(segLen)), " "))))
       .withColumnRenamed("pos", "j").withColumnRenamed("col", "seg")
     val boiler = segs.groupBy("seg")

@@ -181,6 +181,18 @@ object Similarity {
       else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
     val cent = corpus.filter(col(idCol) % spacing === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    ivfTopKWith(corpus, idCol, vecCol, cent, queryVec, k, nprobe, roundTo)
+  }
+
+  /** IVF query path against a CALLER-SUPPLIED coarse quantizer (cid, cv) —
+    * the spaced sample ([[ivfTopK]]) and trained k-means centroids
+    * ([[kmeansCentroids]]) share this code, so swapping quantizers never
+    * touches the query semantics: assign every vector to its arg-max-cosine
+    * centroid (broadcast join + vid window), probe the `nprobe` cells
+    * nearest the query, exact-rank only their members. */
+  def ivfTopKWith(corpus: DataFrame, idCol: String, vecCol: String,
+                  cent: DataFrame, queryVec: Seq[Double], k: Int,
+                  nprobe: Int = 2, roundTo: Int = 6): DataFrame = {
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = TextOps.spread(corpus)
@@ -199,5 +211,56 @@ object Similarity {
       .withColumn("score", round(vec.cosine(col("v"), qv), roundTo))
       .orderBy(col("score").desc, col("vid")).limit(k)
       .select(col("vid").as(idCol), col("score"))
+  }
+
+  /** Deterministic distributed Lloyd k-means — the training step the
+    * IVF/PQ scale notes promised ("swap in trained codebooks"). No RNG
+    * anywhere: seeds are the same ⌈√n⌉-spaced sample ivfTopK quantizes
+    * with untrained, each iteration is
+    *   assignment: arg-max round-6 cosine vs BROADCAST centroids (√n
+    *     rows), cid tie-break — one narrow join + one vid window;
+    *   update: per-(cell, dimension) means through DECIMAL(20,10) partial
+    *     sums (order-independent at any partitioning), rounded to
+    *     `roundTo` so every centroid component is an engine-exact double;
+    * and the iteration count is FIXED. Same input ⇒ bit-identical
+    * centroids on any cluster layout — the property that lets a DuckDB
+    * oracle replay training as unrolled CTEs.
+    *
+    * Scale shape per iteration: broadcast join + window + one
+    * (cid, dim)-keyed aggregation, all linear in corpus size; the ≈√n-row
+    * centroid table is localCheckpointed per round so lineage stays flat.
+    * Cells that lose every member drop out (standard Lloyd); surviving
+    * cells keep their seed id. Returns (cid, cv: array<double>). */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 2, centroidEvery: Long = 0L,
+                      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spacing =
+      if (centroidEvery > 0) centroidEvery
+      else math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(emb).select(col(idCol).as("vid"), vd.as("v"))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    var cent = emb.filter(col(idCol) % spacing === 0)
+      .select(col(idCol).as("cid"), vd.as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = e.join(broadcast(cent))
+        .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("v"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("col").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1)), roundTo).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .localCheckpoint()
+    }
+    cent
   }
 }

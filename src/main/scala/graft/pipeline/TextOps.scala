@@ -31,19 +31,24 @@ object TextOps {
   def strHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
 
-  /** Word k-shingles (distinct), e.g. k=3: "a b c" sliding windows.
+  /** All word k-grams in positional order (index j = window starting at
+    * token j) — the stride-1 rolling windows substring dedup needs.
     * Built as a fold of zip_with over k shifted slices, NOT
     * transform+element_at: element_at(toks, j+o) inside the lambda makes
     * Catalyst inline the producer of `toks` (usually the whole tokenizer
     * chain) per ELEMENT — O(L²) regex work per doc. zip_with arguments
     * evaluate once per row. */
-  def shingles(toks: Column, k: Int = 3): Column = {
+  def kgrams(toks: Column, k: Int): Column = {
     val n = size(toks) - (k - 1)
     val sh = (2 to k).foldLeft(slice(toks, lit(1), n)) { (acc, o) =>
       zip_with(acc, slice(toks, lit(o), n), (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(when(size(toks) >= k, sh).otherwise(array()))
+    when(size(toks) >= k, sh).otherwise(array().cast("array<string>"))
   }
+
+  /** Word k-shingles: distinct k-grams (order dropped), e.g. k=3. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    array_distinct(kgrams(toks, k))
 
   /** The i-th MinHash permutation applied to a hash value: (2i+1)·h + 7919i
     * mod P — affine over the prime field, standard MinHash family. */

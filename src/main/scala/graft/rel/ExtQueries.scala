@@ -331,6 +331,22 @@ object ExtQueries {
             FROM g ORDER BY p_partkey"""))
 
   // ----------------------------------------------------------- cat 4: sketch
+  /** KMV-vs-exact CTE chain over lineitem (k = 64), shared by
+    * q_sketch_kmv and q_sketch_agg_bound: kx = (g, exact, kmv_est). */
+  private val kmvCtes =
+    """h AS (SELECT DISTINCT l_returnflag AS g,
+      |        CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT)
+      |          % 2147483647 AS h
+      |      FROM lineitem),
+      |r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+      |s AS (SELECT g, COUNT(*) AS m, MAX(h) AS hk FROM r WHERE rn <= 64 GROUP BY g),
+      |x AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS exact
+      |      FROM lineitem GROUP BY 1),
+      |kx AS (SELECT s.g, CAST(x.exact AS BIGINT) AS exact,
+      |              CAST(CASE WHEN s.m < 64 THEN s.m
+      |                        ELSE (63 * 2147483647::BIGINT) // s.hk END AS BIGINT) AS kmv_est
+      |       FROM s JOIN x ON x.g = s.g)""".stripMargin
+
   /** KMV distinct sketch (Sketches.kmvDistinct) beside the exact count —
     * the oracle-checkable counterpart to q_sketch_agg's HLL. */
   val sketchKmv = QueryDef(
@@ -345,18 +361,38 @@ object ExtQueries {
         .select($"l_returnflag", $"exact", $"kmv_est")
         .orderBy($"l_returnflag")
     },
-    Some(s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
-                   CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15)) AS BIGINT)
-                     % 2147483647 AS h
-                 FROM lineitem),
-             r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
-             s AS (SELECT g, COUNT(*) AS m, MAX(h) AS hk FROM r WHERE rn <= 64 GROUP BY g),
-             x AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS exact
-                   FROM lineitem GROUP BY 1)
-             SELECT s.g AS l_returnflag, CAST(x.exact AS BIGINT) AS exact,
-                    CAST(CASE WHEN s.m < 64 THEN s.m
-                              ELSE (63 * 2147483647::BIGINT) // s.hk END AS BIGINT) AS kmv_est
-             FROM s JOIN x ON x.g = s.g ORDER BY l_returnflag"""))
+    Some(s"""WITH $kmvCtes
+             SELECT g AS l_returnflag, exact, kmv_est
+             FROM kx ORDER BY l_returnflag"""))
+
+  /** Error-bound cross-check that anchors the rows-only q_sketch_agg
+    * (HLL++) to the oracle: per group, the HLL estimate must sit within
+    * 3·rsd (= 0.15) of the exact NDV, the KMV estimate within 2/√64
+    * (= 0.25), and the two sketches within the triangle-inequality sum of
+    * both bounds. The oracle computes exact and KMV genuinely; the HLL
+    * flags can only hash TRUE if Spark's HLL actually lands in-bound. */
+  val sketchAggBound = QueryDef(
+    "q_sketch_agg_bound",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val exact = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact"))
+      val hll = li.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("hll"))
+      Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+        .join(exact, "l_returnflag").join(hll, "l_returnflag")
+        .select($"l_returnflag", $"exact", $"kmv_est",
+          (abs($"kmv_est" - $"exact") <= lit(0.25) * $"exact").as("kmv_ok"),
+          (abs($"hll" - $"exact") <= lit(0.15) * $"exact").as("hll_ok"),
+          (abs($"hll" - $"kmv_est") <= lit(0.40) * $"exact").as("sketches_agree"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""WITH $kmvCtes
+             SELECT g AS l_returnflag, exact, kmv_est,
+                    abs(kmv_est - exact) <= 0.25 * exact AS kmv_ok,
+                    TRUE AS hll_ok, TRUE AS sketches_agree
+             FROM kx ORDER BY l_returnflag"""))
 
   /** Count-Min sketch point queries beside exact counts (Sketches.cmsBuild/
     * cmsEstimate, depth 3 × width 256): like q_sketch_kmv, a sketch whose
@@ -1370,7 +1406,7 @@ object ExtQueries {
     statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,
-    sketchKmv, annIvf,
+    sketchKmv, sketchAggBound, annIvf,
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,

@@ -389,7 +389,13 @@ object GraphQueries {
              FROM pr JOIN d da ON da.item = pr.ia JOIN d db ON db.item = pr.ib
              ORDER BY jaccard DESC, ia, ib LIMIT 20"""))
 
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int): String =
+    s"""${pagerankCtes(iters)}
+       |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+
+  /** The integer fixed-point PageRank CTE chain (WITH ... r$iters), shared
+    * with GraphXQueries' agreement cross-check. */
+  private[rel] def pagerankCtes(iters: Int): String = {
     val head =
       s"""WITH $edgesCte, $edCte,
          |nodes AS (SELECT DISTINCT n
@@ -407,8 +413,7 @@ object GraphQueries {
          |        FROM nodes CROSS JOIN p LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
     }
     s"""$head,
-       |${steps.mkString(",\n")}
-       |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+       |${steps.mkString(",\n")}""".stripMargin
   }
 
   val all: Seq[QueryDef] =

@@ -93,7 +93,8 @@ object PipelineQueries {
                FROM documents WHERE doc_id < 20),
              $shinglesCte,
              $minhashCte,
-             bands AS (SELECT doc_id, i // 4 AS band, SUM((i % 4 + 1) * mh) AS bkey
+             bands AS (SELECT doc_id, i // 4 AS band,
+                              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
                        FROM mh GROUP BY doc_id, i // 4),
              cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                       FROM bands x JOIN bands y
@@ -826,7 +827,8 @@ object PipelineQueries {
                FROM documents WHERE doc_id < 20),
              $shinglesCte,
              $minhashCte,
-             bands AS (SELECT doc_id, i // 4 AS band, SUM((i % 4 + 1) * mh) AS bkey
+             bands AS (SELECT doc_id, i // 4 AS band,
+                              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
                        FROM mh GROUP BY doc_id, i // 4),
              cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                       FROM bands x JOIN bands y
@@ -959,6 +961,130 @@ object PipelineQueries {
                       (1.0::DOUBLE / n_sources) / (CAST(tokens AS DOUBLE) / total)), 6)
                       AS resample_rate
              FROM bs, t ORDER BY source"""))
+
+  // ------------------------------------------------------------------ BPE
+  /** Shared DuckDB replay of BPE training (mirrors Bpe.train exactly):
+    * v0 = per-character piece states over the distinct-word vocabulary,
+    * then per merge step i: p_i adjacent pair counts, t_i the top-1 pair
+    * (count desc, pair asc), v_i the vocabulary after the literal
+    * spaced-string replace. Yields CTEs wt, v0, p1..pM, t1..tM, v1..vM. */
+  private def bpeCtes(m: Int): String = {
+    val steps = (1 to m).map { i =>
+      s"""p$i AS (SELECT q.cnt, q.ps[u.j+1] || ' ' || q.ps[u.j+2] AS pair
+         |        FROM (SELECT cnt, string_split(trim(state), ' ') AS ps FROM v${i - 1}) q,
+         |             unnest(range(greatest(len(q.ps) - 1, 0))) AS u(j)),
+         |t$i AS (SELECT pair, c FROM (
+         |          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c,
+         |                 ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, pair) AS rn
+         |          FROM p$i GROUP BY pair) WHERE rn = 1),
+         |v$i AS (SELECT w, cnt, replace(state, ' ' || t.pair || ' ',
+         |               ' ' || replace(t.pair, ' ', '') || ' ') AS state
+         |        FROM v${i - 1}, t$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""wt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |v0 AS (SELECT w, COUNT(*) AS cnt,
+       |              ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS state
+       |       FROM wt GROUP BY w),
+       |$steps""".stripMargin
+  }
+
+  /** BPE merge table: 8 deterministic merges trained on the documents
+    * vocabulary (Bpe.train). Hash-matching the oracle's unrolled replay
+    * checks every intermediate pair count, tie-break, and greedy merge —
+    * training itself is the thing under test. */
+  val textBpeMerges = QueryDef(
+    "q_text_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val (merges, _) = Bpe.train(Tables(s, dir, "documents"), "text", numMerges = 8)
+      merges.orderBy($"step")
+    },
+    Some {
+      val union = (1 to 8).map(i => s"SELECT $i AS step, pair, c FROM t$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bpeCtes(8)}
+         |SELECT * FROM (
+         |  $union)
+         |ORDER BY step""".stripMargin
+    })
+
+  /** BPE apply: per-doc whitespace vs trained-BPE token counts
+    * (Bpe.tokenCounts) — the budget numbers sequence packing and mixture
+    * weights should rest on, no longer a whitespace proxy. */
+  val textBpe = QueryDef(
+    "q_text_bpe",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val (_, vocab) = Bpe.train(docs, "text", numMerges = 8)
+      Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${bpeCtes(8)},
+             |np AS (SELECT w, len(string_split(trim(state), ' ')) AS np FROM v8)
+             |SELECT wt.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+             |       CAST(SUM(np.np) AS BIGINT) AS bpe_tokens
+             |FROM wt JOIN np USING (w)
+             |GROUP BY wt.doc_id ORDER BY wt.doc_id""".stripMargin))
+
+  /** IVF-flat ANN over TRAINED centroids: 2 deterministic Lloyd
+    * iterations from the ⌈√n⌉-spaced seeds (Similarity.kmeansCentroids),
+    * then the exact same probe/rank query path as q_ann_ivf
+    * (Similarity.ivfTopKWith). The oracle REPLAYS TRAINING as unrolled
+    * CTEs — per iteration one assignment window + one decimal-exact
+    * per-(cell, dim) mean — which only works because training is
+    * bit-deterministic (fixed iterations, round-6 cosine, id tie-breaks,
+    * DECIMAL partial sums). Closes the "swap in trained codebooks at
+    * production scale" IOU the untrained IVF documented. */
+  val annIvfTrained = QueryDef(
+    "q_ann_ivf_trained",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      Similarity.ivfTopKWith(e, "vec_id", "embedding", cent,
+          VectorQueries.queryVec, k = 10, nprobe = 2)
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      def cos(a: String, b: String) =
+        s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+           |     THEN 0.0
+           |     ELSE list_dot_product($a, $b) /
+           |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+           |END""".stripMargin
+      val iters = 2
+      val iterCtes = (1 to iters).map { i =>
+        s"""a$i AS (SELECT vid, v, cid FROM (
+           |         SELECT e.vid, e.v, c.cid,
+           |                ROW_NUMBER() OVER (PARTITION BY e.vid
+           |                  ORDER BY round(${cos("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+           |         FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+           |m$i AS (SELECT cid, CAST(u.j AS INT) AS idx,
+           |               round(CAST(SUM(CAST(v[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
+           |                     / COUNT(*), 6) AS m
+           |        FROM a$i, unnest(range(len(v))) AS u(j) GROUP BY cid, idx),
+           |c$i AS (SELECT cid, list(m ORDER BY idx) AS cv FROM m$i GROUP BY cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
+         |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |       FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
+         |$iterCtes,
+         |af AS (SELECT vid, v, cid FROM (
+         |         SELECT e.vid, e.v, c.cid,
+         |                ROW_NUMBER() OVER (PARTITION BY e.vid
+         |                  ORDER BY round(${cos("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |         FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+         |pr AS (SELECT cid FROM (
+         |         SELECT cid, ROW_NUMBER() OVER (ORDER BY round(${cos("cv", qv)}, 6) DESC, cid) AS rn
+         |         FROM c$iters) WHERE rn <= 2)
+         |SELECT vid AS vec_id, round(${cos("v", qv)}, 6) AS score
+         |FROM af JOIN pr USING (cid)
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    })
 
   /** Per-label embedding centroids in exploded (label, idx, c) form —
     * class prototypes for clustering/classifier init. Element-wise means
@@ -1194,5 +1320,6 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
+    annIvfTrained, textBpeMerges, textBpe,
     pipelineE2e, pipelineFunnel)
 }

@@ -31,8 +31,11 @@ object ScaleQueries {
   private[graft] def sparseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = get_json_object($"props", "$.k")
+    // try_cast (not cast): under ANSI mode a malformed props.k must degrade
+    // to a dropped edge in BOTH engines, not a Spark-only runtime error
     Tables(s, dir, "events")
-      .select($"user_id".as("src"), (lit(100000L) + k.cast("long")).as("dst"),
+      .select($"user_id".as("src"),
+        (lit(100000L) + k.try_cast(org.apache.spark.sql.types.LongType)).as("dst"),
         TextOps.strHash(concat($"user_id".cast("string"), lit(":"), k)).as("hv"))
       .filter($"hv" % 5 === 0)
       .select($"src", $"dst")
@@ -43,7 +46,7 @@ object ScaleQueries {
   private val eeCte =
     """e0 AS (
       |  SELECT DISTINCT user_id AS u,
-      |         100000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |         100000 + TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
       |  FROM events
       |  WHERE (CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR) || ':' ||
       |           json_extract_string(props, '$.k')), 1, 15)) AS BIGINT)
@@ -243,7 +246,10 @@ object ScaleQueries {
     "q_sink_zorder",
     (s, dir) => {
       import s.implicits._
-      val path = s"/tmp/graft_sink_zorder_${math.abs(dir.hashCode)}"
+      // per-run path: two concurrent runs over the same SF dir (Verify ∥
+      // Bench, parallel drivers) must not race on overwrite/read
+      val path = s"/tmp/graft_sink_zorder_${math.abs(dir.hashCode)}_" +
+        s.sparkContext.applicationId
       Tables(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey",
           ($"l_orderkey" % 1024).as("zx"), ($"l_partkey" % 1024).as("zy"))
@@ -402,6 +408,51 @@ object ScaleQueries {
                     md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN seg END,
                                             ' ' ORDER BY j), '')) AS cleaned
              FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Rolling-window substring dedup (Dedup.substringDedup): plant
+    * OFFSET-SHIFTED near-copies — docs with doc_id < 10 re-appear with 3
+    * extra lead tokens — the case fixed segments structurally miss (no
+    * segment boundary aligns at offset 3) and stride-1 k=20 windows catch
+    * regardless of offset. Every 20-window of an original also occurs in
+    * its shifted copy, so originals clean to md5('') and copies keep only
+    * the 3 pad tokens; only affected docs are returned. */
+  val dedupSubstring = QueryDef(
+    "q_dedup_substring",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat(lit("zq1 zq2 zq3 "), $"text").as("text")))
+      Dedup.substringDedup(corpus, "doc_id", "text", k = 20)
+        .filter($"n_dup_toks" > 0)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, 'zq1 zq2 zq3 ' || text
+             |  FROM documents WHERE doc_id < 10),
+             |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             |g AS (SELECT doc_id, u.j AS j,
+             |             CAST(('0x'||substr(md5(array_to_string(toks[(u.j+1):(u.j+20)], ' ')),1,15)) AS BIGINT)
+             |               % 2147483647 AS gh
+             |      FROM t, unnest(range(greatest(len(toks) - 19, 0))) AS u(j)),
+             |dup AS (SELECT gh FROM g GROUP BY gh
+             |        HAVING COUNT(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT g.doc_id, g.j + o.o AS p
+             |        FROM g JOIN dup USING (gh), unnest(range(20)) AS o(o)),
+             |tok AS (SELECT doc_id, u.p AS p, toks[u.p + 1] AS w
+             |        FROM t, unnest(range(len(toks))) AS u(p)),
+             |agg AS (SELECT tok.doc_id,
+             |               CAST(COUNT(*) AS BIGINT) AS n_toks,
+             |               CAST(SUM(CASE WHEN cov.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_toks,
+             |               md5(COALESCE(string_agg(CASE WHEN cov.p IS NULL THEN tok.w END,
+             |                                       ' ' ORDER BY tok.p), '')) AS cleaned
+             |        FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+             |        GROUP BY tok.doc_id)
+             |SELECT doc_id, n_toks, n_dup_toks, cleaned FROM agg
+             |WHERE n_dup_toks > 0 ORDER BY doc_id""".stripMargin))
 
   // -------------------------------------------------------------- HITS
   private def hitsCtes(iters: Int): String = {
@@ -710,5 +761,5 @@ object ScaleQueries {
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
-    dedupIncremental, profileCorr, sampleWeighted)
+    dedupIncremental, profileCorr, sampleWeighted, dedupSubstring)
 }

@@ -73,4 +73,26 @@ class HybridSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(t("A") == 1.0 / 61 && t("B") == 1.0 / 62)
   }
+
+  test("rrfFuse enforces the pre-limited-input precondition in-plan") {
+    val big = spark.range(0, 50).select(
+      concat(lit("n"), $"id").as("id"), ($"id" * 1.0).as("score"))
+    val small = Seq(("A", 0.9), ("B", 0.8)).toDF("id", "score")
+    // over-limit ranker raises during execution (not silently serialized)
+    val ex = intercept[Exception] {
+      HybridSearch.rrfFuse(Seq(big, small), topK = 10, maxInput = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pre-limit RRF inputs")), msgs(ex).mkString("|"))
+    // at-limit inputs pass untouched
+    val ok = HybridSearch.rrfFuse(Seq(big, small), topK = 5, maxInput = 50)
+      .collect()
+    assert(ok.length == 5)
+    // the rank window is partitioned by ranker id, never a global
+    // single-partition window over the union
+    val plan = HybridSearch.rrfFuse(Seq(big, small), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }

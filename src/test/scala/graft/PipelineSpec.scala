@@ -29,6 +29,76 @@ class PipelineSpec extends SparkSpec {
     assert(planted.forall(_._3 >= 0.5))
   }
 
+  test("BPE: merges deterministic; budgets diverge from whitespace proxy") {
+    val (merges, vocab) = Bpe.train(docs, "text", numMerges = 8)
+    val m = merges.as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(m.length == 8 && m.map(_._1).toSeq == (1 to 8), m.mkString(","))
+    assert(m.forall(_._3 >= 1))
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+    // the mandate's point: BPE budgets are NOT the whitespace numbers
+    assert(counts.filter($"bpe_tokens" =!= $"ws_tokens").count() > 0)
+    assert(counts.filter($"bpe_tokens" < $"ws_tokens").count() == 0,
+      "a word is never fewer than one piece")
+    // more merges ⇒ strictly smaller corpus token budget
+    val t8 = counts.agg(sum($"bpe_tokens")).as[Long].head()
+    val (_, vocab2) = Bpe.train(docs, "text", numMerges = 2)
+    val t2 = Bpe.tokenCounts(docs, "doc_id", "text", vocab2)
+      .agg(sum($"bpe_tokens")).as[Long].head()
+    assert(t8 < t2, s"8-merge budget $t8 !< 2-merge budget $t2")
+    // out-of-vocab words fall back to per-character pieces
+    val unk = Seq((9L, "zzqqxxy")).toDF("doc_id", "text")
+    val u = Bpe.tokenCounts(unk, "doc_id", "text", vocab)
+      .as[(Long, Long, Long)].head()
+    assert(u == ((9L, 1L, 7L)), s"$u")
+    // training greedy-merge overlap semantics: 'aaa' under merge (a,a) → [aa, a]
+    val tiny = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val (tm, tv) = Bpe.train(tiny, "text", numMerges = 1)
+    assert(tm.as[(Int, String, Long)].head()._2 == "a a")
+    assert(tv.select($"state").as[String].head() == " aa a ")
+  }
+
+  test("substring dedup: offset-shifted clones caught; fixed segments miss them") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"u$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                 // original
+      (2L, "p1 p2 p3 " + base),   // same 40-token span at offset 3
+      (3L, other))                // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", "text", k = 20)
+      .select($"doc_id", $"n_toks", $"n_dup_toks", $"cleaned")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // every 20-window of doc 1 occurs in doc 2 ⇒ doc 1 fully covered
+    assert(out(1L)._3 == 40L, s"doc 1 dup tokens: ${out(1L)._3}")
+    assert(out(1L)._4 == org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+    // doc 2: the shared span covered, the 3 pad tokens survive
+    assert(out(2L)._3 == 40L && out(2L)._2 == 43L)
+    assert(out(2L)._4 == org.apache.commons.codec.digest.DigestUtils.md5Hex("p1 p2 p3"))
+    assert(out(3L)._3 == 0L, "unrelated doc untouched")
+    // fixed 10-token segments NEVER collide at offset 3 — the structural
+    // miss rolling windows exist to close
+    val seg = Dedup.segmentCleanse(d, "doc_id", "text", segLen = 10, minDocs = 2)
+      .select($"doc_id", $"n_seg", $"n_kept").as[(Long, Long, Long)].collect()
+    seg.foreach { case (id, nSeg, nKept) =>
+      assert(nSeg == nKept, s"fixed segments should miss offset dups (doc $id)")
+    }
+  }
+
+  test("band keys: weighted-sum-colliding bands get distinct md5 keys") {
+    // two bands with DIFFERENT contents but the same Σ(i%4+1)·mh = 300 —
+    // the pre-r5 weighted-sum key would have made these spurious candidates
+    val mh = Seq(
+      (1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L), (1L, 3, 40L),   // 10+40+90+160
+      (2L, 0, 100L), (2L, 1, 100L), (2L, 2, 0L), (2L, 3, 0L),   // 100+200+0+0
+      (3L, 0, 10L), (3L, 1, 20L), (3L, 2, 30L), (3L, 3, 40L))   // == doc 1
+      .toDF("doc_id", "i", "mh")
+    val keys = Dedup.bandKeys(mh, rowsPerBand = 4)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(keys(1) != keys(2), "distinct band contents must get distinct keys")
+    assert(keys(1) == keys(3), "identical band contents must get equal keys")
+  }
+
   test("simhash: near-dup texts within small hamming distance, unrelated far") {
     val d = Seq(
       (1L, "spark shuffle join window aggregate filter scan merge sort"),

@@ -87,6 +87,37 @@ class SketchIvfSpec extends SparkSpec {
     assert(derived.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("k-means-trained IVF: recall@5 >= spaced-seed recall@5; training deterministic") {
+    val emb = Tables(spark, sf, "embeddings")
+    val exact = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 5, scoreCol = "score",
+        cosine = true, roundTo = Some(6))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recall(ids: Seq[Long]): Double = ids.toSet.intersect(exact).size / 5.0
+    val spaced = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
+    val trained = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cent,
+        VectorQueries.queryVec, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(recall(trained) >= recall(spaced),
+      s"trained recall ${recall(trained)} < spaced recall ${recall(spaced)}")
+    // Lloyd on decimal-exact means: bit-identical centroids at ANY input
+    // partitioning — the property the unrolled-CTE oracle rests on
+    val c1 = cent.orderBy($"cid").as[(Long, Seq[Double])].collect().toSeq
+    val c2 = Similarity.kmeansCentroids(emb.repartition(13), "vec_id", "embedding",
+        iters = 2)
+      .orderBy($"cid").as[(Long, Seq[Double])].collect().toSeq
+    assert(c1 == c2, "training must be partitioning-independent")
+    // training moves centroids: at least one seed is not its own mean
+    val seeds = emb.filter($"vec_id" % math.ceil(math.sqrt(emb.count().toDouble)).toLong === 0)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(c1.exists { case (cid, cv) => seeds.get(cid).exists(_ != cv) },
+      "Lloyd iterations must actually update centroids")
+  }
+
   test("pqTopK: 1-spaced codebook (every vector is a codeword) == exact dot top-k") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
