@@ -190,17 +190,24 @@ object Dedup {
     * (doc_id, n_toks, n_dup_toks, cleaned = md5 of surviving tokens in
     * order; md5("") when the whole doc is duplicated span).
     *
-    * Scale shape: windows explode to ≈ |tokens| rows/doc; ONE
-    * distinct-count groupBy on the 64-bit window fingerprint finds shared
-    * windows (frequency is the signal — no pairwise compare anywhere); one
-    * join back + one positional explode bounded by k·|dup windows|; one
-    * per-doc aggregation. All linear in corpus token count. */
+    * Scale shape: windows explode to ≈ |tokens| rows/doc with ROLLING
+    * POLYNOMIAL fingerprints over per-token hashes (the codegen'd
+    * functions.RollingWindowHash — one short md5 per token, never a
+    * k-token string per window, one compiled pass per row); ONE
+    * distinct-count groupBy on the fingerprint finds shared windows
+    * (frequency is the signal — no pairwise compare anywhere); covered
+    * positions explode only for DUP windows (bounded by k·|dup windows|)
+    * and fold back as one small per-doc position array, so the cleaned
+    * text is an in-row array filter — the full corpus token list is never
+    * exploded or re-sorted. All linear in corpus token count. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 20, minDocs: Long = 2): DataFrame = {
     val t = spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-    val g = t.select(col("doc_id"), posexplode(kgrams(col("toks"), k)))
-      .select(col("doc_id"), col("pos").as("j"), strHash(col("col")).as("gh"))
+      .filter(size(col("toks")) > 0)
+    val g = t.select(col("doc_id"),
+        posexplode(graft.functions.text.windowHashes(col("toks"), k)))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("gh"))
     val dup = g.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -209,19 +216,14 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("j"), col("j") + (k - 1))).as("p"))
       .distinct()
-      .withColumn("c", lit(true))
-    val tok = t.select(col("doc_id"), posexplode(col("toks")))
-      .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
-    tok.join(cov, Seq("doc_id", "p"), "left")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_toks"),
-        sum(when(col("c"), 1L).otherwise(0L)).as("n_dup_toks"),
+      .groupBy("doc_id").agg(collect_set(col("p")).as("covp"))
+    t.join(cov, Seq("doc_id"), "left")
+      .withColumn("covp", coalesce(col("covp"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("covp")).cast("long").as("n_dup_toks"),
         md5(array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("c").isNull, struct(col("p"), col("w"))))),
-            s => s.getField("w")),
+          filter(col("toks"), (w, i) => !array_contains(col("covp"), i)),
           " ")).as("cleaned"))
   }
 

@@ -50,6 +50,14 @@ object TextOps {
   def shingles(toks: Column, k: Int = 3): Column =
     array_distinct(kgrams(toks, k))
 
+  /** The SQL-literal coefficient list for the rolling polynomial window
+    * fingerprint gh_j = Σ_o B^o·hv(tok_{j+o}) mod P, B = 131 (DuckDB
+    * mirror of [[graft.functions.RollingWindowHash]]):
+    * [B^0 % P, …, B^(k-1) % P]. */
+  def windowCoefSql(k: Int): String =
+    Array.iterate(1L, k)(c => (c * 131L) % P)
+      .mkString("[", ", ", "]::BIGINT[]")
+
   /** The i-th MinHash permutation applied to a hash value: (2i+1)·h + 7919i
     * mod P — affine over the prime field, standard MinHash family. */
   def minhashPerm(hv: Column, i: Column): Column =

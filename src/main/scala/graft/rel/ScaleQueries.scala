@@ -434,10 +434,15 @@ object ScaleQueries {
              |  UNION ALL SELECT doc_id + 100000, 'zq1 zq2 zq3 ' || text
              |  FROM documents WHERE doc_id < 10),
              |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             |h AS (SELECT doc_id, toks,
+             |             list_transform(toks, x ->
+             |               CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647) AS hvs
+             |      FROM t),
              |g AS (SELECT doc_id, u.j AS j,
-             |             CAST(('0x'||substr(md5(array_to_string(toks[(u.j+1):(u.j+20)], ' ')),1,15)) AS BIGINT)
-             |               % 2147483647 AS gh
-             |      FROM t, unnest(range(greatest(len(toks) - 19, 0))) AS u(j)),
+             |             list_sum(list_transform(range(20), o ->
+             |               (hvs[u.j + o + 1] * (${TextOps.windowCoefSql(20)})[o + 1])
+             |                 % 2147483647)) % 2147483647 AS gh
+             |      FROM h, unnest(range(greatest(len(toks) - 19, 0))) AS u(j)),
              |dup AS (SELECT gh FROM g GROUP BY gh
              |        HAVING COUNT(DISTINCT doc_id) >= 2),
              |cov AS (SELECT DISTINCT g.doc_id, g.j + o.o AS p

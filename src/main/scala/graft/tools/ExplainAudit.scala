@@ -3,9 +3,12 @@ import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 /** Prints formatted physical plans for representative queries so plan
   * regressions (lost pushdown, wrong join strategy, broken codegen) are
-  * visible. `sbt "runMain graft.tools.ExplainAudit [query...]"` */
+  * visible. `sbt "runMain graft.tools.ExplainAudit [query...]"`;
+  * SPARK_GRAFT_SF_DIR overrides the fixture dir (plans can flip with
+  * data size — e.g. a broadcast side outgrowing the threshold at sf1). */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +22,7 @@ object ExplainAudit {
         "q_text_decontam", "q_text_pack")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -85,6 +85,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("rolling window hash: compiled kernel equals the mod-P polynomial of strHash") {
+    val toks = Seq("alpha", "beta", "gamma", "delta", "echo")
+    val k = 3
+    val hv = Seq(toks).toDF("toks")
+      .select(explode(transform($"toks", t => TextOps.strHash(t))))
+      .as[Long].collect()
+    val coef = Array.iterate(1L, k)(c => (c * 131L) % TextOps.P)
+    val expected = (0 to toks.length - k).map { j =>
+      (0 until k).map(o => (hv(j + o) * coef(o)) % TextOps.P).sum % TextOps.P
+    }
+    val got = Seq(toks).toDF("toks")
+      .select(graft.functions.text.windowHashes($"toks", k))
+      .as[Seq[Long]].head()
+    assert(got == expected, s"$got vs $expected")
+    // fewer than k tokens ⇒ empty array, not null
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(graft.functions.text.windowHashes($"toks", k))
+      .as[Seq[Long]].head()
+    assert(short == Seq.empty)
+  }
+
   test("band keys: weighted-sum-colliding bands get distinct md5 keys") {
     // two bands with DIFFERENT contents but the same Σ(i%4+1)·mh = 300 —
     // the pre-r5 weighted-sum key would have made these spurious candidates
