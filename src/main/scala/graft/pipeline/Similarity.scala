@@ -213,6 +213,42 @@ object Similarity {
       .select(col("vid").as(idCol), col("score"))
   }
 
+  /** IVF query path for a BATCH of query vectors (the multi-tenant serving
+    * shape): same assignment as [[ivfTopKWith]], per-query probe ranking
+    * over the broadcast centroid table, then exact rank of probed-cell
+    * members only. Queries and centroids are both small (broadcast); the
+    * corpus-side work is one assignment pass + one probed-cell equi-join.
+    * Returns (qid, cand, score, rn ≤ k). */
+  def ivfTopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
+                     cent: DataFrame, queries: DataFrame, qIdCol: String,
+                     qVecCol: String, k: Int, nprobe: Int = 2,
+                     roundTo: Int = 6): DataFrame = {
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qcos", round(vec.cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vid"))
+    assigned.join(broadcast(probes), "cid")
+      .withColumn("score", round(vec.cosine(col("v"), col("qv")), roundTo))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid").as("cand"), col("score"), col("rn"))
+  }
+
   /** Cluster-stratified representative selection: for each cell of a
     * caller-supplied quantizer (cid, cv) — typically [[kmeansCentroids]] —
     * the `perCell` members nearest their own centroid, by round-6 cosine

@@ -500,6 +500,65 @@ object PipelineQueries {
          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
     })
 
+  /** Recall@5 of the TRAINED-IVF query path (kmeansCentroids →
+    * ivfTopKQueries) against the exact brute-force top-5 — the follow-up
+    * measurement the trained quantizer exists for: q_ann_recall evaluates
+    * multi-probe LSH, this evaluates the k-means IVF on the same 5 query
+    * vectors. The oracle replays training (shared kmeansCtes), probes, and
+    * both rankings. */
+  val annRecallTrained = QueryDef(
+    "q_ann_recall_trained",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      val approx = Similarity.ivfTopKQueries(e, "vec_id", "embedding", cent,
+          e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, nprobe = 2)
+        .select($"qid", $"cand".as("cid"))
+      val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = TextOps.spread(e).select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val exact = c.join(broadcast(q))
+        .withColumn("cos", round(graft.functions.vec.cosine($"cv", $"qv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"cid")
+      exact.join(approx, Seq("qid", "cid"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_hit"),
+          (count(lit(1)) / 5.0).as("recall_at_5"))
+        .orderBy($"qid")
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+             |af AS (SELECT vid, v, cid FROM (
+             |         SELECT e.vid, e.v, c.cid,
+             |                ROW_NUMBER() OVER (PARTITION BY e.vid
+             |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+             |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+             |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 5),
+             |pr AS (SELECT qid, qv, cid FROM (
+             |         SELECT q.qid, q.qv, c.cid,
+             |                ROW_NUMBER() OVER (PARTITION BY q.qid
+             |                  ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid) AS rn
+             |         FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+             |sa AS (SELECT pr.qid, af.vid AS cand,
+             |              round(${cosSql("af.v", "pr.qv")}, 6) AS score
+             |       FROM af JOIN pr USING (cid)),
+             |approx AS (SELECT qid, cand AS cid FROM (
+             |             SELECT qid, cand, ROW_NUMBER() OVER (PARTITION BY qid
+             |               ORDER BY score DESC, cand) AS rn
+             |             FROM sa) WHERE rn <= 5),
+             |se AS (SELECT q.qid, e.vid AS cid, round(${cosSql("e.v", "q.qv")}, 6) AS cos
+             |       FROM e CROSS JOIN q),
+             |exact AS (SELECT qid, cid FROM (
+             |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY cos DESC, cid) AS rn
+             |            FROM se) WHERE rn <= 5)
+             |SELECT exact.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             |       COUNT(*) / 5.0::DOUBLE AS recall_at_5
+             |FROM exact JOIN approx USING (qid, cid)
+             |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin))
+
   // --------------------------------------------------------- text analysis
   val textLangId = QueryDef(
     "q_text_langid",
@@ -1356,6 +1415,6 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, vecDiverse, textBpeMerges, textBpe,
+    annIvfTrained, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
     pipelineE2e, pipelineFunnel)
 }

@@ -120,6 +120,28 @@ object StreamQueries {
                               AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
             ORDER BY purchase_id, view_id NULLS FIRST"""))
 
+  /** Keep-first dedup on the (user, type) business key
+    * (EventStreams.firstEventPerKey) — batch mode here; StreamingSpec
+    * asserts the streaming dropDuplicatesWithinWatermark execution yields
+    * the same retained set on event-time-ordered input. */
+  val streamDedup = QueryDef(
+    "q_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      EventStreams.firstEventPerKey(Tables(s, dir, "events"))
+        .select($"user_id", $"event_type", $"first_event_id",
+          date_format($"first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id AS first_event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+            ORDER BY user_id, event_type"""))
+
   val all: Seq[QueryDef] =
-    Seq(streamWindow, streamSession, streamSliding, streamJoin, streamJoinOuter)
+    Seq(streamWindow, streamSession, streamSliding, streamJoin,
+      streamJoinOuter, streamDedup)
 }

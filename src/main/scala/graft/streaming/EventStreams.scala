@@ -87,6 +87,31 @@ object EventStreams {
     * than the watermark is evicted, so memory is O(events per horizon), not
     * O(stream length). Batch inputs fall back to plain dropDuplicates
     * (same result — batch has no late data). */
+  /** First event per (user, type) — a streaming dedup on a composite
+    * business key with keep-first semantics. Streaming: plain
+    * dropDuplicates keeps the first ARRIVAL, which equals the batch
+    * min-(ts, event_id) row whenever the source replays in event-time
+    * order (StreamingSpec asserts the equality). State is O(|business
+    * keys|) — bounded by key cardinality, not stream length, so no
+    * watermark eviction is needed (dropDuplicatesWithinWatermark would
+    * RE-EMIT a key once the watermark passes it — the within-horizon
+    * id-dedup semantics [[dedupEvents]] covers, not keep-first-ever).
+    * Batch: one key-partitioned window — no global sort. */
+  def firstEventPerKey(events: DataFrame): DataFrame = {
+    val picked =
+      if (events.isStreaming)
+        events.dropDuplicates("user_id", "event_type")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      }
+    picked.select(col("user_id"), col("event_type"),
+      col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+  }
+
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", watermark)

@@ -48,6 +48,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keep-first dedup: streaming dropDuplicatesWithinWatermark == batch window on ordered input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val subset = Tables(spark, sf, "events").filter($"user_id" < 5)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+      .as[(Long, Timestamp, Long, String)].collect()
+    assert(subset.nonEmpty)
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = stream.toDS().toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.firstEventPerKey(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // event-time-ordered arrival (single source partition): keep-first-
+      // arrival equals keep-min-(ts, event_id)
+      subset.grouped(100).foreach { chunk =>
+        stream.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("dedup_out")
+        .select($"user_id", $"event_type", $"first_event_id")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = EventStreams.firstEventPerKey(
+          Tables(spark, sf, "events").filter($"user_id" < 5))
+        .select($"user_id", $"event_type", $"first_event_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streaming $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
