@@ -306,6 +306,29 @@ object Similarity {
   def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 3, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    val (_, cov, w) = pcaParts(emb, idCol, vecCol, iters, roundTo)
+    def mul(w: DataFrame): DataFrame =
+      cov.join(broadcast(w.withColumnRenamed("i", "j")), "j")
+        .groupBy(col("i"))
+        .agg(round(sum((col("cc") * col("w")).cast(DecimalType(20, 12)))
+          .cast("double"), roundTo).as("u"))
+    val lam = mul(w)
+      .agg(round(sqrt(sum((col("u") * col("u")).cast(DecimalType(20, 12)))
+        .cast("double")), roundTo).as("lambda"))
+    w.crossJoin(broadcast(lam))
+      .select(col("i").as("idx"), col("w").as("loading"), col("lambda"))
+      .orderBy(col("idx"))
+  }
+
+  /** Shared PCA internals: (x = centered exploded values (vid, i, c),
+    * cov = round-6 covariance entries (i, j, cc), w = final unit loadings
+    * (i, w) after `iters` power steps). Same float discipline as
+    * [[pcaTopComponent]]'s contract — every consumer inherits
+    * oracle-replayability. */
+  private[graft] def pcaParts(emb: DataFrame, idCol: String, vecCol: String,
+                              iters: Int, roundTo: Int = 6)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(emb)
@@ -340,11 +363,32 @@ object Similarity {
             .otherwise(round(col("u") / col("nrm"), roundTo)).as("w"))
         .localCheckpoint()
     }
-    val lam = norm(mul(w))
-      .select(round(col("nrm"), roundTo).as("lambda"))
-    w.crossJoin(broadcast(lam))
-      .select(col("i").as("idx"), col("w").as("loading"), col("lambda"))
-      .orderBy(col("idx"))
+    (x, cov, w)
+  }
+
+  /** "All-but-the-top" embedding postprocessing: per vector, its
+    * projection onto the corpus top principal component and the squared
+    * norm of the residual after removing it — the standard isotropy
+    * correction for embedding spaces (dominant-direction removal). One
+    * broadcast d-row join for the projection (decimal dot per vid), one
+    * vid-keyed join to score the residual; linear in corpus size.
+    * Returns (idCol, proj, resid2) — proj round-6, resid2 round-6. */
+  def whitenTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                         iters: Int = 3, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (x, _, w) = pcaParts(emb, idCol, vecCol, iters, roundTo)
+    val proj = x.join(broadcast(w), "i")
+      .groupBy(col("vid"))
+      .agg(round(sum((col("c") * col("w")).cast(DecimalType(20, 12)))
+        .cast("double"), roundTo).as("proj"))
+    x.join(broadcast(w), "i")
+      .join(proj, "vid")
+      .withColumn("r", col("c") - col("proj") * col("w"))
+      .groupBy(col("vid"), col("proj"))
+      .agg(round(sum((col("r") * col("r")).cast(DecimalType(20, 12)))
+        .cast("double"), roundTo).as("resid2"))
+      .select(col("vid").as(idCol), col("proj"), col("resid2"))
+      .orderBy(col(idCol))
   }
 
   /** Deterministic distributed Lloyd k-means — the training step the

@@ -212,6 +212,35 @@ object VectorQueries {
          |GROUP BY id ORDER BY rrf DESC, id LIMIT 25""".stripMargin
     })
 
+  /** Unrolled-CTE replay of Similarity.pcaParts: centering, round-6
+    * covariance, and `iters` power steps — defines e, x0, mean, x, cov,
+    * w0 and per step u$t/n$t/w$t; consumers read the final loadings from
+    * w$iters. Shared by q_vec_pca and q_vec_whiten. */
+  private def pcaCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""u$t AS (SELECT cov.i,
+         |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
+         |       FROM cov JOIN w${t - 1} w ON w.i = cov.j GROUP BY cov.i),
+         |n$t AS (SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(20,12))) AS DOUBLE)) AS nrm FROM u$t),
+         |w$t AS (SELECT i, CASE WHEN nrm = 0 THEN 0.0
+         |                      ELSE round(u / nrm, 6) END AS w FROM u$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE len(embedding) > 0),
+       |x0 AS (SELECT vid, CAST(u.j AS INT) AS i, v[u.j + 1] AS xv
+       |       FROM e, unnest(range(len(v))) AS u(j)),
+       |mean AS (SELECT i, round(CAST(SUM(CAST(xv AS DECIMAL(20,10))) AS DOUBLE)
+       |                         / COUNT(*), 6) AS m
+       |         FROM x0 GROUP BY i),
+       |x AS (SELECT vid, i, xv - m AS c FROM x0 JOIN mean USING (i)),
+       |cov AS (SELECT a.i AS i, b.i AS j,
+       |               round(CAST(SUM(CAST(a.c * b.c AS DECIMAL(20,12))) AS DOUBLE)
+       |                     / COUNT(*), 6) AS cc
+       |        FROM x a JOIN x b USING (vid) GROUP BY a.i, b.i),
+       |w0 AS (SELECT i, 1.0::DOUBLE AS w FROM mean),
+       |$iterCtes""".stripMargin
+  }
+
   /** Top principal component of the embedding corpus (power iteration,
     * Similarity.pcaTopComponent) — dominant-direction analysis for
     * embedding-space diagnostics. Fixed 3 iterations, all-ones start,
@@ -221,40 +250,35 @@ object VectorQueries {
     "q_vec_pca",
     (s, dir) => graft.pipeline.Similarity.pcaTopComponent(
       Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 3),
-    Some {
-      val iters = 3
-      val iterCtes = (1 to iters).map { t =>
-        s"""u$t AS (SELECT cov.i,
-           |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
-           |       FROM cov JOIN w${t - 1} w ON w.i = cov.j GROUP BY cov.i),
-           |n$t AS (SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(20,12))) AS DOUBLE)) AS nrm FROM u$t),
-           |w$t AS (SELECT i, CASE WHEN nrm = 0 THEN 0.0
-           |                      ELSE round(u / nrm, 6) END AS w FROM u$t, n$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
-         |           FROM embeddings WHERE len(embedding) > 0),
-         |x0 AS (SELECT vid, CAST(u.j AS INT) AS i, v[u.j + 1] AS xv
-         |       FROM e, unnest(range(len(v))) AS u(j)),
-         |mean AS (SELECT i, round(CAST(SUM(CAST(xv AS DECIMAL(20,10))) AS DOUBLE)
-         |                         / COUNT(*), 6) AS m
-         |         FROM x0 GROUP BY i),
-         |x AS (SELECT vid, i, xv - m AS c FROM x0 JOIN mean USING (i)),
-         |cov AS (SELECT a.i AS i, b.i AS j,
-         |               round(CAST(SUM(CAST(a.c * b.c AS DECIMAL(20,12))) AS DOUBLE)
-         |                     / COUNT(*), 6) AS cc
-         |        FROM x a JOIN x b USING (vid) GROUP BY a.i, b.i),
-         |w0 AS (SELECT i, 1.0::DOUBLE AS w FROM mean),
-         |$iterCtes,
-         |uf AS (SELECT cov.i,
-         |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
-         |       FROM cov JOIN w$iters w ON w.i = cov.j GROUP BY cov.i),
-         |lam AS (SELECT round(sqrt(CAST(SUM(CAST(u * u AS DECIMAL(20,12))) AS DOUBLE)), 6) AS lambda
-         |        FROM uf)
-         |SELECT w.i AS idx, w.w AS loading, lam.lambda
-         |FROM w$iters w, lam ORDER BY idx""".stripMargin
-    })
+    Some(s"""WITH ${pcaCtes(3)},
+            |uf AS (SELECT cov.i,
+            |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
+            |       FROM cov JOIN w3 w ON w.i = cov.j GROUP BY cov.i),
+            |lam AS (SELECT round(sqrt(CAST(SUM(CAST(u * u AS DECIMAL(20,12))) AS DOUBLE)), 6) AS lambda
+            |        FROM uf)
+            |SELECT w.i AS idx, w.w AS loading, lam.lambda
+            |FROM w3 w, lam ORDER BY idx""".stripMargin))
+
+  /** "All-but-the-top" postprocessing (Similarity.whitenTopComponent):
+    * per vector, the projection onto the corpus top PC and the squared
+    * residual norm after removing it — the standard embedding isotropy
+    * correction, composed directly on the PCA kernel. */
+  val vecWhiten = QueryDef(
+    "q_vec_whiten",
+    (s, dir) => graft.pipeline.Similarity.whitenTopComponent(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 3),
+    Some(s"""WITH ${pcaCtes(3)},
+            |proj AS (SELECT x.vid,
+            |                round(CAST(SUM(CAST(x.c * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS proj
+            |         FROM x JOIN w3 w USING (i) GROUP BY x.vid),
+            |resid AS (SELECT x.vid, proj.proj,
+            |                 round(CAST(SUM(CAST((x.c - proj.proj * w.w) * (x.c - proj.proj * w.w)
+            |                                     AS DECIMAL(20,12))) AS DOUBLE), 6) AS resid2
+            |          FROM x JOIN w3 w USING (i) JOIN proj ON proj.vid = x.vid
+            |          GROUP BY x.vid, proj.proj)
+            |SELECT vid AS vec_id, proj, resid2 FROM resid ORDER BY vec_id""".stripMargin))
 
   val all: Seq[QueryDef] =
     Seq(vecTopK, vecCosineTopK, vecTopKFiltered, vecKnn, bm25, hashEmbedQ,
-      hybridRrf, vecPca)
+      hybridRrf, vecPca, vecWhiten)
 }

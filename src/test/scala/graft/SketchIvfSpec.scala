@@ -169,6 +169,30 @@ class SketchIvfSpec extends SparkSpec {
     assert(pc == pc2, "PCA must be partitioning-independent")
   }
 
+  test("whitenTopComponent: Pythagoras holds — resid2 == |c|^2 - proj^2") {
+    val emb = Tables(spark, sf, "embeddings")
+    val out = Similarity.whitenTopComponent(emb, "vec_id", "embedding", iters = 3)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == emb.count())
+    // |c|^2 per vector, centered exactly like the operator (6dp means)
+    val mean = emb.select(posexplode($"embedding".cast("array<double>")))
+      .groupBy($"pos")
+      .agg(round(sum($"col".cast("decimal(20,10)")).cast("double") /
+        count(lit(1)), 6).as("m"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val norms = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        id -> v.zip(mean).map { case (a, m) => (a - m) * (a - m) }.sum }
+      .toMap
+    out.foreach { case (id, proj, resid2) =>
+      // w is unit up to 64 independent 6dp roundings; allow small slack
+      assert(math.abs(resid2 - (norms(id) - proj * proj)) < 1e-3,
+        s"vec $id: resid2 $resid2 vs ${norms(id)} - $proj^2")
+      assert(resid2 >= 0)
+    }
+  }
+
   test("pqTopK: 1-spaced codebook (every vector is a codeword) == exact dot top-k") {
     val emb = Tables(spark, sf, "embeddings")
     val exact = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
