@@ -122,6 +122,38 @@ object GraphAnalytics {
     rank.select(col("n").as("node"), col("r").as("rank_fp"))
   }
 
+  /** Personalized PageRank: identical integer fixed-point kernel to
+    * [[pageRankFixedPoint]], but ALL teleport mass returns to the seed
+    * set (init = PrScale/|S| on seeds, 0 elsewhere; per-iteration base
+    * paid only to seeds) — proximity-to-seeds ranking, the "related
+    * items" / seed-expansion primitive. Exact BIGINT arithmetic keeps it
+    * bit-identical at any partitioning, so the unrolled-CTE oracle
+    * reproduces every rank. Same per-iteration shuffle shape. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val init = PrScale / seeds.size
+    val base = (15L * init) / 100L
+    val isSeed = col("n").isin(seeds: _*)
+    var rank = nodes.select(col("n"),
+      when(isSeed, lit(init)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("n")).join(outdeg, "src")
+        .select(col("dst").as("n"), expr("r DIV od").as("c"))
+        .groupBy("n").agg(sum(col("c")).as("cs"))
+      rank = nodes.join(contrib, Seq("n"), "left")
+        .select(col("n"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("n").as("node"), col("r").as("rank_fp"))
+  }
+
   /** Both directions of the undirected simple edge set — the adjacency
     * relation the per-node iterative algorithms below join against. */
   private def bothWays(edges: DataFrame): DataFrame = {

@@ -393,6 +393,45 @@ object GraphQueries {
     s"""${pagerankCtes(iters)}
        |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
 
+  /** Personalized PageRank from seeds {0, 1} (GraphAnalytics
+    * .personalizedPageRank — all teleport mass to the seed set): the
+    * seed-expansion / related-items primitive, exact BIGINT fixed point
+    * like q_graph_pagerank_exact so the oracle replays every iteration. */
+  val graphPpr = QueryDef(
+    "q_graph_ppr",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.GraphAnalytics
+        .personalizedPageRank(eventEdges(s, dir), seeds = Seq(0L, 1L), iters = 5)
+        .orderBy($"node")
+    },
+    Some {
+      val iters = 5
+      val seeds = Seq(0L, 1L)
+      val seedList = seeds.mkString("(", ", ", ")")
+      val init = graft.graph.GraphAnalytics.PrScale / seeds.size
+      val base = (15L * init) / 100L
+      val head =
+        s"""WITH $edgesCte, $edCte,
+           |nodes AS (SELECT DISTINCT n
+           |          FROM (SELECT src AS n FROM ed UNION ALL SELECT dst AS n FROM ed)),
+           |od AS (SELECT src, COUNT(*) AS od FROM ed GROUP BY src),
+           |r0 AS (SELECT n, CASE WHEN n IN $seedList THEN $init ELSE 0 END AS r
+           |       FROM nodes)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS n, SUM(r.r // od.od) AS cs
+           |        FROM ed e JOIN r${i - 1} r ON r.n = e.src JOIN od ON od.src = e.src
+           |        GROUP BY e.dst),
+           |r$i AS (SELECT nodes.n,
+           |               (CASE WHEN nodes.n IN $seedList THEN $base ELSE 0 END)
+           |               + ((85 * COALESCE(c$i.cs, 0)) // 100) AS r
+           |        FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+    })
+
   /** The integer fixed-point PageRank CTE chain (WITH ... r$iters), shared
     * with GraphXQueries' agreement cross-check. */
   private[rel] def pagerankCtes(iters: Int): String = {
@@ -418,6 +457,6 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
-      graphDegree, graphTriangles, graphPagerankExact, graphSssp,
+      graphDegree, graphTriangles, graphPagerankExact, graphPpr, graphSssp,
       graphClustering, graphJaccard)
 }

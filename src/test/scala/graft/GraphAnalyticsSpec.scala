@@ -63,6 +63,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     pureSource.foreach(src => assert(r1(deg) > r1(src)))
   }
 
+  test("personalizedPageRank: mass stays near seeds, partitioning-independent") {
+    val edges = Tables(spark, sf, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") % 15).as("dst"))
+    val seeds = Seq(0L, 1L)
+    val p1 = GraphAnalytics.personalizedPageRank(edges, seeds, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val p2 = GraphAnalytics.personalizedPageRank(edges.repartition(7), seeds, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(p1 == p2, "integer arithmetic must be partition-order independent")
+    // every seed keeps at least its teleport base; mass only leaks
+    val base = (15L * (GraphAnalytics.PrScale / seeds.size)) / 100L
+    seeds.foreach(s => assert(p1(s) >= base, s"seed $s below teleport base"))
+    assert(p1.values.sum <= GraphAnalytics.PrScale)
+    assert(p1.values.forall(_ >= 0))
+    // personalization is not global PageRank: the seed outranks its own
+    // global-rank position relative to the top global node
+    val g = GraphAnalytics.pageRankFixedPoint(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(p1(0L).toDouble / p1.values.max >= g(0L).toDouble / g.values.max,
+      "seed must gain relative rank under personalization")
+  }
+
   test("triangleCounts == GraphX TriangleCount on the fixture event graph") {
     val edges = Tables(spark, sf, "events")
       .select($"user_id".as("src"),
