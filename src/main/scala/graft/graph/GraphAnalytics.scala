@@ -183,6 +183,42 @@ object GraphAnalytics {
     lab
   }
 
+  /** Connected components as pure DataFrame algebra: each round runs
+    * (1) a neighbor-min step label(v) ← min(label(v), min_{u∼v} label(u))
+    * — the [[labelPropagation]] kernel — then (2) a pointer-jumping step
+    * label(v) ← min(label(v), label(label(v))) that chases each label one
+    * hop up its own component tree. Jumping roughly doubles the radius the
+    * component-minimum id has flooded per round, so convergence is
+    * O(log diam) rounds instead of O(diam) — what makes DataFrame CC
+    * viable on high-diameter graphs (near-dup cluster chains, road
+    * networks) where plain flooding needs a round per hop. Labels are node
+    * ids and every step is a min — order-independent, so the fixpoint
+    * hash-matches a true-reachability oracle at any parallelism (the
+    * declared query reuses q_graphx_cc's transitive-closure oracle: the
+    * check is REAL convergence, not iteration replay). Three equi-join
+    * shuffles per round, lineage cut per round.
+    * [[GraphXOps.connectedComponents]] is the RDD/Pregel form of the same
+    * fixpoint; this one keeps Catalyst in the loop (AQE, broadcast, skew
+    * splitting on a real cluster). */
+  def connectedComponentsDf(edges: DataFrame, iters: Int): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    var lab = ee.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+    for (_ <- 1 to iters) {
+      val nb = ee.join(lab, ee("u") === lab("node"))
+        .select(ee("v").as("node"), col("comp"))
+      val stepped = lab.unionByName(nb)
+        .groupBy("node").agg(min(col("comp")).as("comp"))
+      // labels are always node ids, so comp(n) resolves in `stepped` itself
+      lab = stepped.join(
+          stepped.select(col("node").as("comp"), col("comp").as("pcomp")),
+          Seq("comp"))
+        .select(col("node"), least(col("comp"), col("pcomp")).as("comp"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("comp").as("component"))
+  }
+
   /** Integer fixed-point HITS over the DIRECTED edge set (src → dst),
     * `iters` unnormalized rounds: auth ← Aᵀ·hub, hub ← A·auth, seeds 1.
     * Skipping the usual L2 normalization keeps every value an exact

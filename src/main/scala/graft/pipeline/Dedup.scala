@@ -233,6 +233,59 @@ object Dedup {
         md5(array_join(col("kept"), " ")).as("cleaned"))
   }
 
+  /** Winnowing fingerprint similarity (the MOSS algorithm, Schleimer et
+    * al. SIGMOD'03): hash every k-token window of every doc (the same
+    * rolling [[graft.functions.RollingWindowHash]] kernel substring dedup
+    * uses), then slide a w-hash window over the hash sequence and select
+    * each window's MINIMUM — only ~2/(w+1) of positions survive, yet any
+    * span of ≥ k+w-1 shared tokens is GUARANTEED to contribute at least
+    * one shared selected hash, at any token offset. Doc pairs are then
+    * generated by equi-join on the selected hash value — candidate
+    * generation on a small key, never all-pairs — with hashes selected in
+    * more than `maxDocs` docs dropped first (a boilerplate fingerprint's
+    * pair fan-out is quadratic volume and zero signal, the same hub cap
+    * as Adamic-Adar). Returns (a, b, shared): pairs with ≥ `minShared`
+    * distinct shared fingerprints, strongest first.
+    *
+    * Scale shape: one posexplode to window hashes, a PER-DOC window
+    * function for the sliding min (partitioned by doc — no global sort),
+    * one distinct, one frequency groupBy for the cap, one equi-join on
+    * the fingerprint value. The selection step cuts the join input by
+    * ~2/(w+1) versus joining raw window hashes — winnowing IS the
+    * volume-reduction step that makes substring-level similarity joins
+    * affordable at corpus scale. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4,
+                  minShared: Long = 2, maxDocs: Long = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = spread(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val g = t.select(col("doc_id"),
+        graft.functions.text.windowHashes(col("toks"), k).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("nh"), posexplode(col("hs")))
+      .select(col("doc_id"), col("nh"), col("pos").as("j"), col("col").as("gh"))
+    val frame = Window.partitionBy("doc_id").orderBy("j")
+      .rowsBetween(Window.currentRow, w - 1)
+    // a window's selected VALUE is its min — tie position is irrelevant
+    // to the distinct (doc, hash) set, so no argmin join is needed
+    val fp = g.withColumn("m", min(col("gh")).over(frame))
+      .filter(col("j") <= col("nh") - w)
+      .select(col("doc_id"), col("m").as("fh")).distinct()
+      .localCheckpoint()
+    val usable = fp.groupBy("fh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocs)
+      .select(col("fh"))
+    val fpr = fp.join(usable, "fh")
+    fpr.select(col("fh"), col("doc_id").as("a"))
+      .join(fpr.select(col("fh"), col("doc_id").as("b")), Seq("fh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("shared").desc, col("a"), col("b"))
+  }
+
   /** Segment-level boilerplate removal (the line-dedup stage of CCNet-style
     * web pipelines, on token segments since fixture docs are single-line):
     * split each doc into fixed `segLen`-token segments, count how many

@@ -432,6 +432,31 @@ object GraphQueries {
          |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r$iters ORDER BY node""".stripMargin
     })
 
+  /** Pure-DataFrame connected components (GraphAnalytics
+    * .connectedComponentsDf — min-flood + pointer jumping, O(log diam)
+    * rounds): the Catalyst-native scale path beside the RDD/Pregel
+    * q_graphx_cc. Shares that query's TRUE transitive-closure oracle, so a
+    * hash match proves the bounded-round fixpoint actually converged —
+    * not merely that the oracle replayed the same iterations. */
+  val graphCc = QueryDef(
+    "q_graph_cc",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.GraphAnalytics
+        .connectedComponentsDf(eventEdges(s, dir), iters = 4)
+        .orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             und AS (SELECT src AS a, dst AS b FROM edges
+                     UNION SELECT dst, src FROM edges),
+             verts AS (SELECT DISTINCT a AS v FROM und),
+             reach(v, r) AS (
+               SELECT v, v FROM verts
+               UNION
+               SELECT r0.v, u.b FROM reach r0 JOIN und u ON u.a = r0.r)
+             SELECT v AS node, MIN(r) AS component FROM reach
+             GROUP BY v ORDER BY node"""))
+
   /** The integer fixed-point PageRank CTE chain (WITH ... r$iters), shared
     * with GraphXQueries' agreement cross-check. */
   private[rel] def pagerankCtes(iters: Int): String = {
@@ -458,5 +483,5 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphPagerankExact, graphPpr, graphSssp,
-      graphClustering, graphJaccard)
+      graphCc, graphClustering, graphJaccard)
 }

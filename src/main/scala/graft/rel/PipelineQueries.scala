@@ -1255,6 +1255,59 @@ object PipelineQueries {
              |       round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Pointwise mutual information over adjacent token pairs — collocation
+    * mining, the standard phrase-detection pass (word2vec-style phrase
+    * merging, stopword-collocation auditing) a corpus pipeline runs before
+    * tokenizer training. PMI(x,y) = ln(p(xy)/(p(x)p(y))) computed from
+    * exact integer counts as ONE double ratio (identical multiply order on
+    * both sides — no log-sum reassociation), rounded to 6dp before the
+    * ranking. Scale shape: two explode+groupBy count tables (map-side
+    * partial aggs), the pair table joins the unigram table twice on the
+    * token key (shuffle equi-joins, AQE-broadcastable), scalar totals
+    * broadcast. Rare pairs (c12 < 3) are dropped BEFORE the joins — at
+    * corpus scale the pair table's long tail is the volume, and PMI on
+    * singletons is noise anyway. */
+  val textPmi = QueryDef(
+    "q_text_pmi",
+    (s, dir) => {
+      import s.implicits._
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      val uni = docs.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum($"c").as("n"))
+      val bg = docs
+        .select($"toks",
+          posexplode(slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0)))))
+        .select($"col".as("w1"), element_at($"toks", $"pos" + 2).as("w2"))
+      val pair = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val m = pair.agg(sum($"c12").as("m"))
+      pair.filter($"c12" >= 3)
+        .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .select(concat($"w1", lit(" "), $"w2").as("bigram"), $"c12",
+          round(log(($"c12".cast("double") * $"n" * $"n") /
+            ($"m".cast("double") * $"c1" * $"c2")), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"bigram").limit(100)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |uni AS (SELECT w, COUNT(*) AS c FROM
+             |          (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+             |bg AS (SELECT toks[j+1] AS w1, toks[j+2] AS w2
+             |       FROM t, unnest(range(greatest(len(toks) - 1, 0))) AS u(j)),
+             |pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |m AS (SELECT CAST(SUM(c12) AS BIGINT) AS m FROM pair)
+             |SELECT pair.w1 || ' ' || pair.w2 AS bigram,
+             |       CAST(pair.c12 AS BIGINT) AS c12,
+             |       round(ln((CAST(pair.c12 AS DOUBLE) * n.n * n.n) /
+             |                (CAST(m.m AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+             |FROM pair JOIN uni u1 ON u1.w = pair.w1
+             |          JOIN uni u2 ON u2.w = pair.w2, n, m
+             |WHERE pair.c12 >= 3
+             |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin))
+
   /** The END-TO-END training-data pipeline as ONE composed plan: plant
     * duplicates + PII → scrub → language-ID → quality filter → exact
     * dedup (min-id keeper on the CLEANED text) → token-budget sequence
@@ -1416,5 +1469,5 @@ object PipelineQueries {
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
     annIvfTrained, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
-    pipelineE2e, pipelineFunnel)
+    textPmi, pipelineE2e, pipelineFunnel)
 }

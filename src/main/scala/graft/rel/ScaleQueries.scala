@@ -459,6 +459,53 @@ object ScaleQueries {
              |SELECT doc_id, n_toks, n_dup_toks, cleaned FROM agg
              |WHERE n_dup_toks > 0 ORDER BY doc_id""".stripMargin))
 
+  /** Winnowing fingerprint pairs (Dedup.winnowPairs — MOSS document
+    * similarity): same planted offset-shifted clones as q_dedup_substring;
+    * winnowing's guarantee says every original-clone pair must surface
+    * regardless of the 3-token offset, on ~2/(w+1) of the join volume raw
+    * window hashes would cost. The oracle replays hashing, the per-doc
+    * sliding min, the boilerplate cap, and the pair join verbatim. */
+  val textWinnow = QueryDef(
+    "q_text_winnow",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat(lit("zq1 zq2 zq3 "), $"text").as("text")))
+      Dedup.winnowPairs(corpus, "doc_id", "text", k = 8, w = 4)
+        .orderBy($"shared".desc, $"a", $"b")
+    },
+    Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, 'zq1 zq2 zq3 ' || text
+             |  FROM documents WHERE doc_id < 10),
+             |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             |h AS (SELECT doc_id, toks,
+             |             list_transform(toks, x ->
+             |               CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647) AS hvs
+             |      FROM t WHERE len(toks) >= 8),
+             |g AS (SELECT doc_id, len(toks) - 7 AS nh, u.j AS j,
+             |             list_sum(list_transform(range(8), o ->
+             |               (hvs[u.j + o + 1] * (${TextOps.windowCoefSql(8)})[o + 1])
+             |                 % 2147483647)) % 2147483647 AS gh
+             |      FROM h, unnest(range(greatest(len(toks) - 7, 0))) AS u(j)),
+             |win AS (SELECT doc_id, nh, j,
+             |               MIN(gh) OVER (PARTITION BY doc_id ORDER BY j
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+             |        FROM g),
+             |fp AS (SELECT DISTINCT doc_id, m AS fh FROM win WHERE j <= nh - 4),
+             |usable AS (SELECT fh FROM fp GROUP BY fh
+             |           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+             |fpr AS (SELECT fp.doc_id, fp.fh FROM fp JOIN usable USING (fh))
+             |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+             |FROM fpr x JOIN fpr y USING (fh)
+             |WHERE x.doc_id < y.doc_id
+             |GROUP BY 1, 2
+             |HAVING COUNT(*) >= 2
+             |ORDER BY shared DESC, a, b""".stripMargin))
+
   // -------------------------------------------------------------- HITS
   private def hitsCtes(iters: Int): String = {
     val steps = (1 to iters).flatMap { i =>
@@ -766,5 +813,6 @@ object ScaleQueries {
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
-    dedupIncremental, profileCorr, sampleWeighted, dedupSubstring)
+    dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
+    textWinnow)
 }

@@ -86,6 +86,31 @@ class GraphAnalyticsSpec extends SparkSpec {
       "seed must gain relative rank under personalization")
   }
 
+  test("connectedComponentsDf: equals GraphX CC; pointer jumping beats flooding") {
+    val edges = Tables(spark, sf, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") % 15).as("dst"))
+    val df = GraphAnalytics.connectedComponentsDf(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val gx = graft.graph.GraphXOps
+      .connectedComponents(edges.withColumn("weight", lit(1.0)))
+      .as[(Long, Long)].collect().toMap
+    assert(df == gx, "DataFrame CC must agree with GraphX CC")
+    val dfRep = GraphAnalytics.connectedComponentsDf(edges.repartition(7), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(df == dfRep, "min semiring must be partition-order independent")
+    // the O(log diam) claim: a 41-node path (diam 40) converges in 5
+    // jumped rounds, while plain min-flooding at 5 rounds has only
+    // reached radius 5 — the far end still carries a non-root label
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val jumped = GraphAnalytics.connectedComponentsDf(path, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(jumped.values.forall(_ == 0L), s"path not converged: $jumped")
+    val flooded = GraphAnalytics.labelPropagation(path, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(flooded(40L) == 35L, "flooding reach must be exactly `iters` hops")
+  }
+
   test("triangleCounts == GraphX TriangleCount on the fixture event graph") {
     val edges = Tables(spark, sf, "events")
       .select($"user_id".as("src"),

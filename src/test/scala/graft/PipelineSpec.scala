@@ -85,6 +85,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: offset-shifted pair guaranteed; selection really thins") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"u$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                 // original
+      (2L, "p1 p2 p3 " + base),   // same 40-token span at offset 3
+      (3L, other))                // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long)].collect()
+    // the winnowing guarantee: a shared span of ≥ k+w-1 tokens MUST
+    // surface the pair, regardless of the 3-token offset
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the clone pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 2L)
+    // selection thins the join input: selected fingerprints per doc must
+    // be well under the raw window count (40-8+1 = 33 windows; density
+    // bound for w=4 is ~2/(w+1) plus boundary effects)
+    assert(pairs.head._3 <= 20L,
+      s"winnowing must select far fewer than 33 windows: ${pairs.head._3}")
+    // robustness to ANY offset: shifting by 7 instead of 3 still pairs
+    val d2 = Seq((1L, base), (2L, (200 until 207).map(i => s"x$i").mkString(" ") + " " + base))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.winnowPairs(d2, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(p2.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
+  test("PMI: a planted always-adjacent collocation is the only and top pair") {
+    // "nx yk" always adjacent (3×, passes the c12 ≥ 3 floor); every other
+    // adjacency occurs once or twice, so the ranked output is exactly it
+    val d = Seq((1L, "i love nx yk"), (2L, "nx yk is big"),
+        (3L, "visit nx yk now"), (4L, "the cat sat"), (5L, "the dog ran"))
+      .toDF("doc_id", "text").createOrReplaceTempView("pmi_docs")
+    import graft.pipeline.TextOps
+    val docs = spark.table("pmi_docs")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val uni = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum($"c")).as[Long].head()
+    val bg = docs.select($"toks",
+        posexplode(slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0)))))
+      .select($"col".as("w1"), element_at($"toks", $"pos" + 2).as("w2"))
+    val pair = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val m = pair.agg(sum($"c12")).as[Long].head()
+    val top = pair.filter($"c12" >= 3)
+      .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+      .select(concat($"w1", lit(" "), $"w2").as("bigram"),
+        log(($"c12".cast("double") * n * n) / (lit(m.toDouble) * $"c1" * $"c2")).as("pmi"))
+      .collect()
+    assert(top.length == 1 && top.head.getString(0) == "nx yk", top.mkString(","))
+    // PMI of a perfect collocation with count c: ln(N²/(M·c)) — positive here
+    assert(top.head.getDouble(1) > 0.0)
+  }
+
   test("rolling window hash: compiled kernel equals the mod-P polynomial of strHash") {
     val toks = Seq("alpha", "beta", "gamma", "delta", "echo")
     val k = 3
