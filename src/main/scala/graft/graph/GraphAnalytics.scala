@@ -219,6 +219,39 @@ object GraphAnalytics {
     lab.select(col("node"), col("comp").as("component"))
   }
 
+  /** Per-community Newman modularity contributions for a given node
+    * labeling (e.g. [[labelPropagation]]'s): for community c,
+    * q_c = e_c/(2m) − (d_c/(2m))², where e_c counts BOTH directions of
+    * intra-community edges, d_c is the community degree sum, and 2m is the
+    * directed-pair count of the undirected simple graph — Σ q_c is the
+    * partition's modularity Q, THE quality number community detection is
+    * judged by (clustering without it is unfalsifiable). All inputs stay
+    * exact integers until one final double division per community, so the
+    * result hash-matches a sequential oracle at any parallelism. Shape:
+    * two label joins on the edge list + two small aggs — linear, no
+    * all-pairs anywhere. Returns (label, n_nodes, e_intra2, deg_sum,
+    * q_contrib). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    val m2 = ee.agg(count(lit(1)).as("m2"))
+    val lu = labels.select(col("node").as("u"), col("label").as("lu"))
+    val lv = labels.select(col("node").as("v"), col("label").as("lv"))
+    val deg = ee.groupBy("u").agg(count(lit(1)).as("deg"))
+    val byLabel = deg.join(lu, "u")
+      .groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = ee.join(lu, "u").join(lv, "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_intra2"))
+    byLabel.join(intra, Seq("label"), "left")
+      .withColumn("e_intra2", coalesce(col("e_intra2"), lit(0L)))
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"), col("e_intra2"), col("deg_sum"),
+        round(col("e_intra2").cast("double") / col("m2") -
+          (col("deg_sum").cast("double") / col("m2")) *
+            (col("deg_sum").cast("double") / col("m2")), 6).as("q_contrib"))
+  }
+
   /** Integer fixed-point HITS over the DIRECTED edge set (src → dst),
     * `iters` unnormalized rounds: auth ← Aᵀ·hub, hub ← A·auth, seeds 1.
     * Skipping the usual L2 normalization keeps every value an exact

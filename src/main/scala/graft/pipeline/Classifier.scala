@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic in-engine classifier training — the quality-filter model
+  * step of a training-data pipeline (fastText-style doc scorers, CCNet
+  * quality LMs): learn weights from corpus features INSIDE the engine, so
+  * the filter is versioned with the data it was fit on, instead of an
+  * opaque side-loaded binary.
+  *
+  * Full-batch logistic regression by gradient descent with the same float
+  * discipline as the other trained artifacts (k-means, BPE, PCA):
+  *   - features arrive round-6;
+  *   - the margin z and the sigmoid p are rounded to 8dp (single exp per
+  *     row — the same tame-the-libm-tail rule the perplexity/TF-IDF `ln`
+  *     paths use);
+  *   - per-feature gradient sums run in DECIMAL(20,10) (order-independent
+  *     at any partitioning), divide by n as a double, round-8;
+  *   - weight updates round-6; iteration count FIXED, weights seeded 0.
+  * Same input ⇒ bit-identical weights on any cluster layout, so a DuckDB
+  * oracle replays every iteration as unrolled CTEs.
+  *
+  * Scale shape per iteration: ONE pass over the feature table (the 1-row
+  * weight vector is a broadcast crossJoin) into a partial+final aggregate
+  * of d+1 decimal sums — gradient descent at 100 TB is exactly as
+  * expensive as d+1 distributed sums per step, nothing else.
+  */
+object Classifier {
+
+  /** One GD step's updated 1-row weight frame. `feat` must carry y and
+    * x1..x3 (x0 is the implicit bias 1). */
+  private def step(feat: DataFrame, w: DataFrame, lr: Double): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(20, 10))
+    val p = round(lit(1.0) / (lit(1.0) +
+      exp(-round(col("w0") + col("w1") * col("x1") +
+        col("w2") * col("x2") + col("w3") * col("x3"), 8))), 8)
+    val g = feat.crossJoin(broadcast(w))
+      .withColumn("d", p - col("y"))
+      .agg(
+        sum(dec(round(col("d"), 8))).as("s0"),
+        sum(dec(round(col("d") * col("x1"), 8))).as("s1"),
+        sum(dec(round(col("d") * col("x2"), 8))).as("s2"),
+        sum(dec(round(col("d") * col("x3"), 8))).as("s3"),
+        count(lit(1)).as("n"))
+    w.crossJoin(broadcast(g))
+      .select(
+        round(col("w0") - lit(lr) * round(col("s0").cast("double") / col("n"), 8), 6).as("w0"),
+        round(col("w1") - lit(lr) * round(col("s1").cast("double") / col("n"), 8), 6).as("w1"),
+        round(col("w2") - lit(lr) * round(col("s2").cast("double") / col("n"), 8), 6).as("w2"),
+        round(col("w3") - lit(lr) * round(col("s3").cast("double") / col("n"), 8), 6).as("w3"))
+      .localCheckpoint()
+  }
+
+  /** The 1-row trained weight frame (w0..w3) after `iters` fixed GD
+    * steps from a zero start — shared by [[trainLogReg]] and
+    * [[evalSweep]]. */
+  private def weightsFrame(feat: DataFrame, iters: Int, lr: Double): DataFrame = {
+    var w = feat.sparkSession.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"), lit(0.0).as("w3"))
+    for (_ <- 1 to iters) w = step(feat, w, lr)
+    w
+  }
+
+  /** Round-8 sigmoid score of the (broadcast) weight row against a
+    * feature row — the single scoring expression every consumer shares,
+    * so Spark and the oracle agree bit-for-bit. */
+  private def scoreExpr: Column = round(lit(1.0) / (lit(1.0) +
+    exp(-round(col("w0") + col("w1") * col("x1") +
+      col("w2") * col("x2") + col("w3") * col("x3"), 8))), 8)
+
+  /** Train on a feature frame with columns (y ∈ {0,1} double, x1, x2, x3
+    * round-6 doubles). Returns one row per coefficient:
+    * (feature, weight, train_acc) — train_acc is the ≥0.5-threshold
+    * accuracy of the FINAL weights on the training set. */
+  def trainLogReg(feat: DataFrame, names: Seq[String],
+                  iters: Int = 3, lr: Double = 2.0): DataFrame = {
+    require(names.length == 4, "bias + 3 feature names")
+    val w = weightsFrame(feat, iters, lr)
+    val p = scoreExpr
+    val acc = feat.crossJoin(broadcast(w))
+      .agg(round(avg(when((p >= 0.5) === (col("y") === 1.0), 1.0)
+        .otherwise(0.0)), 6).as("train_acc"))
+    val Seq(n0, n1, n2, n3) = names
+    w.crossJoin(broadcast(acc))
+      .select(expr(
+        s"stack(4, '$n0', w0, '$n1', w1, '$n2', w2, '$n3', w3) AS (feature, weight)"),
+        col("train_acc"))
+      .orderBy(col("feature"))
+  }
+
+  /** Threshold sweep + rank AUC of the trained model on its training
+    * set — the numbers that make a quality filter FALSIFIABLE (a
+    * classifier without an operating curve is a guess; picking the
+    * production threshold IS this table). Returns 9 rows, one per
+    * threshold k/10: (thr, tp, fp, fn, tn, precision, recall, f1, auc).
+    *
+    * Everything is computed off ONE corpus pass: scores aggregate to a
+    * per-distinct-score (np, nn) count table — bounded by the round-8
+    * sigmoid domain (≤ 1e8+1 rows) and in practice by the distinct
+    * feature combinations, NOT the corpus — and every downstream step
+    * (cumulative negatives, 9-threshold sweep) runs on that small table.
+    * AUC is the tie-aware Mann-Whitney form: with per-score cumulative
+    * negatives, Σ np·(2·cumneg + nn) / (2·npos·nneg) — EXACT BIGINTs
+    * until the one final division (the modularity discipline), so the
+    * hash matches the oracle at any parallelism. The ordered window runs
+    * over the distinct-score table only (documented bounded domain — a
+    * global window over the corpus would be the rrfFuse scale-killer). */
+  def evalSweep(feat: DataFrame, iters: Int = 5, lr: Double = 2.0): DataFrame = {
+    val w = weightsFrame(feat, iters, lr)
+    val groups = feat.crossJoin(broadcast(w))
+      .select(scoreExpr.as("s"), col("y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+      .localCheckpoint()
+    val tot = groups.agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+    val wCum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val auc = groups
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(wCum), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("c2"))
+      .crossJoin(broadcast(tot))
+      .select(round(col("c2").cast("double") /
+        (lit(2.0) * col("npos") * col("nneg")), 6).as("auc"))
+    val thr = feat.sparkSession.range(1)
+      .select(explode(sequence(lit(1), lit(9))).as("k"))
+      .select((col("k") / 10.0).as("thr"))
+    thr.crossJoin(groups)
+      .groupBy(col("thr"))
+      .agg(coalesce(sum(when(col("s") >= col("thr"), col("np"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("s") >= col("thr"), col("nn"))), lit(0L)).as("fp"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(auc))
+      .select(col("thr"), col("tp"), col("fp"),
+        (col("npos") - col("tp")).as("fn"), (col("nneg") - col("fp")).as("tn"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision"),
+        round(col("tp").cast("double") / col("npos"), 6).as("recall"),
+        col("auc"))
+      .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
+        nullif(col("precision") + col("recall"), lit(0.0)), 6))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision"), col("recall"), col("f1"), col("auc"))
+      .orderBy(col("thr"))
+  }
+
+  /** The junk suffix the declared query plants to build its positive
+    * class: 20 letter-free tokens — the degenerate-document shape (number
+    * spam, symbol boilerplate) a production quality filter exists to
+    * remove. */
+  val junkSuffix: String = " " + Seq.fill(20)("9#").mkString(" ")
+
+  /** The declared-query feature map: the corpus unioned with planted
+    * degenerate copies (each doc re-appears junk-suffixed under
+    * id+200000, label 1; originals label 0 — a balanced, SEPARABLE
+    * training set, the same planting discipline the dedup queries use),
+    * and surface statistics as features — distinct-stopword coverage,
+    * mean token length (/10), ASCII-letter ratio. All round-6 BEFORE
+    * training. */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val enStop = TextAnalysis.stopwords.toMap.apply("en")
+    val corpus = docs.select(col("text"), lit(0.0).as("y")).unionByName(
+      docs.select(concat(col("text"), lit(junkSuffix)).as("text"),
+        lit(1.0).as("y")))
+    val toks = TextOps.tokens(col("text"))
+    TextOps.spread(corpus)
+      .select(col("y"), col("text"), toks.as("toks"))
+      .filter(size(col("toks")) > 0 && length(col("text")) > 0)
+      .select(
+        col("y"),
+        round(size(array_intersect(array_distinct(col("toks")),
+            lit(enStop.toArray))).cast("double") /
+          size(array_distinct(col("toks"))), 6).as("x1"),
+        round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .cast("double") / size(col("toks")) / 10.0, 6).as("x2"),
+        // 10× the non-letter fraction: exactly 0 on clean fixture text, so
+        // the planted class is separable within the fixed iteration budget
+        round((length(col("text")) -
+            length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))) * 10.0 /
+          length(col("text")), 6).as("x3"))
+  }
+}

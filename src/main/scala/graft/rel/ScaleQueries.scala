@@ -299,6 +299,38 @@ object ScaleQueries {
              ${lpaCtes(3)}
              SELECT node, label FROM l3 ORDER BY node"""))
 
+  /** Newman modularity of the 3-round LPA partition (GraphAnalytics
+    * .modularity over labelPropagation's labels): per-community
+    * q_c = e_c/2m − (d_c/2m)², exact integers until one final division —
+    * the quality number that makes the LPA communities falsifiable. */
+  val graphModularity = QueryDef(
+    "q_graph_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val edges = sparseEdges(s, dir)
+      GraphAnalytics.modularity(edges,
+          GraphAnalytics.labelPropagation(edges, iters = 3))
+        .orderBy($"label")
+    },
+    Some(s"""WITH $eeCte,
+             ${lpaCtes(3)},
+             m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ee),
+             deg AS (SELECT u, COUNT(*) AS deg FROM ee GROUP BY u),
+             bl AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                           CAST(SUM(deg.deg) AS BIGINT) AS deg_sum
+                    FROM deg JOIN l3 l ON l.node = deg.u GROUP BY l.label),
+             intra AS (SELECT a.label, CAST(COUNT(*) AS BIGINT) AS e_intra2
+                       FROM ee JOIN l3 a ON a.node = ee.u JOIN l3 b ON b.node = ee.v
+                       WHERE a.label = b.label GROUP BY a.label)
+             SELECT bl.label, bl.n_nodes,
+                    CAST(COALESCE(intra.e_intra2, 0) AS BIGINT) AS e_intra2,
+                    bl.deg_sum,
+                    round(CAST(COALESCE(intra.e_intra2, 0) AS DOUBLE) / m2.m2
+                          - (CAST(bl.deg_sum AS DOUBLE) / m2.m2)
+                            * (CAST(bl.deg_sum AS DOUBLE) / m2.m2), 6) AS q_contrib
+             FROM bl LEFT JOIN intra ON intra.label = bl.label, m2
+             ORDER BY bl.label"""))
+
   private def kcoreCtes(k: Int, rounds: Int): String =
     (1 to rounds).foldLeft("s0 AS (SELECT DISTINCT u AS node FROM ee)") { (acc, i) =>
       acc + s""",
@@ -814,5 +846,5 @@ object ScaleQueries {
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
-    textWinnow)
+    textWinnow, graphModularity)
 }

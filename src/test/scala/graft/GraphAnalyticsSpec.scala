@@ -111,6 +111,26 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(flooded(40L) == 35L, "flooding reach must be exactly `iters` hops")
   }
 
+  test("modularity: two bridged triangles under the perfect partition") {
+    // triangles {0,1,2} and {3,4,5} bridged by 2-3: m=7 undirected edges,
+    // each community has 6 directed intra pairs and degree sum 7
+    // ⇒ q_c = 6/14 − (7/14)² = 0.178571 each, Q = 0.357143
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("node", "label")
+    val got = GraphAnalytics.modularity(g, labels)
+      .select($"label", $"n_nodes", $"e_intra2", $"deg_sum", $"q_contrib")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 3L, 6L, 7L, 0.178571), (1L, 3L, 6L, 7L, 0.178571)),
+      got.toSeq.toString)
+    // an all-singletons partition has no intra edges: every e_intra2 = 0
+    val single = labels.select($"node", $"node".as("label"))
+    val s = GraphAnalytics.modularity(g, single)
+      .select($"e_intra2").as[Long].collect()
+    assert(s.forall(_ == 0L))
+  }
+
   test("triangleCounts == GraphX TriangleCount on the fixture event graph") {
     val edges = Tables(spark, sf, "events")
       .select($"user_id".as("src"),

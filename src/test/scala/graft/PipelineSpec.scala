@@ -113,6 +113,52 @@ class PipelineSpec extends SparkSpec {
     assert(p2.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
 
+  test("logistic GD: separates the planted degenerate class; deterministic") {
+    import graft.pipeline.Classifier
+    val feat = Classifier.qualityFeatures(Tables(spark, sf, "documents"))
+    val out = Classifier.trainLogReg(feat,
+        names = Seq("bias", "stop_cov", "tok_len", "nonalpha"), iters = 5, lr = 2.0)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("nonalpha")._3 >= 0.95,
+      s"trained filter must separate the planted junk class: acc=${out("nonalpha")._3}")
+    assert(out("nonalpha")._2 > 0.0,
+      "junk docs have high non-letter fraction; its weight must be positive")
+    // partition-independence of the decimal gradient sums
+    val out2 = Classifier.trainLogReg(feat.repartition(7),
+        names = Seq("bias", "stop_cov", "tok_len", "nonalpha"), iters = 5, lr = 2.0)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out == out2, "weights must be bit-identical at any partitioning")
+    // a perfectly separable 1-feature toy set trains to accuracy 1
+    val toy = (0 until 40).map(i => (if (i % 2 == 0) 1.0 else 0.0,
+      0.0, 0.0, if (i % 2 == 0) 1.0 else 0.0)).toDF("y", "x1", "x2", "x3")
+    val t = Classifier.trainLogReg(toy,
+        names = Seq("bias", "a", "b", "c"), iters = 5, lr = 2.0)
+      .as[(String, Double, Double)].collect()
+    assert(t.head._3 == 1.0, s"toy set must train to acc 1.0: ${t.toSeq}")
+  }
+
+  test("classifier eval: AUC near 1 on the separable plant; curve is coherent") {
+    import graft.pipeline.Classifier
+    val feat = Classifier.qualityFeatures(Tables(spark, sf, "documents"))
+    val rows = Classifier.evalSweep(feat, iters = 5, lr = 2.0)
+      .select($"thr", $"tp", $"fp", $"fn", $"tn", $"recall", $"auc")
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 9)
+    val auc = rows.head._7
+    assert(auc >= 0.95, s"separable planted classes must give AUC≈1, got $auc")
+    // confusion identities: tp+fn and fp+tn are the class totals at every θ
+    val npos = rows.head._2 + rows.head._4
+    val nneg = rows.head._3 + rows.head._5
+    assert(rows.forall(r => r._2 + r._4 == npos && r._3 + r._5 == nneg))
+    // recall is non-increasing in the threshold
+    assert(rows.sliding(2).forall(p => p(0)._6 >= p(1)._6))
+    // partition-independence: the exact-integer AUC numerator discipline
+    val rows2 = Classifier.evalSweep(feat.repartition(7), iters = 5, lr = 2.0)
+      .select($"thr", $"tp", $"fp", $"fn", $"tn", $"recall", $"auc")
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == rows2.toSeq)
+  }
+
   test("PMI: a planted always-adjacent collocation is the only and top pair") {
     // "nx yk" always adjacent (3×, passes the c12 ≥ 3 floor); every other
     // adjacency occurs once or twice, so the ranked output is exactly it
