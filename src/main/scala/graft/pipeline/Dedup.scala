@@ -176,6 +176,48 @@ object Dedup {
       .limit(topK)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with a caller-supplied coarse quantizer (cid, cv)
+    * — typically [[Similarity.kmeansCentroids]] — then prune every vector
+    * whose CELL contains a smaller-id vector with round-6 cosine ≥ `tau`.
+    * Returns one row per pruned vector: (idCol, keep_id, cos), keep_id =
+    * the smallest qualifying cell-mate (min-struct tie discipline).
+    *
+    * Scale shape — the SemDeDup trick re-expressed as a plan: candidate
+    * generation is the cluster assignment (broadcast centroids + ONE
+    * narrow corpus pass, the IVF-build shape), and the pairwise check is
+    * one cid equi-join, so pair volume is Σ_cell |cell|² — with the
+    * ⌈√n⌉-sized trained codebook that is ~n^1.5 cell-local work instead
+    * of the n² corpus cross-join, and each cell's pairs stay inside one
+    * shuffle partition. Exact copies always share a cell (identical
+    * vector ⇒ identical round-6 argmax + cid tie-break), so recall on
+    * true duplicates is 1; near-dups split across cell boundaries are the
+    * documented SemDeDup approximation (raise k or probe neighbors to
+    * tighten). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    cent: DataFrame, tau: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = spread(emb).select(col(idCol).as("vid"), vd.as("v"))
+      .join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+    assigned.join(assigned.select(col("cid"), col("vid").as("bvid"),
+        col("v").as("bv")), "cid")
+      .filter(col("bvid") < col("vid"))
+      .withColumn("cos", round(vec.cosine(col("v"), col("bv")), roundTo))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vid"))
+      .agg(min(struct(col("bvid"), col("cos"))).as("k"))
+      .select(col("vid").as(idCol), col("k.bvid").as("keep_id"),
+        col("k.cos").as("cos"))
+  }
+
   /** Rolling-window substring dedup (Lee et al.-style exact substring
     * dedup, on stride-1 token windows): fingerprint EVERY k-token window
     * of every doc (TextOps.kgrams — the zip_with-over-slices rolling

@@ -121,17 +121,35 @@ object Similarity {
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queryVec: Seq[Double], k: Int, m: Int = 8,
              roundTo: Int = 6, codewordEvery: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val d = queryVec.length / m
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
     val spacing =
       if (codewordEvery > 0) codewordEvery
       else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
-    val sub = e.select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+    pqAdcScores(e, e, spacing, queryVec, m, roundTo)
+      .orderBy(col("score").desc, col("vid"))
+      .limit(k)
+      .select(col("vid").as(idCol), col("score"))
+  }
+
+  /** PQ asymmetric-distance scores of `members` (vid, v) against the
+    * query: codebook = every `spacing`-th row of `codebookSrc` (vid, v),
+    * sliced into `m` subspaces; each member's per-subspace nearest
+    * codeword (round-6 L2, cid tie-break) indexes the precomputed
+    * query·codeword table, and the ADC score is the DECIMAL-exact sum of
+    * the m looked-up contributions. Shared verbatim by [[pqTopK]] (members
+    * = whole corpus) and [[ivfPqTopK]] (members = probed-cell candidates
+    * only), so composing IVF in front cannot drift the PQ arithmetic. */
+  private def pqAdcScores(members: DataFrame, codebookSrc: DataFrame,
+                          spacing: Long, queryVec: Seq[Double], m: Int,
+                          roundTo: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = queryVec.length / m
+    val sub = members
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
       .select(col("vid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("xs"))
-    val cb = e.filter(col("vid") % spacing === 0)
+    val cb = codebookSrc.filter(col("vid") % spacing === 0)
       .select(col("vid").as("cid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
       .select(col("cid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("cs"))
     val wA = Window.partitionBy(col("vid"), col("s")).orderBy(col("d2"), col("cid"))
@@ -149,9 +167,52 @@ object Similarity {
       .groupBy(col("vid"))
       .agg(round(sum(col("contrib").cast(DecimalType(20, 10))).cast("double"), roundTo)
         .as("score"))
-      .orderBy(col("score").desc, col("vid"))
-      .limit(k)
-      .select(col("vid").as(idCol), col("score"))
+  }
+
+  /** IVF→PQ→exact-rerank — the production ANN serving composition
+    * (FAISS's IVFPQ shape re-expressed as one Catalyst plan): the trained
+    * coarse quantizer prunes the corpus to `nprobe` cells' members, PQ
+    * asymmetric-distance ranks ONLY those candidates from m compact
+    * subspace codes, and the top `rerank` by ADC score are re-scored with
+    * the true round-6 cosine for the final top-k. Memory/IO story at
+    * scale: the full vectors are touched for assignment and the `rerank`
+    * finalists; everything between runs on √n-spaced codebook lookups.
+    * The candidate set (≈ nprobe·√n rows with the ⌈√n⌉ codebook) bounds
+    * the global ADC rank window — never the corpus. Returns
+    * (idCol, pq_score, score) ordered by exact score. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                cent: DataFrame, queryVec: Seq[Double], k: Int, m: Int = 8,
+                nprobe: Int = 2, rerank: Int = 30, roundTo: Int = 6,
+                codewordEvery: Long = 0L): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
+    val spacing =
+      if (codewordEvery > 0) codewordEvery
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+    val qv = typedlit(queryVec)
+    val probed = cent
+      .withColumn("qcos", round(vec.cosine(col("cv"), qv), roundTo))
+      .orderBy(col("qcos").desc, col("cid")).limit(nprobe)
+      .select(col("cid"))
+    val cand = assigned.join(broadcast(probed), "cid")
+      .select(col("vid"), col("v"))
+    val wAdc = Window.orderBy(col("score").desc, col("vid"))
+    pqAdcScores(cand, e, spacing, queryVec, m, roundTo)
+      .withColumn("prn", row_number().over(wAdc))
+      .filter(col("prn") <= rerank)
+      .select(col("vid"), col("score").as("pq_score"))
+      .join(cand, "vid")
+      .withColumn("score", round(vec.cosine(col("v"), qv), roundTo))
+      .orderBy(col("score").desc, col("vid")).limit(k)
+      .select(col("vid").as(idCol), col("pq_score"), col("score"))
   }
 
   /** IVF-flat ANN: the inverted-file index re-expressed as DataFrames.

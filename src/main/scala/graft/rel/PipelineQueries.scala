@@ -333,6 +333,42 @@ object PipelineQueries {
          |SELECT a, b, cos FROM p ORDER BY cos DESC, a, b LIMIT 25""".stripMargin
     })
 
+  /** SemDeDup over TRAINED k-means cells (Dedup.semanticDedup): the
+    * 10 planted exact copies must each be pruned by their original —
+    * identical vectors always share a cell, and the original is the
+    * smallest ≥τ cell-mate. Training is replayed by the shared
+    * kmeansCtes; pruning is a within-cell pairwise CTE, exactly the
+    * per-cell quadratic the Spark side bounds by cell size. */
+  val dedupSemantic = QueryDef(
+    "q_dedup_semantic",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.select($"vec_id", $"embedding").unionByName(
+        e.filter($"vec_id" < 10)
+          .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      Dedup.semanticDedup(corpus, "vec_id", "embedding", cent, tau = 0.99)
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |         UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         |         FROM embeddings WHERE vec_id < 10),
+         |asg AS (SELECT vid, v, cid FROM (
+         |          SELECT corp.vec_id AS vid, corp.v, c.cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+         |                   ORDER BY round(${cosSql("corp.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |          FROM corp CROSS JOIN c2 c) WHERE rn = 1),
+         |pr AS (SELECT x.vid AS vid, y.vid AS bvid,
+         |              round(${cosSql("x.v", "y.v")}, 6) AS cos
+         |       FROM asg x JOIN asg y ON x.cid = y.cid AND y.vid < x.vid),
+         |hit AS (SELECT vid, bvid, cos,
+         |               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY bvid) AS rn
+         |        FROM pr WHERE cos >= 0.99)
+         |SELECT vid AS vec_id, bvid AS keep_id, cos FROM hit WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin))
+
   // ----------------------------------------------------------------- ANN
   /** Sign-LSH bucketed ANN: 4 exact-literal hyperplanes → 16 buckets;
     * queries (vec_id < 5) probe only their own bucket. */
@@ -1199,6 +1235,62 @@ object PipelineQueries {
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     })
 
+  /** IVF→PQ→exact-rerank ANN (Similarity.ivfPqTopK): trained coarse
+    * cells prune the corpus, PQ asymmetric distance ranks only the probed
+    * cells' members, the ADC top-30 get exact-cosine reranked to the
+    * final top-10 — the FAISS-IVFPQ serving composition as ONE Catalyst
+    * plan. The oracle chains the shared k-means training replay, the
+    * probe, and the PQ code CTEs; the PQ arithmetic is the same
+    * pqAdcScores kernel q_ann_pq hash-checks corpus-wide. */
+  val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", cent,
+          VectorQueries.queryVec, k = 10, nprobe = 2, rerank = 30)
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH ${kmeansCtes(2)},
+         |af AS (SELECT vid, v, cid FROM (
+         |         SELECT e.vid, e.v, c.cid,
+         |                ROW_NUMBER() OVER (PARTITION BY e.vid
+         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         |pb AS (SELECT cid FROM (
+         |         SELECT cid, ROW_NUMBER() OVER (ORDER BY round(${cosSql("cv", qv)}, 6) DESC, cid) AS rn
+         |         FROM c2) WHERE rn <= 2),
+         |cand AS (SELECT vid, v FROM af JOIN pb USING (cid)),
+         |pss AS (SELECT unnest(range(8)) AS s),
+         |psub AS (SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
+         |         FROM cand CROSS JOIN pss),
+         |pcb AS (SELECT vid AS ccid, s, list_slice(v, s*8 + 1, s*8 + 8) AS cs
+         |        FROM e CROSS JOIN pss WHERE vid % (SELECT s FROM sp) = 0),
+         |pasg AS (SELECT vid, s, ccid FROM (
+         |           SELECT psub.vid, psub.s, pcb.ccid,
+         |                  ROW_NUMBER() OVER (PARTITION BY psub.vid, psub.s ORDER BY
+         |                    round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+         |                          + list_dot_product(cs, cs), 6), pcb.ccid) AS rn
+         |           FROM psub JOIN pcb ON pcb.s = psub.s) WHERE rn = 1),
+         |pqc AS (SELECT s, ccid,
+         |               round(list_dot_product(list_slice($qv, s*8 + 1, s*8 + 8), cs), 6) AS contrib
+         |        FROM pcb),
+         |padc AS (SELECT a.vid,
+         |                round(CAST(SUM(CAST(pqc.contrib AS DECIMAL(20,10))) AS DOUBLE), 6) AS pq_score
+         |         FROM pasg a JOIN pqc ON pqc.s = a.s AND pqc.ccid = a.ccid
+         |         GROUP BY a.vid),
+         |ptop AS (SELECT vid, pq_score,
+         |                ROW_NUMBER() OVER (ORDER BY pq_score DESC, vid) AS prn
+         |         FROM padc)
+         |SELECT t.vid AS vec_id, t.pq_score, round(${cosSql("cand.v", qv)}, 6) AS score
+         |FROM ptop t JOIN cand ON cand.vid = t.vid
+         |WHERE t.prn <= 30
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    })
+
   /** Cluster-stratified representative selection: per TRAINED k-means
     * cell, the `perCell` members nearest their centroid — the
     * coverage-preserving subset selection (coreset/diversity sampling)
@@ -1583,6 +1675,7 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
-    textPmi, textClassifier, textClassifierEval, pipelineE2e, pipelineFunnel)
+    annIvfTrained, annIvfPq, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
+    textPmi, textClassifier, textClassifierEval, dedupSemantic,
+    pipelineE2e, pipelineFunnel)
 }

@@ -137,6 +137,21 @@ class PipelineSpec extends SparkSpec {
     assert(t.head._3 == 1.0, s"toy set must train to acc 1.0: ${t.toSeq}")
   }
 
+  test("semantic dedup: planted copies pruned by their originals, clean corpus kept") {
+    import graft.pipeline.{Dedup, Similarity}
+    val e = Tables(spark, sf, "embeddings")
+    val corpus = e.select($"vec_id", $"embedding").unionByName(
+      e.filter($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+    val pruned = Dedup.semanticDedup(corpus, "vec_id", "embedding", cent, tau = 0.99)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // exactly the planted copies are pruned — identical vectors always
+    // share a cell, and nothing in the clean fixture reaches cos 0.99
+    assert(pruned.map(_._1).toSeq == (100000L until 100010L).toSeq, pruned.toSeq.toString)
+    assert(pruned.forall(p => p._2 == p._1 - 100000L && p._3 == 1.0))
+  }
+
   test("classifier eval: AUC near 1 on the separable plant; curve is coherent") {
     import graft.pipeline.Classifier
     val feat = Classifier.qualityFeatures(Tables(spark, sf, "documents"))

@@ -118,6 +118,32 @@ class SketchIvfSpec extends SparkSpec {
       "Lloyd iterations must actually update centroids")
   }
 
+  test("IVFPQ: unbounded rerank degenerates to IVF-flat; bounded rerank deterministic") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
+    // with rerank >= |candidates|, ADC prunes nothing and the exact rerank
+    // must reproduce IVF-flat over the same probed cells EXACTLY — the
+    // identity that pins the composition's plumbing
+    val flat = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cent,
+        VectorQueries.queryVec, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val unpruned = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cent,
+        VectorQueries.queryVec, k = 10, nprobe = 2, rerank = Int.MaxValue)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(unpruned == flat,
+      s"unbounded-rerank IVFPQ must equal IVF-flat: $unpruned vs $flat")
+    // production config: deterministic under repartition, exact-cosine
+    // scores on every returned row
+    val a = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cent,
+        VectorQueries.queryVec, k = 10, nprobe = 2, rerank = 30)
+      .as[(Long, Double, Double)].collect().toSeq
+    val b = Similarity.ivfPqTopK(emb.repartition(13), "vec_id", "embedding", cent,
+        VectorQueries.queryVec, k = 10, nprobe = 2, rerank = 30)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(a == b, "IVFPQ must be partitioning-independent")
+    assert(a.nonEmpty && a.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("cellRepresentatives: per-cell cap, full-cell coverage, nearest-first") {
     val emb = Tables(spark, sf, "embeddings")
     val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
