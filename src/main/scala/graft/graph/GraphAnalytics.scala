@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics over an edge DataFrame (src, dst, ...) — the
@@ -250,6 +251,49 @@ object GraphAnalytics {
         round(col("e_intra2").cast("double") / col("m2") -
           (col("deg_sum").cast("double") / col("m2")) *
             (col("deg_sum").cast("double") / col("m2")), 6).as("q_contrib"))
+  }
+
+  /** One synchronous Louvain local-moving round (Blondel et al. 2008
+    * phase 1, the simultaneous-update variant distributed Louvain
+    * implementations use): every node simultaneously re-labels to the
+    * candidate community c — a neighbor's label or its own — maximizing
+    * the INTEGER move score m2·e(u,c) − d(u)·d'(c), where e(u,c) counts
+    * u's edges into c, d'(c) is c's degree sum excluding u when c is u's
+    * own community, and m2 = |directed pairs| (2m). The score is the
+    * standard modularity gain scaled by the positive constant 2m² — same
+    * argmax, but EXACT BIGINT arithmetic end-to-end, so the chosen moves
+    * (smallest-label tie-break) are bit-identical at any parallelism and
+    * an unrolled-CTE oracle replays them. Because all nodes decide from
+    * the OLD labels, the result is order-independent (sequential Louvain's
+    * visit-order dependence is exactly what a distributed engine cannot
+    * afford). Refines a coarse partition (e.g. [[labelPropagation]]'s)
+    * toward higher [[modularity]]; a modularity-optimal partition is a
+    * fixed point (spec: the perfect two-triangle split doesn't move).
+    *
+    * Scale shape: degree/community aggregations + one (u, neighbor-label)
+    * groupBy + one per-node argmax window — all linear in |E|, keyed by
+    * node or label, never all-pairs. Returns (node, label). */
+  def louvainMove(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    val m2 = ee.agg(count(lit(1)).as("m2"))
+    val deg = ee.groupBy("u").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels.select(col("node").as("u"), col("label")), "u")
+      .groupBy(col("label").as("c")).agg(sum(col("deg")).as("dsum"))
+    val euc = ee.join(labels.select(col("node").as("v"), col("label").as("c")), "v")
+      .groupBy(col("u"), col("c")).agg(count(lit(1)).as("e"))
+    val cand = euc.unionByName(
+        labels.select(col("node").as("u"), col("label").as("c"), lit(0L).as("e")))
+      .groupBy(col("u"), col("c")).agg(max(col("e")).as("e"))
+    val own = labels.select(col("node").as("u"), col("label").as("own"))
+    val wBest = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("c"))
+    cand.join(deg, "u").join(dc, "c").join(own, "u")
+      .crossJoin(broadcast(m2))
+      .withColumn("score", col("m2") * col("e") - col("deg") *
+        (col("dsum") - when(col("c") === col("own"), col("deg")).otherwise(lit(0L))))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("u").as("node"), col("c").as("label"))
   }
 
   /** Integer fixed-point HITS over the DIRECTED edge set (src → dst),

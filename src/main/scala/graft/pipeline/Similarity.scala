@@ -215,6 +215,41 @@ object Similarity {
       .select(col("vid").as(idCol), col("pq_score"), col("score"))
   }
 
+  /** Binary sign-sketch Hamming ranking: each vector compresses to TWO
+    * 32-bit sign codes (bit = component > 0, MSB-first fold — 8 bytes
+    * per vector instead of 8·dim), candidates rank by Hamming distance
+    * to the query's code (one xor + popcount per half), and the exact
+    * round-6 cosine is carried for the finalists. The memory-bandwidth
+    * sketch (Charikar sign-LSH in packed form): at 100 TB the scan reads
+    * two BIGINT columns, not the float arrays, and the code build is one
+    * map-side fold per row — no shuffle before the bounded top-k. Two
+    * 32-bit halves (not one 64-bit code) so the integer fold can never
+    * overflow a signed BIGINT in either engine. Ties (equal Hamming)
+    * break by id; `k` bounds the TakeOrdered. */
+  def hammingTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                  queryVec: Seq[Double], k: Int, roundTo: Int = 6): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    def codeOf(half: Column): Column =
+      aggregate(half, lit(0L),
+        (a, x) => a * 2 + when(x > 0, lit(1L)).otherwise(lit(0L)))
+    def qCode(xs: Seq[Double]): Long =
+      xs.foldLeft(0L)((a, x) => a * 2 + (if (x > 0) 1L else 0L))
+    val half = queryVec.length / 2
+    val (q1, q2) = (qCode(queryVec.take(half)), qCode(queryVec.drop(half)))
+    val qv = typedlit(queryVec)
+    TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
+      .withColumn("h1", codeOf(slice(col("v"), 1, half)))
+      .withColumn("h2", codeOf(slice(col("v"), half + 1, half)))
+      .withColumn("hamming",
+        (bit_count(col("h1").bitwiseXOR(lit(q1))) +
+          bit_count(col("h2").bitwiseXOR(lit(q2)))).cast("int"))
+      .withColumn("cos", round(vec.cosine(col("v"), qv), roundTo))
+      .orderBy(col("hamming").asc, col("vid"))
+      .limit(k)
+      .select(col("vid").as(idCol), col("hamming"), col("cos"))
+  }
+
   /** IVF-flat ANN: the inverted-file index re-expressed as DataFrames.
     *
     * Coarse quantizer = every `centroidEvery`-th corpus vector (deterministic

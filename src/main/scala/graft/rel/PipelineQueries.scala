@@ -333,6 +333,40 @@ object PipelineQueries {
          |SELECT a, b, cos FROM p ORDER BY cos DESC, a, b LIMIT 25""".stripMargin
     })
 
+  /** Binary sign-sketch Hamming ANN (Similarity.hammingTopK): 8-byte
+    * packed sign codes, xor+popcount ranking, exact cosine carried for
+    * the finalists — the memory-bandwidth sketch. The oracle rebuilds the
+    * codes with a list_reduce fold and the same MSB-first bit order. */
+  val vecHamming = QueryDef(
+    "q_vec_hamming",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.hammingTopK(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", VectorQueries.queryVec, k = 10)
+        .orderBy($"hamming", $"vec_id")
+    },
+    Some {
+      def qCode(xs: Seq[Double]): Long =
+        xs.foldLeft(0L)((a, x) => a * 2 + (if (x > 0) 1L else 0L))
+      val q1 = qCode(VectorQueries.queryVec.take(32))
+      val q2 = qCode(VectorQueries.queryVec.drop(32))
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      def codeSql(sl: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform($sl, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+           |  (a, b) -> a*2 + b)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |             ${codeSql("v[1:32]")} AS h1,
+         |             ${codeSql("v[33:64]")} AS h2
+         |      FROM e)
+         |SELECT vec_id,
+         |       CAST(bit_count(xor(h1, CAST($q1 AS BIGINT))) +
+         |            bit_count(xor(h2, CAST($q2 AS BIGINT))) AS INT) AS hamming,
+         |       round(${cosSql("v", qv)}, 6) AS cos
+         |FROM b ORDER BY hamming, vec_id LIMIT 10""".stripMargin
+    })
+
   /** SemDeDup over TRAINED k-means cells (Dedup.semanticDedup): the
     * 10 planted exact copies must each be pruned by their original —
     * identical vectors always share a cell, and the original is the
@@ -1676,6 +1710,6 @@ object PipelineQueries {
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
     annIvfTrained, annIvfPq, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
-    textPmi, textClassifier, textClassifierEval, dedupSemantic,
+    textPmi, textClassifier, textClassifierEval, dedupSemantic, vecHamming,
     pipelineE2e, pipelineFunnel)
 }

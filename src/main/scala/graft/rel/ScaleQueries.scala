@@ -331,6 +331,46 @@ object ScaleQueries {
              FROM bl LEFT JOIN intra ON intra.label = bl.label, m2
              ORDER BY bl.label"""))
 
+  /** One synchronous Louvain local-moving round refining the 3-round LPA
+    * partition (GraphAnalytics.louvainMove): every node re-labels to the
+    * integer-score argmax m2·e(u,c) − d(u)·d'(c) over neighbor labels —
+    * modularity ascent with exact BIGINT scores and smallest-label
+    * tie-breaks, replayed by the oracle as plain aggregations over the
+    * same LPA CTEs. */
+  val graphLouvain = QueryDef(
+    "q_graph_louvain",
+    (s, dir) => {
+      import s.implicits._
+      val edges = sparseEdges(s, dir)
+      GraphAnalytics.louvainMove(edges,
+          GraphAnalytics.labelPropagation(edges, iters = 3))
+        .orderBy($"node")
+    },
+    Some(s"""WITH $eeCte,
+             ${lpaCtes(3)},
+             m2c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ee),
+             deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM ee GROUP BY u),
+             dc AS (SELECT l.label AS c, CAST(SUM(deg.deg) AS BIGINT) AS dsum
+                    FROM deg JOIN l3 l ON l.node = deg.u GROUP BY l.label),
+             euc AS (SELECT ee.u, lb.label AS c, CAST(COUNT(*) AS BIGINT) AS e
+                     FROM ee JOIN l3 lb ON lb.node = ee.v GROUP BY ee.u, lb.label),
+             cand AS (SELECT u, c, MAX(e) AS e FROM (
+                        SELECT u, c, e FROM euc
+                        UNION ALL SELECT node AS u, label AS c, 0 FROM l3)
+                      GROUP BY u, c),
+             sc AS (SELECT cand.u, cand.c,
+                           m2c.m2 * cand.e - deg.deg *
+                             (dc.dsum - CASE WHEN cand.c = own.label
+                                             THEN deg.deg ELSE 0 END) AS score
+                    FROM cand
+                    JOIN deg ON deg.u = cand.u
+                    JOIN dc ON dc.c = cand.c
+                    JOIN l3 own ON own.node = cand.u, m2c)
+             SELECT u AS node, c AS label FROM (
+               SELECT u, c, ROW_NUMBER() OVER (PARTITION BY u
+                 ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1
+             ORDER BY node"""))
+
   private def kcoreCtes(k: Int, rounds: Int): String =
     (1 to rounds).foldLeft("s0 AS (SELECT DISTINCT u AS node FROM ee)") { (acc, i) =>
       acc + s""",
@@ -846,5 +886,5 @@ object ScaleQueries {
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
-    textWinnow, graphModularity)
+    textWinnow, graphModularity, graphLouvain)
 }

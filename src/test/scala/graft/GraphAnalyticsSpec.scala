@@ -131,6 +131,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(s.forall(_ == 0L))
   }
 
+  test("louvainMove: modularity-optimal partition is a fixed point; LPA refines upward") {
+    // perfect two-triangle split: no node can gain by moving
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF("src", "dst")
+    val perfect = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("node", "label")
+    val moved = GraphAnalytics.louvainMove(g, perfect)
+      .as[(Long, Long)].collect().toMap
+    assert(moved == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+      s"optimal partition must not move: $moved")
+    // on the fixture graph, one move round must not DECREASE the LPA
+    // partition's total modularity (the refinement the pass exists for)
+    val edges = Tables(spark, sf, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") + 100000L).as("dst"))
+      .filter($"dst".isNotNull).distinct()
+    val lpa = GraphAnalytics.labelPropagation(edges, iters = 3)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphAnalytics.modularity(edges, labels)
+        .agg(sum($"q_contrib")).as[Double].collect().head
+    val refined = GraphAnalytics.louvainMove(edges, lpa)
+    val (q0, q1) = (q(lpa), q(refined))
+    assert(q1 >= q0 - 1e-9, s"move round decreased modularity: $q0 -> $q1")
+    // order-independence: same moves at any partitioning
+    val refined2 = GraphAnalytics.louvainMove(edges.repartition(7), lpa)
+      .as[(Long, Long)].collect().toMap
+    assert(refined.as[(Long, Long)].collect().toMap == refined2)
+  }
+
   test("triangleCounts == GraphX TriangleCount on the fixture event graph") {
     val edges = Tables(spark, sf, "events")
       .select($"user_id".as("src"),

@@ -144,6 +144,28 @@ class SketchIvfSpec extends SparkSpec {
     assert(a.nonEmpty && a.map(_._3).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("hamming sketch: packed codes equal naive sign-disagreement counts; self at 0") {
+    val emb = Tables(spark, sf, "embeddings")
+    val self = emb.filter($"vec_id" === 3L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val top = Similarity.hammingTopK(emb, "vec_id", "embedding", self, k = 5)
+      .as[(Long, Int, Double)].collect()
+    assert(top.head._1 == 3L && top.head._2 == 0 && top.head._3 == 1.0,
+      s"self-query must rank itself first at distance 0: ${top.head}")
+    // the xor+popcount of the two packed halves must equal the naive
+    // component-wise sign disagreement count, row by row
+    val rows = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val naive = rows.map { case (id, v) =>
+      id -> v.zip(self).count { case (a, b) => (a > 0) != (b > 0) }
+    }.toMap
+    val packed = Similarity.hammingTopK(emb.filter($"vec_id" < 20), "vec_id",
+        "embedding", self, k = 20)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(packed == naive, s"packed=$packed naive=$naive")
+  }
+
   test("cellRepresentatives: per-cell cap, full-cell coverage, nearest-first") {
     val emb = Tables(spark, sf, "embeddings")
     val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
