@@ -75,9 +75,12 @@ object Classifier {
     * round-6 doubles). Returns one row per coefficient:
     * (feature, weight, train_acc) — train_acc is the ≥0.5-threshold
     * accuracy of the FINAL weights on the training set. */
-  def trainLogReg(feat: DataFrame, names: Seq[String],
+  def trainLogReg(feat0: DataFrame, names: Seq[String],
                   iters: Int = 3, lr: Double = 2.0): DataFrame = {
     require(names.length == 4, "bias + 3 feature names")
+    // every GD step re-reads the features; materialize the (narrow,
+    // 4-double) frame once instead of re-tokenizing the corpus per pass
+    val feat = feat0.localCheckpoint()
     val w = weightsFrame(feat, iters, lr)
     val p = scoreExpr
     val acc = feat.crossJoin(broadcast(w))
@@ -108,7 +111,8 @@ object Classifier {
     * hash matches the oracle at any parallelism. The ordered window runs
     * over the distinct-score table only (documented bounded domain — a
     * global window over the corpus would be the rrfFuse scale-killer). */
-  def evalSweep(feat: DataFrame, iters: Int = 5, lr: Double = 2.0): DataFrame = {
+  def evalSweep(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0): DataFrame = {
+    val feat = feat0.localCheckpoint()
     val w = weightsFrame(feat, iters, lr)
     val groups = feat.crossJoin(broadcast(w))
       .select(scoreExpr.as("s"), col("y"))
