@@ -143,21 +143,47 @@ object Similarity {
     * only), so composing IVF in front cannot drift the PQ arithmetic. */
   private def pqAdcScores(members: DataFrame, codebookSrc: DataFrame,
                           spacing: Long, queryVec: Seq[Double], m: Int,
-                          roundTo: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val d = queryVec.length / m
-    val sub = members
-      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
-      .select(col("vid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("xs"))
-    val cb = codebookSrc.filter(col("vid") % spacing === 0)
+                          roundTo: Int): DataFrame =
+    pqAdcScoresCb(members,
+      pqSpacedCodebook(codebookSrc, spacing, queryVec.length / m, m),
+      queryVec, m, roundTo)
+
+  /** The deterministic spaced PQ codebook: every `spacing`-th row of
+    * `src` (vid, v), sliced into m d-dim subspace codewords (s, cid, cs).
+    * Doubles as the Lloyd seed set for [[pqCodebookTrained]]. */
+  private def pqSpacedCodebook(src: DataFrame, spacing: Long, d: Int,
+                               m: Int): DataFrame =
+    src.filter(col("vid") % spacing === 0)
       .select(col("vid").as("cid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
       .select(col("cid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("cs"))
+
+  /** Per-(vid, s) nearest-codeword assignment by round-6 L2², cid
+    * tie-break — the shared quantization step of ADC scoring, Lloyd
+    * training, and MSE measurement. Returns (vid, s, cid, d2). */
+  private def pqAssign(sub: DataFrame, cb: DataFrame, roundTo: Int): DataFrame = {
     val wA = Window.partitionBy(col("vid"), col("s")).orderBy(col("d2"), col("cid"))
-    val assigned = sub.join(broadcast(cb), "s")
+    sub.join(broadcast(cb), "s")
       .withColumn("d2", round(
         vec.dot(col("xs"), col("xs")) - lit(2.0) * vec.dot(col("xs"), col("cs")) +
           vec.dot(col("cs"), col("cs")), roundTo))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vid"), col("s"), col("xs"), col("cid"), col("d2"))
+  }
+
+  /** (vid, s, xs) subvector rows of `members` (vid, v): m slices of d. */
+  private def pqSub(members: DataFrame, d: Int, m: Int): DataFrame =
+    members
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("vid"), col("s"), slice(col("v"), col("s") * d + 1, lit(d)).as("xs"))
+
+  /** ADC scores of `members` against an EXPLICIT codebook (s, cid, cs) —
+    * spaced ([[pqTopK]]) and trained ([[pqTopKWith]]) share this path. */
+  private def pqAdcScoresCb(members: DataFrame, cb: DataFrame,
+                            queryVec: Seq[Double], m: Int,
+                            roundTo: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = queryVec.length / m
+    val assigned = pqAssign(pqSub(members, d, m), cb, roundTo)
       .select(col("vid"), col("s"), col("cid"))
     val qv = typedlit(queryVec)
     val contrib = cb.select(col("s"), col("cid"),
@@ -167,6 +193,91 @@ object Similarity {
       .groupBy(col("vid"))
       .agg(round(sum(col("contrib").cast(DecimalType(20, 10))).cast("double"), roundTo)
         .as("score"))
+  }
+
+  /** The spaced PQ codebook in public form (the untrained baseline and
+    * Lloyd seed set), for callers comparing quantizers. Returns
+    * (s, cid, cs). */
+  def pqCodebookSpaced(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int = 8,
+                       codewordEvery: Long = 0L): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = corpus.select(col(idCol).as("vid"), vd.as("v"))
+    val spacing =
+      if (codewordEvery > 0) codewordEvery
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    pqSpacedCodebook(e, spacing, dim / m, m)
+  }
+
+  /** Deterministic per-subspace Lloyd training of the PQ codebook — the
+    * trained-quantizer step for the FINE quantizer, mirroring
+    * [[kmeansCentroids]] for the coarse one: seeds are the ⌈√n⌉-spaced
+    * codewords, each iteration assigns every (vid, s) subvector to its
+    * round-6-L2² nearest codeword (cid tie-break) and recomputes
+    * per-(s, cid, dim) means through DECIMAL(20,10) partial sums rounded
+    * to `roundTo`. The subspace id rides along as a group key, so all m
+    * subspace k-means runs execute as ONE set of joins/aggregations —
+    * no per-subspace loop, no extra shuffles. Fixed iterations, no RNG:
+    * bit-identical codebooks at any partitioning, oracle-replayable as
+    * unrolled CTEs. Returns (s, cid, cs). */
+  def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, m: Int = 8, iters: Int = 2,
+                        roundTo: Int = 6,
+                        codewordEvery: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = dim / m
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
+    val spacing =
+      if (codewordEvery > 0) codewordEvery
+      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val sub = pqSub(e, d, m).localCheckpoint()
+    var cb = pqSpacedCodebook(e, spacing, d, m)
+    for (_ <- 1 to iters) {
+      cb = pqAssign(sub, cb, roundTo)
+        .select(col("s"), col("cid"), posexplode(col("xs")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(round(sum(col("col").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1)), roundTo).as("m"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cs"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** PQ ADC top-k against a CALLER-SUPPLIED codebook (s, cid, cs) —
+    * the trained counterpart of [[pqTopK]], same query path. */
+  def pqTopKWith(corpus: DataFrame, idCol: String, vecCol: String,
+                 cb: DataFrame, queryVec: Seq[Double], k: Int, m: Int = 8,
+                 roundTo: Int = 6): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
+    pqAdcScoresCb(e, cb, queryVec, m, roundTo)
+      .orderBy(col("score").desc, col("vid"))
+      .limit(k)
+      .select(col("vid").as(idCol), col("score"))
+  }
+
+  /** Mean PQ quantization error (the number codebook training exists to
+    * reduce): mean over every (vid, s) subvector of the round-6 L2² to
+    * its assigned codeword, summed in DECIMAL so the mean is exact at any
+    * parallelism. One row: (mse). */
+  def pqMse(corpus: DataFrame, idCol: String, vecCol: String,
+            cb: DataFrame, dim: Int, m: Int = 8,
+            roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = dim / m
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
+    pqAssign(pqSub(e, d, m), cb, roundTo)
+      .agg(round(sum(col("d2").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1)), roundTo).as("mse"))
   }
 
   /** IVF→PQ→exact-rerank — the production ANN serving composition

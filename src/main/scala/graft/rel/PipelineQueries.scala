@@ -70,6 +70,47 @@ object PipelineQueries {
        |$iterCtes""".stripMargin
   }
 
+  /** Unrolled-CTE replay of per-subspace Lloyd PQ training
+    * (Similarity.pqCodebookTrained): psub = (vid, s, xs) subvector rows,
+    * pc0 = the ⌈√n⌉-spaced seed codewords, then per iteration one
+    * (vid, s)-argmin assignment window and one decimal-exact per-(s, cid,
+    * dim) mean. Defines pc{iters} (the trained codebook) for the caller —
+    * shared by q_ann_pq_trained and q_ann_pq_err the way kmeansCtes is
+    * shared by the coarse-quantizer family. */
+  private def pqKmeansCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pa$i AS (SELECT vid, s, xs, cid FROM (
+         |          SELECT psub.vid, psub.s, psub.xs, c.cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY psub.vid, psub.s ORDER BY
+         |                   round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+         |                         + list_dot_product(cs, cs), 6), c.cid) AS rn
+         |          FROM psub JOIN pc${i - 1} c ON c.s = psub.s) WHERE rn = 1),
+         |pm$i AS (SELECT s, cid, CAST(u.j AS INT) AS idx,
+         |                round(CAST(SUM(CAST(xs[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
+         |                      / COUNT(*), 6) AS m
+         |         FROM pa$i, unnest(range(len(xs))) AS u(j) GROUP BY s, cid, idx),
+         |pc$i AS (SELECT s, cid, list(m ORDER BY idx) AS cs FROM pm$i GROUP BY s, cid)""".stripMargin
+    }.mkString(",\n")
+    s"""psp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+       |pe AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pss AS (SELECT unnest(range(8)) AS s),
+       |psub AS (SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs FROM pe CROSS JOIN pss),
+       |pc0 AS (SELECT s, vid AS cid, xs AS cs FROM psub WHERE vid % (SELECT sp FROM psp) = 0),
+       |$iterCtes""".stripMargin
+  }
+
+  /** DuckDB CTE fragment: (vid, s) L2²-argmin assignment of psub against
+    * codebook `cbName`, emitting (vid, s, cid, d2). */
+  private def pqAssignSql(cbName: String): String =
+    s"""SELECT vid, s, cid, d2 FROM (
+       |  SELECT psub.vid, psub.s, c.cid,
+       |         round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+       |               + list_dot_product(cs, cs), 6) AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY psub.vid, psub.s ORDER BY
+       |           round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+       |                 + list_dot_product(cs, cs), 6), c.cid) AS rn
+       |  FROM psub JOIN $cbName c ON c.s = psub.s) WHERE rn = 1""".stripMargin
+
   /** The round-8 logistic margin shared by every oracle that scores the
     * trained quality filter. */
   private val logRegZ = "round(w0 + w1*x1 + w2*x2 + w3*x3, 8)"
@@ -1325,6 +1366,71 @@ object PipelineQueries {
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     })
 
+  /** PQ ADC top-k over a TRAINED per-subspace Lloyd codebook
+    * (Similarity.pqCodebookTrained + pqTopKWith) — the fine-quantizer
+    * half of the trained-quantizer story, completing q_ann_ivf_trained's
+    * coarse half. The oracle replays all m subspace k-means runs as one
+    * set of unrolled CTEs (subspace id as a group key). */
+  val annPqTrained = QueryDef(
+    "q_ann_pq_trained",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+        dim = 64, m = 8, iters = 2)
+      Similarity.pqTopKWith(e, "vec_id", "embedding", cb,
+          VectorQueries.queryVec, k = 10)
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH ${pqKmeansCtes(2)},
+         |pasg AS (${pqAssignSql("pc2")}),
+         |pqc AS (SELECT s, cid,
+         |               round(list_dot_product(list_slice($qv, s*8 + 1, s*8 + 8), cs), 6) AS contrib
+         |        FROM pc2),
+         |padc AS (SELECT a.vid,
+         |                round(CAST(SUM(CAST(pqc.contrib AS DECIMAL(20,10))) AS DOUBLE), 6) AS score
+         |         FROM pasg a JOIN pqc ON pqc.s = a.s AND pqc.cid = a.cid
+         |         GROUP BY a.vid)
+         |SELECT vid AS vec_id, score FROM padc
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    })
+
+  /** PQ quantization error, spaced vs trained (Similarity.pqMse): the
+    * mean round-6 L2² from every subvector to its assigned codeword —
+    * the number codebook training exists to reduce, measured in-engine.
+    * Lloyd's objective is non-increasing, so trained ≤ spaced (spec
+    * asserts it; this query publishes both, hash-checked). */
+  val annPqErr = QueryDef(
+    "q_ann_pq_err",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val spaced = Similarity.pqCodebookSpaced(e, "vec_id", "embedding", dim = 64)
+      val trained = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+        dim = 64, m = 8, iters = 2)
+      Similarity.pqMse(e, "vec_id", "embedding", spaced, dim = 64)
+        .select(lit("spaced").as("codebook"), $"mse")
+        .unionByName(
+          Similarity.pqMse(e, "vec_id", "embedding", trained, dim = 64)
+            .select(lit("trained").as("codebook"), $"mse"))
+        .orderBy($"codebook")
+    },
+    Some {
+      s"""WITH ${pqKmeansCtes(2)},
+         |sasg AS (${pqAssignSql("pc0")}),
+         |tasg AS (${pqAssignSql("pc2")}),
+         |smse AS (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,10))) AS DOUBLE)
+         |                      / COUNT(*), 6) AS mse FROM sasg),
+         |tmse AS (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,10))) AS DOUBLE)
+         |                      / COUNT(*), 6) AS mse FROM tasg)
+         |SELECT codebook, mse FROM (
+         |  SELECT 'spaced' AS codebook, mse FROM smse
+         |  UNION ALL SELECT 'trained', mse FROM tmse)
+         |ORDER BY codebook""".stripMargin
+    })
+
   /** Cluster-stratified representative selection: per TRAINED k-means
     * cell, the `perCell` members nearest their centroid — the
     * coverage-preserving subset selection (coreset/diversity sampling)
@@ -1709,7 +1815,8 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, annIvfPq, vecDiverse, annRecallTrained, textBpeMerges, textBpe,
+    annIvfTrained, annIvfPq, annPqTrained, annPqErr, vecDiverse,
+    annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic, vecHamming,
     pipelineE2e, pipelineFunnel)
 }

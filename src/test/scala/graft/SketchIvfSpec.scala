@@ -144,6 +144,25 @@ class SketchIvfSpec extends SparkSpec {
     assert(a.nonEmpty && a.map(_._3).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("trained PQ: Lloyd reduces quantization MSE below the spaced seed codebook") {
+    val emb = Tables(spark, sf, "embeddings")
+    val spaced = Similarity.pqCodebookSpaced(emb, "vec_id", "embedding", dim = 64)
+    val trained = Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
+      dim = 64, m = 8, iters = 2)
+    def mse(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqMse(emb, "vec_id", "embedding", cb, dim = 64)
+        .as[Double].head()
+    val (ms, mt) = (mse(spaced), mse(trained))
+    // Lloyd's objective is non-increasing from the seed assignment
+    assert(mt <= ms, s"trained MSE $mt must not exceed spaced MSE $ms")
+    // training is partitioning-independent (decimal means, fixed iters)
+    val trained2 = Similarity.pqCodebookTrained(emb.repartition(13), "vec_id",
+      "embedding", dim = 64, m = 8, iters = 2)
+    val c1 = trained.orderBy($"s", $"cid").as[(Int, Long, Seq[Double])].collect().toSeq
+    val c2 = trained2.orderBy($"s", $"cid").as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(c1 == c2, "PQ training must be partitioning-independent")
+  }
+
   test("hamming sketch: packed codes equal naive sign-disagreement counts; self at 0") {
     val emb = Tables(spark, sf, "embeddings")
     val self = emb.filter($"vec_id" === 3L)
