@@ -512,8 +512,17 @@ object Similarity {
     * principal direction and its Rayleigh eigenvalue estimate ‖C·w‖. */
   def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 3, roundTo: Int = 6): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val (_, cov, w) = pcaParts(emb, idCol, vecCol, iters, roundTo)
+    pcaTopComponentWith(cov, w, roundTo)
+  }
+
+  /** [[pcaTopComponent]] against CALLER-SUPPLIED pcaParts output — lets a
+    * session train the PCA once and serve every consumer from the shared
+    * (x, cov, w) artifact, the same once-per-session discipline as the
+    * trained IVF/PQ codebooks. */
+  def pcaTopComponentWith(cov: DataFrame, w: DataFrame,
+                          roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     def mul(w: DataFrame): DataFrame =
       cov.join(broadcast(w.withColumnRenamed("i", "j")), "j")
         .groupBy(col("i"))
@@ -598,10 +607,16 @@ object Similarity {
     * Returns (idCol, proj, resid2) — proj round-6, resid2 round-6. */
   def whitenTopComponent(emb: DataFrame, idCol: String, vecCol: String,
                          iters: Int = 3, roundTo: Int = 6): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val (x0, _, w) = pcaParts(emb, idCol, vecCol, iters, roundTo)
     // x feeds BOTH the projection and the residual pass — materialize once
-    val x = x0.localCheckpoint()
+    whitenTopComponentWith(x0.localCheckpoint(), w, idCol, roundTo)
+  }
+
+  /** [[whitenTopComponent]] against CALLER-SUPPLIED pcaParts output (`x`
+    * should already be materialized — it feeds two passes). */
+  def whitenTopComponentWith(x: DataFrame, w: DataFrame, idCol: String,
+                             roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val proj = x.join(broadcast(w), "i")
       .groupBy(col("vid"))
       .agg(round(sum((col("c") * col("w")).cast(DecimalType(20, 12)))

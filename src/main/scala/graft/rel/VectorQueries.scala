@@ -18,6 +18,23 @@ object VectorQueries {
   val queryVec: Seq[Double] = Seq.tabulate(64)(i => ((i % 7) - 3) / 4.0)
   private val queryVecSql = queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
 
+  /** Session-scoped memo of the PCA training artifact (centered values,
+    * covariance, loadings) — q_vec_pca and q_vec_whiten share one
+    * covariance build + power iteration per (session, sfDir), the same
+    * once-per-session discipline as the trained IVF/PQ codebooks.
+    * pcaParts is bit-deterministic, so sharing cannot change any hash. */
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+           (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.DataFrame)]
+  private def pcaPartsShared(s: org.apache.spark.sql.SparkSession,
+                             dir: String) =
+    pcaMemo.getOrElseUpdate((s, dir), {
+      val (x, cov, w) = graft.pipeline.Similarity.pcaParts(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 3)
+      (x.localCheckpoint(), cov, w)
+    })
+
   /** Dot-product top-k over the embeddings fixture (O12's scoring core). */
   val vecTopK = QueryDef(
     "q_vec_topk",
@@ -248,8 +265,10 @@ object VectorQueries {
     * covariance, and every iteration as unrolled CTEs. */
   val vecPca = QueryDef(
     "q_vec_pca",
-    (s, dir) => graft.pipeline.Similarity.pcaTopComponent(
-      Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 3),
+    (s, dir) => {
+      val (_, cov, w) = pcaPartsShared(s, dir)
+      graft.pipeline.Similarity.pcaTopComponentWith(cov, w)
+    },
     Some(s"""WITH ${pcaCtes(3)},
             |uf AS (SELECT cov.i,
             |              round(CAST(SUM(CAST(cov.cc * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS u
@@ -265,8 +284,10 @@ object VectorQueries {
     * correction, composed directly on the PCA kernel. */
   val vecWhiten = QueryDef(
     "q_vec_whiten",
-    (s, dir) => graft.pipeline.Similarity.whitenTopComponent(
-      Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 3),
+    (s, dir) => {
+      val (x, _, w) = pcaPartsShared(s, dir)
+      graft.pipeline.Similarity.whitenTopComponentWith(x, w, "vec_id")
+    },
     Some(s"""WITH ${pcaCtes(3)},
             |proj AS (SELECT x.vid,
             |                round(CAST(SUM(CAST(x.c * w.w AS DECIMAL(20,12))) AS DOUBLE), 6) AS proj
