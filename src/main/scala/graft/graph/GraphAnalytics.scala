@@ -253,6 +253,28 @@ object GraphAnalytics {
             (col("deg_sum").cast("double") / col("m2")), 6).as("q_contrib"))
   }
 
+  /** Louvain phase-2 graph coarsening (Blondel et al. 2008): collapse a
+    * partition into its community super-graph — one node per community,
+    * a super-edge (c1 ≤ c2) per pair of communities with `weight` = the
+    * number of original CANONICAL edges between them (c1 = c2 rows carry
+    * the intra-community edge count, the self-loop weight the next
+    * Louvain level needs). This is what makes multi-level community
+    * detection tractable at 100 TB: each level shrinks the edge list by
+    * the coarsening factor, and the collapse itself is two node-keyed
+    * label joins + ONE (c1, c2)-keyed count — linear in |E|, with the
+    * giant-community key skew absorbed map-side by the count's partial
+    * aggregation. Returns (c1, c2, weight). */
+  def coarsenGraph(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
+    val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
+    e.join(lsrc, "src").join(ldst, "dst")
+      .select(least(col("lsrc"), col("ldst")).as("c1"),
+        greatest(col("lsrc"), col("ldst")).as("c2"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** One synchronous Louvain local-moving round (Blondel et al. 2008
     * phase 1, the simultaneous-update variant distributed Louvain
     * implementations use): every node simultaneously re-labels to the

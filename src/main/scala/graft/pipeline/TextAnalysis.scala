@@ -146,6 +146,51 @@ object TextAnalysis {
     * moment sums run in DECIMAL (order-independent), and the closed-form
     * slope/intercept divide as doubles rounded to 6dp. Shape: one token
     * count groupBy + a topN TakeOrdered + a single-row aggregate. */
+  /** Jensen-Shannon divergence between the token distributions of two
+    * corpus slices — the drift number a mixture/contamination monitor
+    * alerts on (yesterday's crawl vs today's). Exact integer counts feed
+    * one double ratio per token; each KL term rounds to 8 then sums in
+    * DECIMAL(20,12) (the perplexity log discipline), so the result is
+    * bit-identical at any parallelism and oracle-replayable. JS(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M) with M the even mixture: symmetric, 0 iff the
+    * distributions coincide, ≤ ln 2. Scale shape: two token-keyed counts
+    * + one full-outer join on token + one global aggregate — linear in
+    * corpus tokens, never pairwise. Returns one row
+    * (kl_a, kl_b, js_div, shared_vocab). */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                   roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ca = counts(a).select(col("tok"), col("c").as("ca"))
+    val cb = counts(b).select(col("tok"), col("c").as("cb"))
+    val na = ca.agg(sum(col("ca")).as("na"))
+    val nb = cb.agg(sum(col("cb")).as("nb"))
+    val pr = ca.join(cb, Seq("tok"), "full")
+      .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("p", col("ca").cast("double") / col("na"))
+      .withColumn("q", col("cb").cast("double") / col("nb"))
+    val terms = pr
+      .withColumn("ta", when(col("ca") > 0,
+        round(col("p") * log(col("p") / ((col("p") + col("q")) / 2)), 8))
+        .otherwise(lit(0.0)))
+      .withColumn("tb", when(col("cb") > 0,
+        round(col("q") * log(col("q") / ((col("p") + col("q")) / 2)), 8))
+        .otherwise(lit(0.0)))
+    terms.agg(
+        round(sum(col("ta").cast(DecimalType(20, 12))).cast("double"), roundTo)
+          .as("kl_a"),
+        round(sum(col("tb").cast(DecimalType(20, 12))).cast("double"), roundTo)
+          .as("kl_b"),
+        count(when(col("ca") > 0 && col("cb") > 0, 1)).as("shared_vocab"))
+      .select(col("kl_a"), col("kl_b"),
+        round((col("kl_a") + col("kl_b")) / 2, roundTo).as("js_div"),
+        col("shared_vocab"))
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
     val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))

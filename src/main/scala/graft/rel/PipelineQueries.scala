@@ -1828,6 +1828,120 @@ object PipelineQueries {
          |FROM scored LEFT JOIN keep USING (doc_id)""".stripMargin
     })
 
+  /** Corpus drift monitoring: Jensen-Shannon divergence between the token
+    * distributions of two corpus slices (lang = en vs de here; in
+    * production, yesterday's crawl vs today's) — the number a mixture /
+    * contamination monitor alerts on. Exact integer counts feed one
+    * double ratio per token; each KL term is rounded to 8 then summed in
+    * DECIMAL(20,12), so the divergence is bit-identical at any
+    * parallelism (the q_text_perplexity log discipline). Scale shape: two
+    * token-keyed counts + one full-outer join on token + one global
+    * aggregate — linear in corpus tokens, vocabulary-bounded join keys,
+    * no pairwise anything. */
+  val textDrift = QueryDef(
+    "q_text_drift",
+    (s, dir) => {
+      import s.implicits._
+      val d = TextOps.spread(Tables(s, dir, "documents"))
+      TextAnalysis.jsDivergence(
+          d.filter($"lang" === "en"), d.filter($"lang" === "de"), "text")
+        .select($"kl_a".as("kl_en"), $"kl_b".as("kl_de"),
+          $"js_div", $"shared_vocab")
+    },
+    Some(s"""WITH da AS (SELECT unnest($toksSql) AS tok FROM documents WHERE lang = 'en'),
+            |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca FROM da GROUP BY tok),
+            |db AS (SELECT unnest($toksSql) AS tok FROM documents WHERE lang = 'de'),
+            |cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb FROM db GROUP BY tok),
+            |na AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM ca),
+            |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM cb),
+            |j AS (SELECT COALESCE(a.tok, b.tok) AS tok,
+            |             COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+            |      FROM ca a FULL JOIN cb b ON a.tok = b.tok),
+            |pr AS (SELECT tok, ca, cb,
+            |              CAST(ca AS DOUBLE) / na.na AS p,
+            |              CAST(cb AS DOUBLE) / nb.nb AS q
+            |       FROM j, na, nb),
+            |terms AS (SELECT ca, cb,
+            |                 CASE WHEN ca > 0 THEN round(p * ln(p / ((p + q) / 2)), 8)
+            |                      ELSE 0.0 END AS ta,
+            |                 CASE WHEN cb > 0 THEN round(q * ln(q / ((p + q) / 2)), 8)
+            |                      ELSE 0.0 END AS tb
+            |          FROM pr),
+            |agg AS (SELECT round(CAST(SUM(CAST(ta AS DECIMAL(20,12))) AS DOUBLE), 6) AS kl_en,
+            |               round(CAST(SUM(CAST(tb AS DECIMAL(20,12))) AS DOUBLE), 6) AS kl_de,
+            |               CAST(COUNT(CASE WHEN ca > 0 AND cb > 0 THEN 1 END) AS BIGINT) AS shared_vocab
+            |        FROM terms)
+            |SELECT kl_en, kl_de, round((kl_en + kl_de) / 2, 6) AS js_div, shared_vocab
+            |FROM agg""".stripMargin))
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick 5 results from the cosine top-25 maximizing
+    * 0.7·relevance − 0.3·max-similarity-to-already-picked — the standard
+    * diversification pass a retrieval pipeline runs AFTER ANN. The greedy
+    * loop is inherently sequential but each step touches only the BOUNDED
+    * candidate list (top-25 here; top-N always), so at 100 TB the corpus
+    * scan is the ANN stage and MMR costs k·N tiny comparisons — the
+    * per-step argmax is a limit(1) over ≤N rows, never a corpus pass.
+    * Scores round-6 with id tie-breaks; the oracle replays all 4 greedy
+    * steps as unrolled CTEs. */
+  val vecMmr = QueryDef(
+    "q_vec_mmr",
+    (s, dir) => {
+      import s.implicits._
+      val qv = array(VectorQueries.queryVec.map(lit): _*)
+      val cand = Tables(s, dir, "embeddings")
+        .filter(size($"embedding") === 64)
+        .select($"vec_id".as("vid"),
+          $"embedding".cast("array<double>").as("v"),
+          round(graft.functions.vec.cosine($"embedding", qv), 6).as("rel"))
+        .orderBy($"rel".desc, $"vid").limit(25)
+        .localCheckpoint()
+      var sel = cand.orderBy($"rel".desc, $"vid").limit(1)
+        .select($"vid", $"v", $"rel".as("score"), lit(1).as("pick"))
+        .localCheckpoint()
+      for (t <- 2 to 5) {
+        val selv = broadcast(sel.select($"vid".as("svid"), $"v".as("sv")))
+        val msim = cand.join(sel.select($"vid"), Seq("vid"), "left_anti")
+          .crossJoin(selv)
+          .withColumn("sim", round(graft.functions.vec.cosine($"v", $"sv"), 6))
+          .groupBy($"vid").agg(max($"sim").as("msim"))
+        val pick = cand.join(msim, "vid")
+          .withColumn("score", round(lit(0.7) * $"rel" - lit(0.3) * $"msim", 6))
+          .orderBy($"score".desc, $"vid").limit(1)
+          .select($"vid", $"v", $"score", lit(t).as("pick"))
+        sel = sel.unionByName(pick).localCheckpoint()
+      }
+      sel.select($"pick", $"vid".as("vec_id"), $"score").orderBy($"pick")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      val steps = (2 to 5).map { t =>
+        s"""m$t AS (SELECT c.vid, MAX(round(${cosSql("c.v", "s.v")}, 6)) AS msim
+           |        FROM cand c, sel${t - 1} s
+           |        WHERE c.vid NOT IN (SELECT vid FROM sel${t - 1})
+           |        GROUP BY c.vid),
+           |s$t AS (SELECT c.vid, c.v, round(0.7 * c.rel - 0.3 * m.msim, 6) AS score, $t AS pick
+           |        FROM cand c JOIN m$t m ON m.vid = c.vid
+           |        ORDER BY score DESC, c.vid LIMIT 1),
+           |sel$t AS (SELECT vid, v FROM sel${t - 1} UNION ALL SELECT vid, v FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+         |                     round(${cosSql("CAST(embedding AS DOUBLE[])", qv)}, 6) AS rel
+         |              FROM embeddings WHERE len(embedding) = 64
+         |              ORDER BY rel DESC, vid LIMIT 25),
+         |s1 AS (SELECT vid, v, rel AS score, 1 AS pick FROM cand
+         |       ORDER BY rel DESC, vid LIMIT 1),
+         |sel1 AS (SELECT vid, v FROM s1),
+         |$steps
+         |SELECT pick, vid AS vec_id, score FROM (
+         |  SELECT pick, vid, score FROM s1
+         |  UNION ALL SELECT pick, vid, score FROM s2
+         |  UNION ALL SELECT pick, vid, score FROM s3
+         |  UNION ALL SELECT pick, vid, score FROM s4
+         |  UNION ALL SELECT pick, vid, score FROM s5)
+         |ORDER BY pick""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
     dedupSimhash, dedupNgram,
@@ -1839,5 +1953,6 @@ object PipelineQueries {
     annIvfTrained, annIvfPq, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic, vecHamming,
+    textDrift, vecMmr,
     pipelineE2e, pipelineFunnel)
 }

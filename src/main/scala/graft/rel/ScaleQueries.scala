@@ -337,6 +337,32 @@ object ScaleQueries {
     * modularity ascent with exact BIGINT scores and smallest-label
     * tie-breaks, replayed by the oracle as plain aggregations over the
     * same LPA CTEs. */
+  /** The Louvain move round as a reusable CTE chain: defines lmv
+    * (node, label) — the refined partition — on top of ee + l3. Shared
+    * by q_graph_louvain and q_graph_coarsen. */
+  private val louvainCtes =
+    s"""m2c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ee),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM ee GROUP BY u),
+       |dc AS (SELECT l.label AS c, CAST(SUM(deg.deg) AS BIGINT) AS dsum
+       |       FROM deg JOIN l3 l ON l.node = deg.u GROUP BY l.label),
+       |euc AS (SELECT ee.u, lb.label AS c, CAST(COUNT(*) AS BIGINT) AS e
+       |        FROM ee JOIN l3 lb ON lb.node = ee.v GROUP BY ee.u, lb.label),
+       |cand AS (SELECT u, c, MAX(e) AS e FROM (
+       |           SELECT u, c, e FROM euc
+       |           UNION ALL SELECT node AS u, label AS c, 0 FROM l3)
+       |         GROUP BY u, c),
+       |sc AS (SELECT cand.u, cand.c,
+       |              m2c.m2 * cand.e - deg.deg *
+       |                (dc.dsum - CASE WHEN cand.c = own.label
+       |                                THEN deg.deg ELSE 0 END) AS score
+       |       FROM cand
+       |       JOIN deg ON deg.u = cand.u
+       |       JOIN dc ON dc.c = cand.c
+       |       JOIN l3 own ON own.node = cand.u, m2c),
+       |lmv AS (SELECT u AS node, c AS label FROM (
+       |          SELECT u, c, ROW_NUMBER() OVER (PARTITION BY u
+       |            ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)""".stripMargin
+
   val graphLouvain = QueryDef(
     "q_graph_louvain",
     (s, dir) => {
@@ -348,28 +374,37 @@ object ScaleQueries {
     },
     Some(s"""WITH $eeCte,
              ${lpaCtes(3)},
-             m2c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ee),
-             deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM ee GROUP BY u),
-             dc AS (SELECT l.label AS c, CAST(SUM(deg.deg) AS BIGINT) AS dsum
-                    FROM deg JOIN l3 l ON l.node = deg.u GROUP BY l.label),
-             euc AS (SELECT ee.u, lb.label AS c, CAST(COUNT(*) AS BIGINT) AS e
-                     FROM ee JOIN l3 lb ON lb.node = ee.v GROUP BY ee.u, lb.label),
-             cand AS (SELECT u, c, MAX(e) AS e FROM (
-                        SELECT u, c, e FROM euc
-                        UNION ALL SELECT node AS u, label AS c, 0 FROM l3)
-                      GROUP BY u, c),
-             sc AS (SELECT cand.u, cand.c,
-                           m2c.m2 * cand.e - deg.deg *
-                             (dc.dsum - CASE WHEN cand.c = own.label
-                                             THEN deg.deg ELSE 0 END) AS score
-                    FROM cand
-                    JOIN deg ON deg.u = cand.u
-                    JOIN dc ON dc.c = cand.c
-                    JOIN l3 own ON own.node = cand.u, m2c)
-             SELECT u AS node, c AS label FROM (
-               SELECT u, c, ROW_NUMBER() OVER (PARTITION BY u
-                 ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1
-             ORDER BY node"""))
+             $louvainCtes
+             SELECT node, label FROM lmv ORDER BY node"""))
+
+  /** Louvain phase-2 coarsening (GraphAnalytics.coarsenGraph): the
+    * community super-graph of the move-refined partition — (c1 ≤ c2,
+    * weight = original edges between the two communities; c1 = c2 rows
+    * are the intra-community self-loop weights). The collapse that makes
+    * multi-level community detection linear per level at 100 TB: two
+    * node-keyed label joins + one (c1, c2) count whose giant-community
+    * skew is absorbed by map-side partial aggregation. */
+  val graphCoarsen = QueryDef(
+    "q_graph_coarsen",
+    (s, dir) => {
+      import s.implicits._
+      val edges = sparseEdges(s, dir)
+      GraphAnalytics.coarsenGraph(edges,
+          GraphAnalytics.louvainMove(edges,
+            GraphAnalytics.labelPropagation(edges, iters = 3)))
+        .orderBy($"c1", $"c2")
+    },
+    Some(s"""WITH $eeCte,
+             ${lpaCtes(3)},
+             $louvainCtes
+             SELECT LEAST(a.label, b.label) AS c1,
+                    GREATEST(a.label, b.label) AS c2,
+                    CAST(COUNT(*) AS BIGINT) AS weight
+             FROM e0
+             JOIN lmv a ON a.node = e0.u
+             JOIN lmv b ON b.node = e0.v
+             GROUP BY 1, 2
+             ORDER BY c1, c2"""))
 
   private def kcoreCtes(k: Int, rounds: Int): String =
     (1 to rounds).foldLeft("s0 AS (SELECT DISTINCT u AS node FROM ee)") { (acc, i) =>
@@ -881,10 +916,53 @@ object ScaleQueries {
              FROM d WHERE n_tok > 0
              ORDER BY key DESC, doc_id LIMIT 50"""))
 
+  /** Incremental aggregate maintenance — the materialized-view pattern a
+    * 100 TB warehouse lives on: keep a small PARTIAL-aggregate state
+    * table (count + decimal sum per group), aggregate only the arriving
+    * delta, and MERGE the partials instead of rescanning history. The
+    * query computes merge(partial(orders < cutoff), partial(orders ≥
+    * cutoff)) while the oracle recomputes the aggregate over ALL orders
+    * flat — so the hash match IS the proof of the maintenance identity
+    * merge ∘ partial = aggregate (counts and decimal sums are the
+    * algebraic-merge form; avg is re-derived from them, never averaged).
+    * At scale the historical side never rescans: each refresh touches
+    * |delta| rows + |groups| state rows. */
+  val aggIncremental = QueryDef(
+    "q_agg_incremental",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum($"o_totalprice".cast(DecimalType(18, 2))).as("amt"))
+      val o = Tables(s, dir, "orders")
+      val state = partial(o.filter($"o_orderdate" < cutoff))
+      val delta = partial(o.filter($"o_orderdate" >= cutoff))
+      state.unionByName(delta)
+        .groupBy($"o_orderpriority")
+        .agg(sum($"cnt").as("n_orders"),
+          sum($"amt").cast("double").as("total_amt"))
+        .select($"o_orderpriority", $"n_orders",
+          $"total_amt",
+          round($"total_amt" / $"n_orders", 6).as("avg_amt"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_amt
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
-    textWinnow, graphModularity, graphLouvain)
+    textWinnow, graphModularity, graphLouvain, graphCoarsen,
+    aggIncremental)
 }

@@ -187,4 +187,17 @@ class GraphAnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("coarsenGraph: self-loops carry intra weight; every edge conserved") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4, perfect partition
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val sup = GraphAnalytics.coarsenGraph(g, labels)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sup == Set((1L, 1L, 3L), (4L, 4L, 3L), (1L, 4L, 1L)), s"$sup")
+    // conservation: super-edge weights partition the original edge set
+    assert(sup.toSeq.map(_._3).sum == 7)
+  }
 }

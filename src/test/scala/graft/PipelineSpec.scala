@@ -434,4 +434,35 @@ class PipelineSpec extends SparkSpec {
       .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"), s"$got")
   }
+
+  test("JS divergence: zero on identical slices, symmetric, positive on drift") {
+    val en = docs.filter($"lang" === "en")
+    val de = docs.filter($"lang" === "de")
+    val self = TextAnalysis.jsDivergence(en, en, "text")
+      .as[(Double, Double, Double, Long)].head()
+    assert(self._3 == 0.0, s"self-drift must be exactly 0: $self")
+    val ab = TextAnalysis.jsDivergence(en, de, "text")
+      .as[(Double, Double, Double, Long)].head()
+    val ba = TextAnalysis.jsDivergence(de, en, "text")
+      .as[(Double, Double, Double, Long)].head()
+    assert(ab._3 > 0.0 && ab._3 <= math.log(2.0), s"JS in (0, ln2]: $ab")
+    assert(ab._3 == ba._3 && ab._1 == ba._2 && ab._2 == ba._1,
+      s"JS symmetric under slice swap: $ab vs $ba")
+  }
+
+  test("MMR keeps the top hit but trades relevance for diversity") {
+    val got = rel.PipelineQueries.vecMmr.run(spark, sf)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 5 && got.map(_._2).distinct.length == 5, s"$got")
+    val qv = array(rel.VectorQueries.queryVec.map(lit): _*)
+    val byRel = Tables(spark, sf, "embeddings")
+      .filter(size($"embedding") === 64)
+      .select($"vec_id", round(graft.functions.vec.cosine($"embedding", qv), 6)
+        .as("rel"))
+      .orderBy($"rel".desc, $"vec_id").limit(5)
+      .as[(Long, Double)].collect()
+    assert(got.head._2 == byRel.head._1, "pick 1 is the global top hit")
+    assert(got.map(_._2).toSet != byRel.map(_._1).toSet,
+      "MMR must diverge from the plain top-5, else the diversity term is vacuous")
+  }
 }

@@ -206,4 +206,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(2)._1 == 349525L)  // 0b0101...01 (x fills even bits)
     assert(got(3)._1 == 699050L)  // 0b1010...10 (y fills odd bits)
   }
+
+  test("incremental aggregate: merge of partials equals recompute at ANY split") {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables(spark, sf, "orders")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).as("amt"))
+    def merged(cutoff: String) = {
+      val c = lit(cutoff).cast("timestamp")
+      partial(o.filter($"o_orderdate" < c))
+        .unionByName(partial(o.filter($"o_orderdate" >= c)))
+        .groupBy($"o_orderpriority")
+        .agg(sum($"cnt").as("n"), sum($"amt").cast("double").as("amt"))
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, a) => k -> (n, a) }.toMap
+    }
+    val full = partial(o)
+      .select($"o_orderpriority", $"cnt", $"amt".cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, a) => k -> (n, a) }.toMap
+    // the maintenance identity must hold for EVERY history/delta split,
+    // including a degenerate one (empty delta)
+    for (cut <- Seq("1996-03-15", "1999-07-01", "2002-01-01"))
+      assert(merged(cut) == full, s"cutoff $cut")
+  }
 }
