@@ -681,4 +681,46 @@ object Similarity {
     }
     cent
   }
+
+  /** 1/log2(pos+1) nDCG discount factors for positions 1..k as FIXED 8dp
+    * constants, baked at plan-build time so both engines multiply the
+    * identical literals — no runtime log() whose last ULP could differ
+    * between engines. */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(p => BigDecimal(1.0 / (math.log(p + 1.0) / math.log(2.0)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Ideal DCG@k under the graded-relevance convention rel(pos) = k+1−pos:
+    * the round-8 terms of the perfect ranking summed exactly (the same
+    * term discipline [[ndcgAt]] applies to the approximate ranking). */
+  def idcgAt(k: Int): Double =
+    ndcgDiscounts(k).zipWithIndex.map { case (d, i) =>
+      BigDecimal((k - i).toDouble * d).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+
+  /** nDCG@k of an approximate ranking against graded exact relevance —
+    * the ranking-quality eval an ANN serving stack reports next to
+    * recall@k: recall treats all top-k hits equally, nDCG also penalizes
+    * ranking the best neighbors low. `approx` is (qid, cid, pos: 1..k),
+    * `exact` is (qid, cid, rel) with missing pairs scored 0. Each DCG
+    * term rounds to 8 then sums in DECIMAL(20,12), and the discounts and
+    * ideal-DCG normalizer are fixed literals, so the score is
+    * bit-identical at any parallelism and DuckDB-replayable. Scale: the
+    * inputs are k rows per query (post-ANN); one broadcast-size left join
+    * + one qid aggregation — nothing corpus-shaped. Returns
+    * (qid, dcg, ndcg) rounded to `roundTo`. */
+  def ndcgAt(approx: DataFrame, exact: DataFrame, k: Int,
+             roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val discArr = array(ndcgDiscounts(k).map(lit): _*)
+    approx.join(exact, Seq("qid", "cid"), "left")
+      .withColumn("term", round(coalesce(col("rel"), lit(0)).cast("double") *
+        element_at(discArr, col("pos")), 8))
+      .groupBy(col("qid"))
+      .agg(sum(col("term").cast(DecimalType(20, 12))).as("dcgd"))
+      .select(col("qid"),
+        round(col("dcgd").cast("double"), roundTo).as("dcg"),
+        round(col("dcgd").cast("double") / idcgAt(k), roundTo).as("ndcg"))
+      .orderBy(col("qid"))
+  }
 }

@@ -1942,6 +1942,155 @@ object PipelineQueries {
          |ORDER BY pick""".stripMargin
     })
 
+  /** Simplified silhouette of the TRAINED k-means partition (Rousseeuw
+    * 1987, centroid variant on cosine distance): per vector, a = distance
+    * to its own (nearest) centroid, b = distance to the best OTHER
+    * centroid, s = (b−a)/max(a,b) = (cos1−cos2)/(1−cos2) since assignment
+    * IS the cosine argmax — the cluster-quality number a curation
+    * pipeline watches before trusting per-cluster sampling or SemDeDup
+    * cells. One broadcast-centroid join + one vid window (top-2 centroids
+    * per vector) + one cid aggregation — linear in corpus size, the exact
+    * shape of the IVF assignment it evaluates. Per-vector s rounds to 8,
+    * per-cell means sum in DECIMAL(20,12) — bit-identical at any
+    * parallelism; the oracle replays training via the shared kmeansCtes. */
+  val vecSilhouette = QueryDef(
+    "q_vec_silhouette",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val e = TextOps.spread(Tables(s, dir, "embeddings"))
+        .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("v"))
+      val cent = trainedCentroids(s, dir)
+      val w = Window.partitionBy($"vid").orderBy($"ccos".desc, $"cid")
+      val top2 = e.join(broadcast(cent))
+        .withColumn("ccos", round(graft.functions.vec.cosine($"v", $"cv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+        .groupBy($"vid")
+        .agg(max(when($"rn" === 1, $"cid")).as("cid"),
+          max(when($"rn" === 1, $"ccos")).as("cos1"),
+          max(when($"rn" === 2, $"ccos")).as("cos2"))
+      top2
+        .withColumn("sil", when(lit(1.0) - $"cos2" === 0.0, lit(0.0))
+          .otherwise(round(($"cos1" - $"cos2") / (lit(1.0) - $"cos2"), 8)))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"sil".cast(DecimalType(20, 12))).cast("double") /
+            count(lit(1)), 6).as("mean_sil"))
+        .orderBy($"cid")
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+         |rk AS (SELECT vid, cid, ccos, ROW_NUMBER() OVER (PARTITION BY vid
+         |         ORDER BY ccos DESC, cid) AS rn
+         |       FROM (SELECT e.vid, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS ccos
+         |             FROM e CROSS JOIN c2 c)),
+         |t2 AS (SELECT vid, MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+         |              MAX(CASE WHEN rn = 1 THEN ccos END) AS cos1,
+         |              MAX(CASE WHEN rn = 2 THEN ccos END) AS cos2
+         |       FROM rk WHERE rn <= 2 GROUP BY vid),
+         |sl AS (SELECT cid, CASE WHEN 1.0 - cos2 = 0.0 THEN 0.0
+         |                        ELSE round((cos1 - cos2) / (1.0 - cos2), 8) END AS sil
+         |       FROM t2)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         |       round(CAST(SUM(CAST(sil AS DECIMAL(20,12))) AS DOUBLE)
+         |             / COUNT(*), 6) AS mean_sil
+         |FROM sl GROUP BY cid ORDER BY cid""".stripMargin))
+
+  /** Embedding out-of-distribution scoring: ood = 1 − cosine to the
+    * NEAREST trained centroid — the curation filter that flags vectors no
+    * trained cell represents well (mojibake, empty-text embeddings,
+    * modality mix-ups) before they poison training batches. Reuses the
+    * session-trained codebook (one broadcast join + one vid window —
+    * the IVF assignment pass itself); top-20 by score with id
+    * tie-breaks. */
+  val vecOod = QueryDef(
+    "q_vec_ood",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = TextOps.spread(Tables(s, dir, "embeddings"))
+        .select($"vec_id".as("vid"), $"embedding".cast("array<double>").as("v"))
+      val cent = trainedCentroids(s, dir)
+      val w = Window.partitionBy($"vid").orderBy($"ccos".desc, $"cid")
+      e.join(broadcast(cent))
+        .withColumn("ccos", round(graft.functions.vec.cosine($"v", $"cv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vid".as("vec_id"), $"cid",
+          round(lit(1.0) - $"ccos", 6).as("ood"))
+        .orderBy($"ood".desc, $"vec_id").limit(20)
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+         |rk AS (SELECT vid, cid, ccos, ROW_NUMBER() OVER (PARTITION BY vid
+         |         ORDER BY ccos DESC, cid) AS rn
+         |       FROM (SELECT e.vid, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS ccos
+         |             FROM e CROSS JOIN c2 c))
+         |SELECT vid AS vec_id, cid, round(1.0 - ccos, 6) AS ood
+         |FROM rk WHERE rn = 1
+         |ORDER BY ood DESC, vec_id LIMIT 20""".stripMargin))
+
+  /** nDCG@10 of the multi-probe LSH ranking against the exact cosine
+    * ranking (Similarity.ndcgAt) — the graded ranking-quality eval that
+    * complements q_ann_recall's set-overlap recall: recall@k treats all
+    * top-k hits equally, nDCG also penalizes the index for ranking the
+    * best neighbors low. Relevance = 11 − exact_rank inside the exact
+    * top-10, 0 outside; discounts and the ideal-DCG normalizer are fixed
+    * 8dp literals (no runtime log), terms round-8 into DECIMAL sums. The
+    * eval itself costs k rows per query — the corpus pass is the ANN and
+    * exact stages being compared. */
+  val rankNdcg = QueryDef(
+    "q_rank_ndcg",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val approx = Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id",
+          "embedding", k = 10, probeRadius = 1)
+        .select($"qid", $"cid", $"rn".as("pos"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = TextOps.spread(e).select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val exact = c.join(broadcast(q))
+        .withColumn("cos", round(graft.functions.vec.cosine($"cv", $"qv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+        .select($"qid", $"cid", (lit(11) - $"rn").as("rel"))
+      Similarity.ndcgAt(approx, exact, k = 10)
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val pl = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $pl) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      val discs = Similarity.ndcgDiscounts(10)
+        .map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      val idcg = Similarity.idcgAt(10)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |qp AS (SELECT qid, qv,
+         |              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                      xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM q),
+         |sa AS (SELECT qp.qid, c.vec_id AS cid, round(${cosSql("c.v", "qp.qv")}, 6) AS cos
+         |       FROM b c JOIN qp ON c.bucket = qp.bucket),
+         |approx AS (SELECT qid, cid, rn AS pos FROM (
+         |             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cos DESC, cid) AS rn FROM sa) WHERE rn <= 10),
+         |se AS (SELECT q.qid, c.vec_id AS cid, round(${cosSql("c.v", "q.qv")}, 6) AS cos
+         |       FROM e c CROSS JOIN q),
+         |exact AS (SELECT qid, cid, 11 - rn AS rel FROM (
+         |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |              ORDER BY cos DESC, cid) AS rn FROM se) WHERE rn <= 10),
+         |t AS (SELECT a.qid,
+         |             round(COALESCE(ex.rel, 0) * ($discs)[a.pos], 8) AS term
+         |      FROM approx a LEFT JOIN exact ex ON ex.qid = a.qid AND ex.cid = a.cid),
+         |g AS (SELECT qid, CAST(SUM(CAST(term AS DECIMAL(20,12))) AS DOUBLE) AS d
+         |      FROM t GROUP BY qid)
+         |SELECT qid, round(d, 6) AS dcg, round(d / $idcg, 6) AS ndcg
+         |FROM g ORDER BY qid""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
     dedupSimhash, dedupNgram,
@@ -1953,6 +2102,6 @@ object PipelineQueries {
     annIvfTrained, annIvfPq, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic, vecHamming,
-    textDrift, vecMmr,
+    textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }

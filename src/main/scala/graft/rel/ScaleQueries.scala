@@ -958,11 +958,45 @@ object ScaleQueries {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** Ordered conversion funnel view → click → purchase
+    * (EventStreams.orderedFunnel): stage i counts users whose first
+    * stage-i event strictly follows their first-QUALIFYING stage-(i−1)
+    * time — sequence semantics, not set-intersection (a purchase before
+    * the first post-view click does not convert; the spec plants exactly
+    * that). Each stage is one filtered user-keyed min aggregation joined
+    * to the previous stage's per-user time: k linear passes at 100 TB,
+    * no per-user event-list collect and no whole-stream window. */
+  val eventsFunnel = QueryDef(
+    "q_events_funnel",
+    (s, dir) => {
+      import graft.streaming.EventStreams
+      EventStreams.orderedFunnel(Tables(s, dir, "events"),
+        Seq("view", "click", "purchase"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            |           WHERE event_type = 'view' GROUP BY user_id),
+            |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            |       JOIN s1 ON s1.user_id = e.user_id
+            |       WHERE e.event_type = 'click' AND e.ts > s1.t
+            |       GROUP BY e.user_id),
+            |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            |       JOIN s2 ON s2.user_id = e.user_id
+            |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            |       GROUP BY e.user_id),
+            |n AS (SELECT CAST(1 AS INT) AS stage, 'view' AS stage_name,
+            |             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+            |      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+            |      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+            |SELECT stage, stage_name, n_users,
+            |       round(CAST(n_users AS DOUBLE) /
+            |             (SELECT n_users FROM n WHERE stage = 1), 6) AS conv
+            |FROM n ORDER BY stage""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
     textWinnow, graphModularity, graphLouvain, graphCoarsen,
-    aggIncremental)
+    aggIncremental, eventsFunnel)
 }

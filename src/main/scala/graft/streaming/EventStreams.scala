@@ -112,6 +112,43 @@ object EventStreams {
       col("event_id").as("first_event_id"), col("ts").as("first_ts"))
   }
 
+  /** Ordered conversion funnel: per stage i, the users whose FIRST
+    * stage-i event strictly follows their first-qualifying stage-(i−1)
+    * time — the product-analytics sequence query (view → click →
+    * purchase), where order matters: a purchase BEFORE the first
+    * qualifying click does not convert. Each stage is one filtered
+    * user-keyed min-ts aggregation joined to the previous stage's
+    * per-user time — k linear passes at 100 TB, no per-user event-list
+    * materialization and no window over the whole stream. Returns
+    * (stage: 1-based int, stage_name, n_users, conv = n/stage-1-count
+    * rounded 6). */
+  def orderedFunnel(events: DataFrame, stages: Seq[String],
+                    typeCol: String = "event_type", userCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "orderedFunnel needs at least one stage")
+    val perStage = stages.tail.foldLeft(List(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t")))) { (acc, st) =>
+      val prev = acc.head
+      val next = events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("t").as("tp")), userCol)
+        .filter(col(tsCol) > col("tp"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+      next :: acc
+    }.reverse
+    val counts = perStage.zip(stages).zipWithIndex.map { case ((t, st), i) =>
+      t.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("stage_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    val first = counts.filter(col("stage") === 1)
+      .select(col("n_users").as("n1"))
+    counts.crossJoin(broadcast(first))
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        round(col("n_users").cast("double") / col("n1"), 6).as("conv"))
+      .orderBy(col("stage"))
+  }
+
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", watermark)

@@ -465,4 +465,45 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2).toSet != byRel.map(_._1).toSet,
       "MMR must diverge from the plain top-5, else the diversity term is vacuous")
   }
+
+  test("nDCG: 1.0 iff approx matches exact ranking; reversal scores lower") {
+    val exact = Seq.tabulate(10)(i => (1L, 100L + i, 10 - i))
+      .toDF("qid", "cid", "rel")
+    val perfect = Seq.tabulate(10)(i => (1L, 100L + i, i + 1))
+      .toDF("qid", "cid", "pos")
+    val p = Similarity.ndcgAt(perfect, exact, k = 10)
+      .as[(Long, Double, Double)].head()
+    assert(p._3 == 1.0, s"perfect ranking must score exactly 1: $p")
+    val reversed = Seq.tabulate(10)(i => (1L, 100L + i, 10 - i))
+      .toDF("qid", "cid", "pos")
+    val r = Similarity.ndcgAt(reversed, exact, k = 10)
+      .as[(Long, Double, Double)].head()
+    assert(r._3 < 1.0 && r._3 > 0.0, s"reversed ranking in (0,1): $r")
+    // misses score 0: approx returning unrelated ids has dcg exactly 0
+    val miss = Seq.tabulate(10)(i => (1L, 900L + i, i + 1))
+      .toDF("qid", "cid", "pos")
+    val m = Similarity.ndcgAt(miss, exact, k = 10)
+      .as[(Long, Double, Double)].head()
+    assert(m._2 == 0.0 && m._3 == 0.0, s"all-miss ranking scores 0: $m")
+  }
+
+  test("silhouette cells partition the corpus; scores in [0,1]") {
+    val sil = rel.PipelineQueries.vecSilhouette.run(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(sil.map(_._2).sum == Tables(spark, sf, "embeddings").count(),
+      "every vector lands in exactly one cell")
+    assert(sil.forall(r => r._3 >= 0.0 && r._3 <= 1.0),
+      s"cosine-argmax assignment forces s in [0,1]: ${sil.filterNot(r => r._3 >= 0 && r._3 <= 1).mkString(",")}")
+    assert(sil.length > 1, "trained codebook must keep more than one cell")
+  }
+
+  test("ood: top outliers are the corpus-max nearest-centroid distances") {
+    val ood = rel.PipelineQueries.vecOod.run(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(ood.length == 20)
+    val scores = ood.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "ood descending")
+    assert(scores.forall(s => s >= 0.0 && s <= 2.0), "1 - cos in [0,2]")
+  }
 }

@@ -232,4 +232,28 @@ class ScaleOpsSpec extends SparkSpec {
     for (cut <- Seq("1996-03-15", "1999-07-01", "2002-01-01"))
       assert(merged(cut) == full, s"cutoff $cut")
   }
+
+  test("orderedFunnel: order matters — pre-view purchases don't convert") {
+    import graft.streaming.EventStreams
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // u1: view -> click -> purchase: reaches all 3 stages
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2: purchase -> click -> view: ONLY stage 1 (order violated)
+      (2L, "purchase", ts(1)), (2L, "click", ts(2)), (2L, "view", ts(3)),
+      // u3: view -> purchase -> click -> purchase: qualifying purchase
+      // is the one AFTER the first post-view click
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(3)),
+      (3L, "purchase", ts(4)),
+      // u4: view -> click, same timestamp: strict > drops the click
+      (4L, "view", ts(5)), (4L, "click", ts(5)),
+      // u5: click/purchase only, no view: appears nowhere
+      (5L, "click", ts(1)), (5L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventStreams.orderedFunnel(ev, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 2L)), s"$got")
+    assert(got.map(_._4) == Seq(1.0, 0.5, 0.5), s"conv rates: $got")
+  }
 }
