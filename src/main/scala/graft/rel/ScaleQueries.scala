@@ -992,11 +992,114 @@ object ScaleQueries {
             |             (SELECT n_users FROM n WHERE stage = 1), 6) AS conv
             |FROM n ORDER BY stage""".stripMargin))
 
+  // ------------------------------------------------- entity resolution
+  /** Blocking-join entity resolution (Fellegi-Sunter shape, the record-
+    * linkage workhorse): candidate pairs come from an equi-join on a
+    * BLOCKING KEY (here the head noun of the name), exact edit-distance
+    * verification runs only inside blocks, and — the scale move — pairing
+    * happens over the DISTINCT-name dictionary, not the record table. The
+    * dictionary is bounded by vocabulary (64 names here, ~10⁵-ish for a
+    * real catalog) and does NOT grow with corpus rows, so at 100 TB the
+    * per-record cost is one groupBy to build the dictionary and one
+    * hash join back; the quadratic verify lives entirely on the tiny
+    * dictionary side. Emits matched name pairs (lev ≤ 3) with the record
+    * counts they would merge; deterministic total order. */
+  val linkEr = QueryDef(
+    "q_link_er",
+    (s, dir) => {
+      import s.implicits._
+      val names = Tables(s, dir, "part")
+        .groupBy($"p_name")
+        .agg(count(lit(1)).as("n"), min($"p_partkey").as("canon"))
+        .withColumn("noun", element_at(split($"p_name", " "), 2))
+      val a = names.select($"noun", $"p_name".as("name_a"), $"n".as("n_a"),
+        $"canon".as("canon_a"))
+      val b = names.select($"noun", $"p_name".as("name_b"), $"n".as("n_b"),
+        $"canon".as("canon_b"))
+      a.join(b, "noun")
+        .filter($"name_a" < $"name_b")
+        .withColumn("lev", levenshtein($"name_a", $"name_b"))
+        .filter($"lev" <= 3)
+        .select($"name_a", $"name_b", $"lev",
+          $"n_a".cast("long").as("n_a"), $"n_b".cast("long").as("n_b"),
+          least($"canon_a", $"canon_b").as("canon_id"))
+        .orderBy($"lev", $"name_a", $"name_b")
+    },
+    Some("""WITH names AS (
+            |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n,
+            |         MIN(p_partkey) AS canon,
+            |         string_split(p_name, ' ')[2] AS noun
+            |  FROM part GROUP BY p_name)
+            |SELECT a.p_name AS name_a, b.p_name AS name_b,
+            |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+            |       a.n AS n_a, b.n AS n_b,
+            |       LEAST(a.canon, b.canon) AS canon_id
+            |FROM names a JOIN names b
+            |  ON a.noun = b.noun AND a.p_name < b.p_name
+            |WHERE levenshtein(a.p_name, b.p_name) <= 3
+            |ORDER BY lev, name_a, name_b""".stripMargin))
+
+  // ------------------------------------------------- time-series anomaly
+  /** Rolling z-score anomaly detection on the daily event-count series,
+    * per event type: each day's count is scored against the mean/std of
+    * the PRECEDING 6 days (RANGE frame on the integer day number —
+    * calendar-gap-correct, and the current row is excluded so an outlier
+    * never masks itself). Flags |z| ≥ 2 with ≥ 4 days of history and
+    * positive variance. All window sums are over exact BIGINT counts, so
+    * mean/var/z are reproducible doubles at any parallelism (no float
+    * accumulation order): this is the monitoring query a pipeline runs
+    * over ingest volumes, and at 100 TB it is one date-truncating count
+    * (map-side combinable) + one window over |types|×|days| rows —
+    * the windowed table is tiny no matter how large the raw stream. */
+  val eventsAnomaly = QueryDef(
+    "q_events_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dn", datediff($"day", lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy($"event_type").orderBy($"dn")
+        .rangeBetween(-6, -1)
+      daily
+        .withColumn("m", count($"n").over(w))
+        .withColumn("sm", sum($"n").over(w))
+        .withColumn("sq", sum($"n" * $"n").over(w))
+        .filter($"m" >= 4)
+        .withColumn("mean", $"sm".cast("double") / $"m")
+        .withColumn("variance",
+          ($"sq" - $"sm" * $"sm" / $"m".cast("double")) / ($"m" - 1))
+        .filter($"variance" > 0)
+        .withColumn("z", round(($"n" - $"mean") / sqrt($"variance"), 6))
+        .filter(abs($"z") >= 2)
+        .select($"event_type", $"day", $"n",
+          round($"mean", 6).as("mean"), $"z")
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            |                  CAST(COUNT(*) AS BIGINT) AS n
+            |           FROM events GROUP BY 1, 2),
+            |w AS (SELECT *, COUNT(n) OVER win AS m, SUM(n) OVER win AS sm,
+            |             SUM(n * n) OVER win AS sq
+            |      FROM d WINDOW win AS (PARTITION BY event_type ORDER BY
+            |        date_diff('day', DATE '1970-01-01', day)
+            |        RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+            |v AS (SELECT event_type, day, n,
+            |             CAST(sm AS DOUBLE) / m AS mean,
+            |             (sq - sm * sm / CAST(m AS DOUBLE)) / (m - 1) AS variance
+            |      FROM w WHERE m >= 4)
+            |SELECT event_type, day, n, round(mean, 6) AS mean,
+            |       round((n - mean) / sqrt(variance), 6) AS z
+            |FROM v WHERE variance > 0
+            |  AND abs(round((n - mean) / sqrt(variance), 6)) >= 2
+            |ORDER BY event_type, day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
     textWinnow, graphModularity, graphLouvain, graphCoarsen,
-    aggIncremental, eventsFunnel)
+    aggIncremental, eventsFunnel, linkEr, eventsAnomaly)
 }
