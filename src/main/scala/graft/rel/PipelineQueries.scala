@@ -2,7 +2,7 @@ package graft.rel
 
 import graft.{QueryDef, Tables}
 import graft.pipeline._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declared training-data-pipeline operator queries: dedup (exact, MinHash
@@ -302,6 +302,84 @@ object PipelineQueries {
                    JOIN sh sb ON sb.doc_id = p.b)
              SELECT e.a, e.b, e.est, x.exact, round(abs(e.est - x.exact), 6) AS err
              FROM e JOIN x ON e.a = x.a AND e.b = x.b ORDER BY e.a"""))
+
+  /** Pair-level precision/recall of the MinHash-LSH candidate generator
+    * against exact-Jaccard ground truth — the eval that tells you what
+    * the banding scheme actually costs in missed dups and wasted
+    * verifications (dedupMinhashEval scores the ESTIMATOR; this scores
+    * the whole candidate pipeline). The operator under test runs
+    * corpus-wide; ground truth needs all-pairs exact Jaccard, which is
+    * quadratic, so it is computed on a bounded AUDIT SAMPLE (the 20
+    * planted originals + their clones, 780 pairs) — exactly how a
+    * production pipeline audits LSH: sample, exhaustively label,
+    * intersect. Truth = round-6 exact shingle Jaccard ≥ 0.5; predicted =
+    * est-Jaccard ≥ 0.5 LSH pairs restricted to the sample. One row:
+    * tp/fp/fn + precision/recall. */
+  val dedupLshPr = QueryDef(
+    "q_dedup_lsh_pr",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val inSample = (c: Column) => c < 20 || c >= 100000
+      val ids = corpus.filter(inSample($"doc_id")).select($"doc_id")
+      val pairsAll = ids.toDF("a")
+        .join(broadcast(ids.toDF("b")), $"a" < $"b")
+      val truth = Dedup.ngramJaccard(corpus, "doc_id", "text", pairsAll)
+        .filter(round($"jaccard", 6) >= 0.5).select($"a", $"b")
+      val pred = Dedup.minhashPairs(corpus, "doc_id", "text")
+        .filter(inSample($"a") && inSample($"b")).select($"a", $"b")
+      pred.withColumn("p", lit(1))
+        .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "full_outer")
+        .agg(
+          sum(when($"p".isNotNull && $"t".isNotNull, 1L).otherwise(0L)).as("tp"),
+          sum(when($"p".isNotNull && $"t".isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when($"p".isNull && $"t".isNotNull, 1L).otherwise(0L)).as("fn"))
+        .select($"tp", $"fp", $"fn",
+          round($"tp".cast("double") / ($"tp" + $"fp"), 6).as("prec"),
+          round($"tp".cast("double") / ($"tp" + $"fn"), 6).as("rec"))
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             $minhashCte,
+             bands AS (SELECT doc_id, i // 4 AS band,
+                              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+                       FROM mh GROUP BY doc_id, i // 4),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+             est AS (SELECT c.a, c.b,
+                            SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                     FROM cand c
+                     JOIN mh ma ON ma.doc_id = c.a
+                     JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+                     GROUP BY c.a, c.b),
+             pred AS (SELECT a, b FROM est WHERE ej >= 0.5
+                      AND (a < 20 OR a >= 100000) AND (b < 20 OR b >= 100000)),
+             ids AS (SELECT doc_id FROM corpus WHERE doc_id < 20 OR doc_id >= 100000),
+             tr AS (SELECT x.doc_id AS a, y.doc_id AS b
+                    FROM ids x JOIN ids y ON x.doc_id < y.doc_id
+                    JOIN sh sa ON sa.doc_id = x.doc_id
+                    JOIN sh sb ON sb.doc_id = y.doc_id
+                    WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+                          (len(sa.shs) + len(sb.shs)
+                           - len(list_intersect(sa.shs, sb.shs))), 6) >= 0.5),
+             c AS (SELECT
+                     (SELECT COUNT(*) FROM pred p JOIN tr t
+                        ON p.a = t.a AND p.b = t.b) AS tp,
+                     (SELECT COUNT(*) FROM pred) AS np,
+                     (SELECT COUNT(*) FROM tr) AS nt)
+             SELECT CAST(tp AS BIGINT) AS tp, CAST(np - tp AS BIGINT) AS fp,
+                    CAST(nt - tp AS BIGINT) AS fn,
+                    round(CAST(tp AS DOUBLE) / np, 6) AS prec,
+                    round(CAST(tp AS DOUBLE) / nt, 6) AS rec
+             FROM c"""))
 
   /** 32-bit SimHash per document. */
   val dedupSimhash = QueryDef(
@@ -2093,7 +2171,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
-    dedupSimhash, dedupNgram,
+    dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,

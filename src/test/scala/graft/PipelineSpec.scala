@@ -506,4 +506,17 @@ class PipelineSpec extends SparkSpec {
       "ood descending")
     assert(scores.forall(s => s >= 0.0 && s <= 2.0), "1 - cos in [0,2]")
   }
+
+  test("lsh precision/recall audit: planted clones all recovered, counts consistent") {
+    val Array(r) = rel.PipelineQueries.dedupLshPr.run(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val (tp, fp, fn, prec, rec) = r
+    assert(tp >= 20, s"the 20 planted clone pairs are all truth pairs and " +
+      s"suffix-append keeps Jaccard far above threshold — LSH must catch them: tp=$tp")
+    assert(prec == math.rint(tp.toDouble / (tp + fp) * 1e6) / 1e6 &&
+      rec == math.rint(tp.toDouble / (tp + fn) * 1e6) / 1e6,
+      "precision/recall re-derivable from the emitted counts")
+    assert(prec >= 0.9 && rec >= 0.9,
+      s"est-Jaccard >= 0.5 banding on near-identical plants: prec=$prec rec=$rec")
+  }
 }
