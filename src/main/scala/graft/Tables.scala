@@ -39,6 +39,19 @@ object Tables {
     })
   }
 
+  // Fixture row counts are as immutable as the plans — memoized so the
+  // spaced-quantizer queries (⌈√n⌉ codebook sizing) pass n down instead of
+  // paying a count job per call (an extra scheduling round-trip per query
+  // at cluster scale).
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    if (countCache.size > MaxCached) countCache.clear()
+    countCache.computeIfAbsent((spark, sfDir, name),
+      key => apply(spark, sfDir, name).count())
+  }
+
   /** Register every fixture as a temp view so declared queries can use
     * `spark.sql` where the DataFrame API is clumsier (GROUPING SETS etc.). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

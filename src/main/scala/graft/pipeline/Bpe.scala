@@ -40,6 +40,7 @@ object Bpe {
     * state (spaced string). */
   def train(docs: DataFrame, textCol: String,
             numMerges: Int): (DataFrame, DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var vocab = TextOps.spread(docs)
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -69,7 +70,15 @@ object Bpe {
         step += 1
       }
     }
-    (merges.reduce(_ unionByName _), vocab)
+    // a corpus can fully merge before numMerges (every word one piece —
+    // no adjacent pairs left): return an EMPTY merge table of the right
+    // schema instead of throwing on the empty reduce
+    val mergesDf =
+      if (merges.isEmpty)
+        docs.sparkSession.range(0)
+          .select(lit(1).as("step"), lit("").as("pair"), lit(0L).as("c"))
+      else merges.reduce(_ unionByName _)
+    (mergesDf, vocab)
   }
 
   /** Per-doc whitespace-vs-BPE token counts under a trained vocab:

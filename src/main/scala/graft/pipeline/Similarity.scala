@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** ⌈√n⌉ codebook/centroid spacing WITHOUT a per-call count job when the
+    * caller already knows n: every spaced-quantizer entry point takes an
+    * optional `corpusN` so the serving layer can pass the (memoized)
+    * corpus row count instead of paying a count job per query — at scale
+    * that count is an extra scheduling round-trip before planning. Only an
+    * unparameterized ad-hoc call still counts. */
+  private def sqrtSpacing(corpus: DataFrame, explicitEvery: Long,
+                          corpusN: Long): Long =
+    if (explicitEvery > 0) explicitEvery
+    else math.ceil(math.sqrt(
+      (if (corpusN > 0) corpusN else corpus.count()).toDouble)).toLong
+
   /** H fixed hyperplanes with exact-quarter components — deterministic
     * across engines (no RNG; values in {-3/4..3/4} are exact doubles). */
   def hyperplanes(h: Int, dim: Int): Seq[Seq[Double]] =
@@ -120,13 +132,12 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queryVec: Seq[Double], k: Int, m: Int = 8,
-             roundTo: Int = 6, codewordEvery: Long = 0L): DataFrame = {
+             roundTo: Int = 6, codewordEvery: Long = 0L,
+             corpusN: Long = 0L): DataFrame = {
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
-    val spacing =
-      if (codewordEvery > 0) codewordEvery
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
     pqAdcScores(e, e, spacing, queryVec, m, roundTo)
       .orderBy(col("score").desc, col("vid"))
       .limit(k)
@@ -200,13 +211,12 @@ object Similarity {
     * (s, cid, cs). */
   def pqCodebookSpaced(corpus: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int = 8,
-                       codewordEvery: Long = 0L): DataFrame = {
+                       codewordEvery: Long = 0L,
+                       corpusN: Long = 0L): DataFrame = {
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = corpus.select(col(idCol).as("vid"), vd.as("v"))
-    val spacing =
-      if (codewordEvery > 0) codewordEvery
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
     pqSpacedCodebook(e, spacing, dim / m, m)
   }
 
@@ -224,15 +234,14 @@ object Similarity {
   def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
                         dim: Int, m: Int = 8, iters: Int = 2,
                         roundTo: Int = 6,
-                        codewordEvery: Long = 0L): DataFrame = {
+                        codewordEvery: Long = 0L,
+                        corpusN: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d = dim / m
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
-    val spacing =
-      if (codewordEvery > 0) codewordEvery
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
     val sub = pqSub(e, d, m).localCheckpoint()
     var cb = pqSpacedCodebook(e, spacing, d, m)
     for (_ <- 1 to iters) {
@@ -294,13 +303,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 cent: DataFrame, queryVec: Seq[Double], k: Int, m: Int = 8,
                 nprobe: Int = 2, rerank: Int = 30, roundTo: Int = 6,
-                codewordEvery: Long = 0L): DataFrame = {
+                codewordEvery: Long = 0L, corpusN: Long = 0L): DataFrame = {
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(corpus).select(col(idCol).as("vid"), vd.as("v"))
-    val spacing =
-      if (codewordEvery > 0) codewordEvery
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+    val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = e.join(broadcast(cent))
@@ -315,10 +322,13 @@ object Similarity {
       .select(col("cid"))
     val cand = assigned.join(broadcast(probed), "cid")
       .select(col("vid"), col("v"))
-    val wAdc = Window.orderBy(col("score").desc, col("vid"))
+    // ADC rank as orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps), NOT a single-partition row_number window: identical rows
+    // under the same (score desc, vid) total order, but the plan stays
+    // parallel when the probed candidate set is 10⁶ rows instead of 10³.
     pqAdcScores(cand, e, spacing, queryVec, m, roundTo)
-      .withColumn("prn", row_number().over(wAdc))
-      .filter(col("prn") <= rerank)
+      .orderBy(col("score").desc, col("vid"))
+      .limit(rerank)
       .select(col("vid"), col("score").as("pq_score"))
       .join(cand, "vid")
       .withColumn("score", round(vec.cosine(col("v"), qv), roundTo))
@@ -339,6 +349,11 @@ object Similarity {
     * break by id; `k` bounds the TakeOrdered. */
   def hammingTopK(corpus: DataFrame, idCol: String, vecCol: String,
                   queryVec: Seq[Double], k: Int, roundTo: Int = 6): DataFrame = {
+    // two equal halves, each folded into a*2+bit — an odd dimension would
+    // silently truncate the last component and halves past 63 bits would
+    // overflow the signed BIGINT fold; misuse must fail fast, not drift
+    require(queryVec.length % 2 == 0 && queryVec.length <= 126,
+      s"hammingTopK needs an even dimension <= 126, got ${queryVec.length}")
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     def codeOf(half: Column): Column =
@@ -382,10 +397,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryVec: Seq[Double], k: Int, centroidEvery: Int = 0,
-              nprobe: Int = 2, roundTo: Int = 6): DataFrame = {
-    val spacing =
-      if (centroidEvery > 0) centroidEvery.toLong
-      else math.ceil(math.sqrt(corpus.count().toDouble)).toLong
+              nprobe: Int = 2, roundTo: Int = 6,
+              corpusN: Long = 0L): DataFrame = {
+    val spacing = sqrtSpacing(corpus, centroidEvery.toLong, corpusN)
     val cent = corpus.filter(col(idCol) % spacing === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     ivfTopKWith(corpus, idCol, vecCol, cent, queryVec, k, nprobe, roundTo)
@@ -454,6 +468,83 @@ object Similarity {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vid").as("cand"), col("score"), col("rn"))
+  }
+
+  /** IVF→PQ→exact-rerank for a BATCH of query vectors — [[ivfPqTopK]]'s
+    * serving composition in the multi-tenant shape of [[ivfTopKQueries]]:
+    * ONE corpus assignment pass and ONE candidate PQ-coding pass are
+    * shared by every query in the batch; per-query work is the broadcast
+    * probe ranking, the m table lookups per candidate, and bounded
+    * rerank/top-k windows PARTITIONED BY qid — never a global window, and
+    * never a per-query replan. This is the amortization a per-query
+    * literal plan ([[ivfPqTopK]]) structurally cannot give a production
+    * serving batch: at 100 TB the assignment pass dominates, and here its
+    * cost is paid once for the whole batch. Single-query output is
+    * row-identical to [[ivfPqTopK]] (spec-pinned): the PQ arithmetic is
+    * the same spaced codebook, round-6 ADC decimal sum, and (score desc,
+    * vid) orders. Returns (qid, cand, pq_score, score, rn ≤ k) ordered by
+    * exact score per query. */
+  def ivfPqTopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
+                       cent: DataFrame, queries: DataFrame, qIdCol: String,
+                       qVecCol: String, dim: Int, k: Int, m: Int = 8,
+                       nprobe: Int = 2, rerank: Int = 30, roundTo: Int = 6,
+                       codewordEvery: Long = 0L,
+                       corpusN: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val e = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
+    val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
+    val d = dim / m
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).cast(dt).as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qcos", round(vec.cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val cand = assigned.join(broadcast(probes), "cid")
+      .select(col("qid"), col("qv"), col("vid"), col("v"))
+    // PQ codes once per DISTINCT candidate vid — query-independent, so a
+    // vector probed by many queries is coded exactly once
+    val candVec = cand.select(col("vid"), col("v")).dropDuplicates("vid")
+    val cb = pqSpacedCodebook(e, spacing, d, m)
+    val codes = pqAssign(pqSub(candVec, d, m), cb, roundTo)
+      .select(col("vid"), col("s"), col("cid"))
+    // per-(qid, subspace, codeword) lookup table: |queries|·m·|codebook|
+    // rows, broadcast — the ADC table in batch form
+    val contrib = q.crossJoin(cb)
+      .select(col("qid"), col("s"), col("cid"),
+        round(vec.dot(slice(col("qv"), col("s") * d + 1, lit(d)), col("cs")),
+          roundTo).as("contrib"))
+    val adc = cand.select(col("qid"), col("vid"))
+      .join(codes, "vid")
+      .join(broadcast(contrib), Seq("qid", "s", "cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("contrib").cast(DecimalType(20, 10))).cast("double"),
+        roundTo).as("pq_score"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_score").desc, col("vid"))
+    val finalists = adc.withColumn("prn", row_number().over(wAdc))
+      .filter(col("prn") <= rerank)
+      .select(col("qid"), col("vid"), col("pq_score"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vid"))
+    finalists.join(cand, Seq("qid", "vid"))
+      .withColumn("score", round(vec.cosine(col("v"), col("qv")), roundTo))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid").as("cand"), col("pq_score"),
+        col("score"), col("rn"))
   }
 
   /** Cluster-stratified representative selection: for each cell of a
@@ -651,11 +742,9 @@ object Similarity {
     * cells keep their seed id. Returns (cid, cv: array<double>). */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 2, centroidEvery: Long = 0L,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, corpusN: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val spacing =
-      if (centroidEvery > 0) centroidEvery
-      else math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    val spacing = sqrtSpacing(emb, centroidEvery, corpusN)
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(emb).select(col(idCol).as("vid"), vd.as("v"))

@@ -445,7 +445,8 @@ object ExtQueries {
     (s, dir) => {
       import s.implicits._
       Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          VectorQueries.queryVec, k = 10, nprobe = 2)
+          VectorQueries.queryVec, k = 10, nprobe = 2,
+          corpusN = Tables.rowCount(s, dir, "embeddings"))
         .orderBy($"score".desc, $"vec_id")
     },
     Some {

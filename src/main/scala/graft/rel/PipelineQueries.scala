@@ -84,14 +84,16 @@ object PipelineQueries {
                                dir: String): DataFrame =
     trainedCentMemo.getOrElseUpdate((s, dir),
       Similarity.kmeansCentroids(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", iters = 2))
+        "vec_id", "embedding", iters = 2,
+        corpusN = Tables.rowCount(s, dir, "embeddings")))
   private val trainedPqMemo =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private def trainedPqCodebook(s: org.apache.spark.sql.SparkSession,
                                 dir: String): DataFrame =
     trainedPqMemo.getOrElseUpdate((s, dir),
       Similarity.pqCodebookTrained(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, m = 8, iters = 2))
+        "vec_id", "embedding", dim = 64, m = 8, iters = 2,
+        corpusN = Tables.rowCount(s, dir, "embeddings")))
 
   /** Unrolled-CTE replay of per-subspace Lloyd PQ training
     * (Similarity.pqCodebookTrained): psub = (vid, s, xs) subvector rows,
@@ -669,7 +671,8 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       Similarity.pqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          VectorQueries.queryVec, k = 10)
+          VectorQueries.queryVec, k = 10,
+          corpusN = Tables.rowCount(s, dir, "embeddings"))
         .orderBy($"score".desc, $"vec_id")
     },
     Some {
@@ -1325,9 +1328,11 @@ object PipelineQueries {
          |          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c,
          |                 ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, pair) AS rn
          |          FROM p$i GROUP BY pair) WHERE rn = 1),
-         |v$i AS (SELECT w, cnt, replace(state, ' ' || t.pair || ' ',
-         |               ' ' || replace(t.pair, ' ', '') || ' ') AS state
-         |        FROM v${i - 1}, t$i t)""".stripMargin
+         |v$i AS (SELECT w, cnt,
+         |               CASE WHEN t.pair IS NULL THEN state
+         |                    ELSE replace(state, ' ' || t.pair || ' ',
+         |                         ' ' || replace(t.pair, ' ', '') || ' ') END AS state
+         |        FROM v${i - 1} LEFT JOIN t$i t ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |v0 AS (SELECT w, COUNT(*) AS cnt,
@@ -1425,7 +1430,8 @@ object PipelineQueries {
       val e = Tables(s, dir, "embeddings")
       val cent = trainedCentroids(s, dir)
       Similarity.ivfPqTopK(e, "vec_id", "embedding", cent,
-          VectorQueries.queryVec, k = 10, nprobe = 2, rerank = 30)
+          VectorQueries.queryVec, k = 10, nprobe = 2, rerank = 30,
+          corpusN = Tables.rowCount(s, dir, "embeddings"))
         .orderBy($"score".desc, $"vec_id")
     },
     Some {
@@ -1467,6 +1473,75 @@ object PipelineQueries {
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     })
 
+  /** BATCHED IVF→PQ→rerank serving (Similarity.ivfPqTopKQueries): three
+    * query vectors share ONE corpus assignment pass and ONE candidate
+    * PQ-coding pass; probes, ADC lookups, and rerank/top-k windows are
+    * per-qid — the amortized plan a production ANN service runs, where
+    * the per-query-literal q_ann_ivfpq cannot amortize assignment.
+    * Single-query equivalence to ivfPqTopK is spec-pinned
+    * (SimilarityBatchSpec); the oracle replays training (shared
+    * kmeansCtes), per-query probes, shared PQ codes, and both ranks. */
+  val annIvfPqBatch = QueryDef(
+    "q_ann_ivfpq_batch",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val cent = trainedCentroids(s, dir)
+      Similarity.ivfPqTopKQueries(e, "vec_id", "embedding", cent,
+          e.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64,
+          k = 5, nprobe = 2, rerank = 30,
+          corpusN = Tables.rowCount(s, dir, "embeddings"))
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+         |af AS (SELECT vid, v, cid FROM (
+         |         SELECT e.vid, e.v, c.cid,
+         |                ROW_NUMBER() OVER (PARTITION BY e.vid
+         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 3),
+         |pr AS (SELECT qid, qv, cid FROM (
+         |         SELECT q.qid, q.qv, c.cid,
+         |                ROW_NUMBER() OVER (PARTITION BY q.qid
+         |                  ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid) AS rn
+         |         FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+         |cand AS (SELECT pr.qid, pr.qv, af.vid, af.v FROM af JOIN pr USING (cid)),
+         |cvec AS (SELECT vid, v FROM af WHERE cid IN (SELECT cid FROM pr)),
+         |pss AS (SELECT unnest(range(8)) AS s),
+         |psub AS (SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
+         |         FROM cvec CROSS JOIN pss),
+         |pcb AS (SELECT vid AS ccid, s, list_slice(v, s*8 + 1, s*8 + 8) AS cs
+         |        FROM e CROSS JOIN pss WHERE vid % (SELECT s FROM sp) = 0),
+         |pasg AS (SELECT vid, s, ccid FROM (
+         |           SELECT psub.vid, psub.s, pcb.ccid,
+         |                  ROW_NUMBER() OVER (PARTITION BY psub.vid, psub.s ORDER BY
+         |                    round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+         |                          + list_dot_product(cs, cs), 6), pcb.ccid) AS rn
+         |           FROM psub JOIN pcb ON pcb.s = psub.s) WHERE rn = 1),
+         |pqc AS (SELECT q.qid, pcb.s, pcb.ccid,
+         |               round(list_dot_product(list_slice(q.qv, pcb.s*8 + 1, pcb.s*8 + 8),
+         |                                      pcb.cs), 6) AS contrib
+         |        FROM q CROSS JOIN pcb),
+         |padc AS (SELECT c.qid, c.vid,
+         |                round(CAST(SUM(CAST(pqc.contrib AS DECIMAL(20,10))) AS DOUBLE), 6) AS pq_score
+         |         FROM (SELECT DISTINCT qid, vid FROM cand) c
+         |         JOIN pasg a ON a.vid = c.vid
+         |         JOIN pqc ON pqc.qid = c.qid AND pqc.s = a.s AND pqc.ccid = a.ccid
+         |         GROUP BY c.qid, c.vid),
+         |fin AS (SELECT qid, vid, pq_score FROM (
+         |          SELECT qid, vid, pq_score,
+         |                 ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY pq_score DESC, vid) AS prn
+         |          FROM padc) WHERE prn <= 30),
+         |rr AS (SELECT f.qid, f.vid, f.pq_score,
+         |              round(${cosSql("cand.v", "cand.qv")}, 6) AS score
+         |       FROM fin f JOIN cand ON cand.qid = f.qid AND cand.vid = f.vid)
+         |SELECT qid, vid AS cand, pq_score, score, CAST(rn AS INT) AS rn FROM (
+         |  SELECT qid, vid, pq_score, score,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+         |  FROM rr) WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin))
+
   /** PQ ADC top-k over a TRAINED per-subspace Lloyd codebook
     * (Similarity.pqCodebookTrained + pqTopKWith) — the fine-quantizer
     * half of the trained-quantizer story, completing q_ann_ivf_trained's
@@ -1507,7 +1582,8 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
-      val spaced = Similarity.pqCodebookSpaced(e, "vec_id", "embedding", dim = 64)
+      val spaced = Similarity.pqCodebookSpaced(e, "vec_id", "embedding",
+        dim = 64, corpusN = Tables.rowCount(s, dir, "embeddings"))
       val trained = trainedPqCodebook(s, dir)
       Similarity.pqMse(e, "vec_id", "embedding", spaced, dim = 64)
         .select(lit("spaced").as("codebook"), $"mse")
@@ -2177,7 +2253,7 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, annIvfPq, annPqTrained, annPqErr, vecDiverse,
+    annIvfTrained, annIvfPq, annIvfPqBatch, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic, vecHamming,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,

@@ -989,7 +989,7 @@ object ScaleQueries {
             |      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
             |SELECT stage, stage_name, n_users,
             |       round(CAST(n_users AS DOUBLE) /
-            |             (SELECT n_users FROM n WHERE stage = 1), 6) AS conv
+            |             nullif((SELECT n_users FROM n WHERE stage = 1), 0), 6) AS conv
             |FROM n ORDER BY stage""".stripMargin))
 
   // ------------------------------------------------- entity resolution

@@ -122,8 +122,9 @@ object StreamQueries {
 
   /** Keep-first dedup on the (user, type) business key
     * (EventStreams.firstEventPerKey) — batch mode here; StreamingSpec
-    * asserts the streaming dropDuplicatesWithinWatermark execution yields
-    * the same retained set on event-time-ordered input. */
+    * asserts the streaming execution (plain dropDuplicates, O(|keys|)
+    * state — dropDuplicatesWithinWatermark would re-emit expired keys)
+    * yields the same retained set on event-time-ordered input. */
   val streamDedup = QueryDef(
     "q_stream_dedup",
     (s, dir) => {

@@ -143,9 +143,12 @@ object EventStreams {
     }.reduce(_ unionByName _)
     val first = counts.filter(col("stage") === 1)
       .select(col("n_users").as("n1"))
+    // empty first stage: NULL conversion on both engines (a bare divide
+    // would give NaN here but a NULL/error in a SQL oracle)
     counts.crossJoin(broadcast(first))
       .select(col("stage"), col("stage_name"), col("n_users"),
-        round(col("n_users").cast("double") / col("n1"), 6).as("conv"))
+        round(col("n_users").cast("double") / nullif(col("n1"), lit(0)), 6)
+          .as("conv"))
       .orderBy(col("stage"))
   }
 

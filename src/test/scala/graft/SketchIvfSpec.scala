@@ -281,4 +281,37 @@ class SketchIvfSpec extends SparkSpec {
     assert(approx.length == 10)
     assert(approx.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("ivfPqTopKQueries: every batch slice row-identical to the per-query ivfPqTopK plan") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
+    val batch = Similarity.ivfPqTopKQueries(emb, "vec_id", "embedding", cent,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64,
+        k = 5, nprobe = 2, rerank = 30)
+      .select($"qid", $"cand", $"pq_score", $"score")
+      .as[(Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    (0L to 2L).foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].head()
+      val single = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cent,
+          qv, k = 5, nprobe = 2, rerank = 30)
+        .as[(Long, Double, Double)].collect().toSet
+      assert(batch(qid) == single,
+        s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+    // amortization shape: a synthetic query vector (not a corpus row)
+    // must also serve through the same batch plan
+    val extQ = Seq((99L, VectorQueries.queryVec)).toDF("qid", "qv")
+    val ext = Similarity.ivfPqTopKQueries(emb, "vec_id", "embedding", cent,
+        extQ, "qid", "qv", dim = 64, k = 5, nprobe = 2, rerank = 30)
+      .select($"cand", $"pq_score", $"score")
+      .as[(Long, Double, Double)].collect().toSet
+    val extSingle = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cent,
+        VectorQueries.queryVec, k = 5, nprobe = 2, rerank = 30)
+      .as[(Long, Double, Double)].collect().toSet
+    assert(ext == extSingle)
+  }
 }

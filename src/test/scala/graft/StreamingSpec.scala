@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("keep-first dedup: streaming dropDuplicatesWithinWatermark == batch window on ordered input") {
+  test("keep-first dedup: streaming plain dropDuplicates (O(|keys|) state) == batch window on ordered input") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
     implicit val sql = spark.sqlContext
