@@ -218,6 +218,80 @@ object Dedup {
         col("k.cos").as("cos"))
   }
 
+  /** Budget-keyed cell assignment shared by [[semanticDedupBudget]] and
+    * its spec: every vector's cell (arg-max round-6 cosine vs the
+    * broadcast quantizer, cid tie-break) plus a sub-group key `sub` that
+    * is 0 for cells within the `budget` and a RESIDUAL sign-LSH bucket
+    * (hyperplane signs of v − centroid) for oversized cells. Residuals of
+    * a tight cluster center on 0, so the hyperplanes split exactly the
+    * cells raw-vector LSH cannot (a tight cluster sits on ONE side of
+    * every raw hyperplane); identical vectors share cell, centroid, and
+    * residual, so exact duplicates always share (cid, sub). Returns
+    * (vid, v, cid, sub). */
+  private[graft] def budgetGroups(emb: DataFrame, idCol: String,
+                                  vecCol: String, cent: DataFrame,
+                                  budget: Long, numPlanes: Int,
+                                  roundTo: Int, dim: Int): DataFrame = {
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val trueDim =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol)).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (trueDim == 0)
+      return emb.sparkSession.range(0)
+        .select(lit(0L).as("vid"), array().cast("array<double>").as("v"),
+          lit(0L).as("cid"), lit(0L).as("sub"))
+    val planes = Similarity.hyperplanes(numPlanes, trueDim)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = spread(emb).select(col(idCol).as("vid"), vd.as("v"))
+      .join(broadcast(cent))
+      .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"), col("cv"))
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+    val subCol = planes.zipWithIndex.map { case (p, b) =>
+      when(vec.dot(col("v"), typedlit(p)) -
+        vec.dot(col("cv"), typedlit(p)) > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    assigned.join(broadcast(sizes), "cid")
+      .withColumn("sub",
+        when(col("csz") > budget, subCol).otherwise(lit(0L)))
+      .select(col("vid"), col("v"), col("cid"), col("sub"))
+  }
+
+  /** [[semanticDedup]] with an EXECUTABLE cell budget — the configuration
+    * that makes SemDeDup linear in corpus size instead of n^1.5: the
+    * caller sizes the quantizer to the budget (k ≈ n/B centroids —
+    * `kmeansCentroids(..., centroidEvery = B)`), so expected cell-local
+    * pair volume is B² per cell and n·B total, CONSTANT per row as the
+    * corpus grows; and any cell that still exceeds B (skewed corpora
+    * cluster hard) falls back to residual sign-LSH sub-buckets
+    * ([[budgetGroups]]), bounding the quadratic blow-up a hot cell would
+    * otherwise put in one shuffle partition. Near-dups split across
+    * sub-buckets are the same documented approximation as SemDeDup's own
+    * cell boundaries (raise `numPlanes`' complement or probe neighbors to
+    * tighten); exact duplicates always share (cid, sub), so recall on
+    * true copies stays 1. Same output contract as [[semanticDedup]]. */
+  def semanticDedupBudget(emb: DataFrame, idCol: String, vecCol: String,
+                          cent: DataFrame, tau: Double, budget: Long,
+                          numPlanes: Int = 4, roundTo: Int = 6,
+                          dim: Int = 0): DataFrame = {
+    val g = budgetGroups(emb, idCol, vecCol, cent, budget, numPlanes,
+      roundTo, dim)
+    g.join(g.select(col("cid"), col("sub"), col("vid").as("bvid"),
+        col("v").as("bv")), Seq("cid", "sub"))
+      .filter(col("bvid") < col("vid"))
+      .withColumn("cos", round(vec.cosine(col("v"), col("bv")), roundTo))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vid"))
+      .agg(min(struct(col("bvid"), col("cos"))).as("k"))
+      .select(col("vid").as(idCol), col("k.bvid").as("keep_id"),
+        col("k.cos").as("cos"))
+  }
+
   /** Rolling-window substring dedup (Lee et al.-style exact substring
     * dedup, on stride-1 token windows): fingerprint EVERY k-token window
     * of every doc (TextOps.kgrams — the zip_with-over-slices rolling
