@@ -232,6 +232,10 @@ object Dedup {
                                   vecCol: String, cent: DataFrame,
                                   budget: Long, numPlanes: Int,
                                   roundTo: Int, dim: Int): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63] (got $numPlanes): 0 planes has no " +
+        "reduce seed and >63 overflows the int64 sub-bucket key")
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val trueDim =

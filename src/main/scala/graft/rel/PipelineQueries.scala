@@ -547,6 +547,60 @@ object PipelineQueries {
          |SELECT vid AS vec_id, bvid AS keep_id, cos FROM hit WHERE rn = 1
          |ORDER BY vec_id""".stripMargin))
 
+  /** SemDeDup with the EXECUTABLE cell budget (Dedup.semanticDedupBudget):
+    * cells over `budget` rows split into residual sign-LSH sub-buckets, so
+    * a hot cell's pair volume is bounded instead of |cell|². budget = 15
+    * at sf0.01 puts most trained cells (avg ≈ 22) over budget, exercising
+    * the residual split in the oracle comparison; the 10 planted exact
+    * copies share cell, centroid, AND residual with their originals, so
+    * each is still pruned by its original. The oracle replays training
+    * (kmeansCtes), assignment, cell sizing, and the residual hyperplane
+    * signs as literal-vector dot products. */
+  val dedupSemanticBudget = QueryDef(
+    "q_dedup_semantic_budget",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.select($"vec_id", $"embedding").unionByName(
+        e.filter($"vec_id" < 10)
+          .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      val cent = trainedCentroids(s, dir)
+      Dedup.semanticDedupBudget(corpus, "vec_id", "embedding", cent,
+          tau = 0.99, budget = 15L, numPlanes = 4, dim = 64)
+        .orderBy($"vec_id")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val subSql = planes.zipWithIndex.map { case (p, b) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"""(CASE WHEN list_dot_product(a.v, $lit) -
+           |           list_dot_product(a.cv, $lit) > 0
+           |      THEN ${1L << b} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH ${kmeansCtes(2)},
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |         UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         |         FROM embeddings WHERE vec_id < 10),
+         |asg AS (SELECT vid, v, cid, cv FROM (
+         |          SELECT corp.vec_id AS vid, corp.v, c.cid, c.cv,
+         |                 ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+         |                   ORDER BY round(${cosSql("corp.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |          FROM corp CROSS JOIN c2 c) WHERE rn = 1),
+         |sz AS (SELECT cid, COUNT(*) AS csz FROM asg GROUP BY cid),
+         |bg AS (SELECT a.vid, a.v, a.cid,
+         |              CASE WHEN s.csz > 15 THEN $subSql ELSE 0 END AS sub
+         |       FROM asg a JOIN sz s ON s.cid = a.cid),
+         |pr AS (SELECT x.vid AS vid, y.vid AS bvid,
+         |              round(${cosSql("x.v", "y.v")}, 6) AS cos
+         |       FROM bg x JOIN bg y
+         |         ON x.cid = y.cid AND x.sub = y.sub AND y.vid < x.vid),
+         |hit AS (SELECT vid, bvid, cos,
+         |               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY bvid) AS rn
+         |        FROM pr WHERE cos >= 0.99)
+         |SELECT vid AS vec_id, bvid AS keep_id, cos FROM hit WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    })
+
   // ----------------------------------------------------------------- ANN
   /** Sign-LSH bucketed ANN: 4 exact-literal hyperplanes → 16 buckets;
     * queries (vec_id < 5) probe only their own bucket. */
@@ -2255,7 +2309,8 @@ object PipelineQueries {
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
-    textPmi, textClassifier, textClassifierEval, dedupSemantic, vecHamming,
+    textPmi, textClassifier, textClassifierEval, dedupSemantic,
+    dedupSemanticBudget, vecHamming,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }
