@@ -28,16 +28,29 @@ object Tables {
     if (cache.size > MaxCached) cache.clear()
     cache.computeIfAbsent((spark, sfDir, name), { key =>
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-      // Verify/Bench/test builders) so it arrives as a nanos long. Truncate to
-      // micros (integer DIV — a double roundtrip would lose precision at 2^63)
-      // exactly as DuckDB truncates ns→µs, so both engines see the same instant.
-      if (name == "events")
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else df
+      if (name == "events") normalizeEventsTs(df) else df
     })
   }
+
+  /** Normalize `events.ts` to a session-TZ TIMESTAMP regardless of how the
+    * fixture generation wrote it. Two encodings exist in the wild:
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+    *     sessions set spark.sql.legacy.parquet.nanosAsLong=true and it arrives
+    *     as a nanos long → truncate with integer DIV (a double roundtrip would
+    *     lose precision at 2^63) exactly as DuckDB truncates ns→µs;
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ → cast to TIMESTAMP, value-preserving because every
+    *     session pins spark.sql.session.timeZone=UTC (matching DuckDB, which
+    *     reads the same column as plain TIMESTAMP).
+    * Both land on the identical micros instant, so oracle hashes agree. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   // Fixture row counts are as immutable as the plans — memoized so the
   // spaced-quantizer queries (⌈√n⌉ codebook sizing) pass n down instead of

@@ -18,21 +18,26 @@ case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
   */
 object EventStreams {
 
-  /** events schema for readStream (ts arrives as nanos long with
-    * spark.sql.legacy.parquet.nanosAsLong=true; converted to micros
-    * timestamp exactly like graft.Tables). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema for readStream, parameterized on how the fixture wrote
+    * `ts` (nanos long under spark.sql.legacy.parquet.nanosAsLong=true, or a
+    * native micros TIMESTAMP_NTZ); normalized to a session-TZ TIMESTAMP
+    * exactly like [[graft.Tables.normalizeEventsTs]]. */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // readStream needs an explicit schema; probe the footer with one cheap
+    // batch read so the stream matches whichever ts encoding is on disk.
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsSchema(tsType)).parquet(dir))
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
