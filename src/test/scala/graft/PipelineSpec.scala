@@ -152,6 +152,59 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.forall(p => p._2 == p._1 - 100000L && p._3 == 1.0))
   }
 
+  test("budget dedup: duplicates share (cid,sub); hot cells split; no-op within budget") {
+    import graft.pipeline.{Dedup, Similarity}
+    // Skewed planted fixture: 160 vectors in ONE tight cluster around c0
+    // (the hot cell a real corpus produces when it clusters hard) plus 10
+    // around the orthogonal c1; deterministic splitmix-hashed residuals
+    // (sinusoids are low-rank and alias against the fixed hyperplanes).
+    val dim = 8
+    val c0 = Seq.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    val c1 = Seq.tabulate(dim)(j => if (j == 1) 1.0 else 0.0)
+    def h(i: Int, j: Int): Double = {
+      var x = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 31); x *= 0x94D049BB133111EBL; x ^= (x >>> 29)
+      (x & 0xFFFFFF).toDouble / 0xFFFFFF.toDouble * 2.0 - 1.0
+    }
+    def jitter(base: Seq[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) => b + 0.05 * h(i, j) }
+    val hot = (0 until 160).map(i => (i.toLong, jitter(c0, i)))
+    val cold = (0 until 10).map(i => (1000L + i, jitter(c1, i)))
+    val copies = hot.take(12).map { case (id, v) => (10000L + id, v) } // exact dups
+    val emb = (hot ++ cold ++ copies).toDF("vec_id", "embedding")
+    val cent = Seq((0L, c0), (1L, c1)).toDF("cid", "cv")
+    val g = Dedup.budgetGroups(emb, "vec_id", "embedding", cent,
+        budget = 20L, numPlanes = 4, roundTo = 6, dim = dim)
+      .select($"vid", $"cid", $"sub").as[(Long, Long, Long)].collect()
+    val byId = g.map(r => r._1 -> (r._2, r._3)).toMap
+    // (a) exact duplicates ALWAYS share (cid, sub) with their originals
+    copies.foreach { case (cid10k, _) =>
+      assert(byId(cid10k) == byId(cid10k - 10000L),
+        s"copy $cid10k split from its original: ${byId(cid10k)} vs ${byId(cid10k - 10000L)}")
+    }
+    // (b) the over-budget hot cell splits into many residual sub-buckets,
+    // each bounded near the budget; the within-budget cold cell stays sub=0
+    val hotGroups = g.filter(_._2 == 0L).groupBy(_._3).view.mapValues(_.length).toMap
+    assert(hotGroups.size >= 8, s"residual LSH must spread the hot cell: $hotGroups")
+    val maxGroup = hotGroups.values.max
+    assert(maxGroup <= 40, // 2× budget on 172 rows / 16 sub-buckets
+      s"per-(cid,sub) volume must be bounded near the budget: max=$maxGroup in $hotGroups")
+    assert(g.filter(_._2 == 1L).forall(_._3 == 0L),
+      "cells within the budget must keep sub=0 (identical to semanticDedup)")
+    // (c) with no cell over budget the operator IS semanticDedup
+    val e = Tables(spark, sf, "embeddings")
+    val corpus = e.select($"vec_id", $"embedding").unionByName(
+      e.filter($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val trained = Similarity.kmeansCentroids(e, "vec_id", "embedding", iters = 2)
+    val base = Dedup.semanticDedup(corpus, "vec_id", "embedding", trained, tau = 0.99)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val budgeted = Dedup.semanticDedupBudget(corpus, "vec_id", "embedding", trained,
+        tau = 0.99, budget = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(budgeted == base, "budget=∞ must reproduce semanticDedup exactly")
+  }
+
   test("classifier eval: AUC near 1 on the separable plant; curve is coherent") {
     import graft.pipeline.Classifier
     val feat = Classifier.qualityFeatures(Tables(spark, sf, "documents"))
