@@ -482,20 +482,33 @@ object Similarity {
     * cost is paid once for the whole batch. Single-query output is
     * row-identical to [[ivfPqTopK]] (spec-pinned): the PQ arithmetic is
     * the same spaced codebook, round-6 ADC decimal sum, and (score desc,
-    * vid) orders. Returns (qid, cand, pq_score, score, rn ≤ k) ordered by
-    * exact score per query. */
+    * vid) orders.
+    *
+    * Broadcast bound: the per-(qid, subspace, codeword) ADC table is
+    * |queries|·m·|codebook| rows — with the default ⌈√n⌉ codebook that is
+    * batch·m·√n, which outgrows executor broadcast memory for the large
+    * batches this plan otherwise serves well. The broadcast is therefore
+    * GATED: when the estimated ADC-table (or probe-table) row count
+    * exceeds `broadcastRowLimit`, the plan falls back to a shuffle join
+    * on (qid, s, cid) / (cid) — same rows, AQE picks the exchange — so
+    * batch size degrades throughput, never correctness or stability.
+    * Pass `queriesN` (like `corpusN`) to keep the estimate job-free.
+    * Returns (qid, cand, pq_score, score, rn ≤ k) ordered by exact score
+    * per query. */
   def ivfPqTopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
                        cent: DataFrame, queries: DataFrame, qIdCol: String,
                        qVecCol: String, dim: Int, k: Int, m: Int = 8,
                        nprobe: Int = 2, rerank: Int = 30, roundTo: Int = 6,
-                       codewordEvery: Long = 0L,
-                       corpusN: Long = 0L): DataFrame = {
+                       codewordEvery: Long = 0L, corpusN: Long = 0L,
+                       queriesN: Long = 0L,
+                       broadcastRowLimit: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType)
     val e = TextOps.spread(corpus)
       .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
-    val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
+    val n = if (corpusN > 0) corpusN else corpus.count()
+    val spacing = sqrtSpacing(corpus, codewordEvery, n)
     val d = dim / m
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid"))
@@ -505,6 +518,14 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vid"), col("v"), col("cid"))
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).cast(dt).as("qv"))
+    // size estimates for the broadcast gate — job-free when the caller
+    // supplies corpusN/queriesN (declared queries pass the Tables memo)
+    val qN = if (queriesN > 0) queriesN else q.count()
+    val cbRows = (n / spacing + 1) * m
+    val probeRows = qN * nprobe
+    val contribRows = qN * cbRows
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastRowLimit) broadcast(df) else df
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qcos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cent))
@@ -512,7 +533,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
-    val cand = assigned.join(broadcast(probes), "cid")
+    val cand = assigned.join(gated(probes, probeRows), "cid")
       .select(col("qid"), col("qv"), col("vid"), col("v"))
     // PQ codes once per DISTINCT candidate vid — query-independent, so a
     // vector probed by many queries is coded exactly once
@@ -528,7 +549,7 @@ object Similarity {
           roundTo).as("contrib"))
     val adc = cand.select(col("qid"), col("vid"))
       .join(codes, "vid")
-      .join(broadcast(contrib), Seq("qid", "s", "cid"))
+      .join(gated(contrib, contribRows), Seq("qid", "s", "cid"))
       .groupBy(col("qid"), col("vid"))
       .agg(round(sum(col("contrib").cast(DecimalType(20, 10))).cast("double"),
         roundTo).as("pq_score"))

@@ -82,34 +82,45 @@ object GraphXQueries {
 
   /** Cross-check that gives the rows-only q_graphx_pagerank an
     * oracle-visible anchor: on the SIMPLE directed graph (distinct
-    * (src,dst) — the graph both implementations rank identically), every
-    * top-20 node by the integer fixed-point rank (q_graph_pagerank_exact)
-    * must appear within GraphX's double-precision TOP-25 — a 5-slot rank
-    * tolerance, so a near-tie at the #20 boundary (converged-double vs
-    * 5-iteration-integer ordering) can't flip the hash while a real
-    * disagreement still does. The oracle replays the exact top-20 from
-    * the unrolled CTEs (hash-checking every rank_fp) with the agreement
-    * flags pinned TRUE. */
+    * (src,dst) — the graph both implementations rank identically), the
+    * integer fixed-point TOP-15 (q_graph_pagerank_exact's ranking) must
+    * agree with GraphX's double-precision top-15 EXACTLY, and only the
+    * boundary slots 16-20 get a 5-slot tolerance (within GraphX top-25) —
+    * so a near-tie at the #20 boundary (converged-double vs
+    * 5-iteration-integer ordering) can't flip the hash, while a real
+    * ranking disagreement anywhere in the head, including slots 1-15,
+    * still does. The oracle replays the exact top-20 from the unrolled
+    * CTEs (hash-checking every rank_fp) with the agreement flags pinned
+    * TRUE. */
   val graphxPagerankAgree = QueryDef(
     "q_graphx_pagerank_agree",
     (s, dir) => {
       import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"rank".desc, $"node")
+      val wFp = org.apache.spark.sql.expressions.Window
+        .orderBy($"rank_fp".desc, $"node")
       val ed = eventEdges(s, dir).select($"src", $"dst").distinct()
         .withColumn("weight", lit(1.0))
+      // limit-then-rank: TakeOrdered pulls 25 rows, the row_number window
+      // runs on that single tiny partition — never on the full node set
       val gxTop = GraphXOps.pageRank(ed)
         .orderBy($"rank".desc, $"node").limit(25)
-        .select($"node", lit(true).as("in_graphx_top25"))
+        .withColumn("grn", row_number().over(w))
+        .select($"node", $"grn")
       graft.graph.GraphAnalytics.pageRankFixedPoint(ed, iters = 5)
         .orderBy($"rank_fp".desc, $"node").limit(20)
+        .withColumn("prn", row_number().over(wFp))
         .join(gxTop, Seq("node"), "left")
         .select($"node", $"rank_fp",
-          coalesce($"in_graphx_top25", lit(false)).as("in_graphx_top25"))
+          when($"prn" <= 15, coalesce($"grn" <= 15, lit(false)))
+            .otherwise(coalesce($"grn" <= 25, lit(false))).as("agree"))
         .orderBy($"node")
     },
     Some(s"""${GraphQueries.pagerankCtes(5)},
              |top AS (SELECT n AS node, CAST(r AS BIGINT) AS rank_fp
              |        FROM r5 ORDER BY r DESC, n LIMIT 20)
-             |SELECT node, rank_fp, TRUE AS in_graphx_top25
+             |SELECT node, rank_fp, TRUE AS agree
              |FROM top ORDER BY node""".stripMargin))
 
   val all: Seq[QueryDef] =

@@ -1533,7 +1533,7 @@ object PipelineQueries {
     * per-qid — the amortized plan a production ANN service runs, where
     * the per-query-literal q_ann_ivfpq cannot amortize assignment.
     * Single-query equivalence to ivfPqTopK is spec-pinned
-    * (SimilarityBatchSpec); the oracle replays training (shared
+    * (SketchIvfSpec); the oracle replays training (shared
     * kmeansCtes), per-query probes, shared PQ codes, and both ranks. */
   val annIvfPqBatch = QueryDef(
     "q_ann_ivfpq_batch",
@@ -1544,7 +1544,7 @@ object PipelineQueries {
       Similarity.ivfPqTopKQueries(e, "vec_id", "embedding", cent,
           e.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64,
           k = 5, nprobe = 2, rerank = 30,
-          corpusN = Tables.rowCount(s, dir, "embeddings"))
+          corpusN = Tables.rowCount(s, dir, "embeddings"), queriesN = 3L)
         .orderBy($"qid", $"rn")
     },
     Some(s"""WITH ${kmeansCtes(2)},

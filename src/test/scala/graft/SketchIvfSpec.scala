@@ -314,4 +314,26 @@ class SketchIvfSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().toSet
     assert(ext == extSingle)
   }
+
+  test("ivfPqTopKQueries: over-limit batches fall back to shuffle joins, rows unchanged") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
+    def run(limit: Long) = Similarity.ivfPqTopKQueries(emb, "vec_id", "embedding",
+        cent, emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64,
+        k = 5, nprobe = 2, rerank = 30, broadcastRowLimit = limit)
+    // limit 0 forces the shuffle-join path for both the probe and ADC tables
+    val shuffled = run(0L)
+    val bPlan = run(Long.MaxValue).queryExecution.executedPlan.toString
+    val sPlan = shuffled.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"))
+    // the gate really changes the exchanges: fewer broadcast joins survive
+    // (the centroid/codebook broadcasts inside assignment/pqAssign remain)
+    assert(sPlan.split("BroadcastHashJoin").length < bPlan.split("BroadcastHashJoin").length,
+      "broadcastRowLimit=0 must demote the probe/ADC broadcasts")
+    val a = run(Long.MaxValue).select($"qid", $"cand", $"pq_score", $"score", $"rn")
+      .as[(Long, Long, Double, Double, Int)].collect().sortBy(r => (r._1, r._5))
+    val b = shuffled.select($"qid", $"cand", $"pq_score", $"score", $"rn")
+      .as[(Long, Long, Double, Double, Int)].collect().sortBy(r => (r._1, r._5))
+    assert(a.toSeq == b.toSeq, "join strategy must never change results")
+  }
 }
