@@ -406,6 +406,90 @@ object ScaleQueries {
              GROUP BY 1, 2
              ORDER BY c1, c2"""))
 
+  /** LEVEL-2 Louvain (GraphAnalytics.louvainMergeRound over the coarsened
+    * super-graph): move → coarsen → mutual-best positive-gain community
+    * MERGE — the multi-level composition with a monotonicity guarantee.
+    * Level 2 runs on the community super-graph (weighted, self-looped),
+    * so its cost is the super-edge count, not |E|; merging a, b changes
+    * the exact integer modularity numerator by 2·(m2·w(a,b) −
+    * wdeg(a)·wdeg(b)), disjoint merges are exactly additive, and the
+    * mutual-best matching only accepts strictly positive pairs — so
+    * Q(level 2) ≥ Q(level 1) always, strictly when any pair fires (it
+    * does at every fixture SF; spec-pinned, with the overshooting
+    * synchronous alternative documented on louvainMoveWeighted). Final
+    * labels map every ORIGINAL node through its level-1 community to the
+    * merged level-2 community; all-BIGINT, oracle-replayed as one CTE
+    * chain over the shared LPA/move/coarsen CTEs. */
+  val graphLouvain2 = QueryDef(
+    "q_graph_louvain2",
+    (s, dir) => {
+      import s.implicits._
+      val edges = sparseEdges(s, dir)
+      val l1 = GraphAnalytics.louvainMove(edges,
+        GraphAnalytics.labelPropagation(edges, iters = 3))
+      val cg = GraphAnalytics.coarsenGraph(edges, l1)
+      val l2 = GraphAnalytics.louvainMergeRound(cg)
+      // |level-1 communities| rows — broadcast the level map, never
+      // shuffle the node-keyed l1 by its skewed label
+      l1.join(broadcast(l2.select($"node".as("label"), $"label".as("label2"))),
+          "label")
+        .select($"node", $"label2".as("label"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH $eeCte,
+             ${lpaCtes(3)},
+             $louvainCtes,
+             -- MATERIALIZED: DuckDB inlines plain CTEs per reference, and this
+             -- chain references lmv/cg/adjm/dgm/bst repeatedly — without
+             -- materialization the unrolled LPA+move chain re-executes
+             -- multiplicatively (measured: >10 min at sf0.001 vs seconds)
+             lmvm AS MATERIALIZED (SELECT node, label FROM lmv),
+             cg AS MATERIALIZED (
+                    SELECT LEAST(a.label, b.label) AS c1,
+                           GREATEST(a.label, b.label) AS c2,
+                           CAST(COUNT(*) AS BIGINT) AS weight
+                    FROM e0
+                    JOIN lmvm a ON a.node = e0.u
+                    JOIN lmvm b ON b.node = e0.v
+                    GROUP BY 1, 2),
+             adjm AS MATERIALIZED (
+                      SELECT c1 AS u, c2 AS v, weight FROM cg WHERE c1 <> c2
+                      UNION ALL
+                      SELECT c2 AS u, c1 AS v, weight FROM cg WHERE c1 <> c2),
+             nm AS (SELECT DISTINCT node FROM (
+                      SELECT c1 AS node FROM cg
+                      UNION ALL SELECT c2 AS node FROM cg)),
+             m2m AS (SELECT CAST(2 * SUM(weight) AS BIGINT) AS m2 FROM cg),
+             swm AS (SELECT c1 AS u, weight AS wself FROM cg WHERE c1 = c2),
+             dgm AS MATERIALIZED (
+                     SELECT nm.node AS u,
+                            CAST(COALESCE(aw.s, 0) + 2 * COALESCE(swm.wself, 0)
+                                 AS BIGINT) AS wdeg
+                     FROM nm
+                     LEFT JOIN (SELECT u, SUM(weight) AS s FROM adjm
+                                GROUP BY u) aw ON aw.u = nm.node
+                     LEFT JOIN swm ON swm.u = nm.node),
+             gn AS (SELECT u, v, g FROM (
+                      SELECT adjm.u, adjm.v,
+                             m2m.m2 * adjm.weight - du.wdeg * dv.wdeg AS g
+                      FROM adjm
+                      JOIN dgm du ON du.u = adjm.u
+                      JOIN dgm dv ON dv.u = adjm.v, m2m)
+                    WHERE g > 0),
+             bst AS MATERIALIZED (
+                     SELECT u, v FROM (
+                       SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+                         ORDER BY g DESC, v) AS rn FROM gn) WHERE rn = 1),
+             mut AS (SELECT a.u, a.v FROM bst a
+                     JOIN bst b ON b.u = a.v AND b.v = a.u),
+             lmap AS (SELECT nm.node,
+                             CASE WHEN mut.v IS NULL THEN nm.node
+                                  ELSE LEAST(nm.node, mut.v) END AS label
+                      FROM nm LEFT JOIN mut ON mut.u = nm.node)
+             SELECT lmvm.node, lmap.label
+             FROM lmvm JOIN lmap ON lmap.node = lmvm.label
+             ORDER BY lmvm.node"""))
+
   private def kcoreCtes(k: Int, rounds: Int): String =
     (1 to rounds).foldLeft("s0 AS (SELECT DISTINCT u AS node FROM ee)") { (acc, i) =>
       acc + s""",
@@ -1100,6 +1184,6 @@ object ScaleQueries {
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
-    textWinnow, graphModularity, graphLouvain, graphCoarsen,
+    textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,
     aggIncremental, eventsFunnel, linkEr, eventsAnomaly)
 }

@@ -188,6 +188,74 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("louvainMoveWeighted: unit weights and no self-loops reduce to louvainMove") {
+    val edges = graft.rel.ScaleQueries.sparseEdges(spark, sf)
+    val lpa = GraphAnalytics.labelPropagation(edges, iters = 3)
+    // identity-coarsened graph = the graph itself with unit weights and no
+    // self-loops; the weighted move must reproduce the unweighted one
+    val ident = edges.select($"src".as("node")).union(edges.select($"dst"))
+      .distinct().select($"node", $"node".as("label"))
+    val unitSuper = GraphAnalytics.coarsenGraph(edges, ident)
+    val viaWeighted = GraphAnalytics.louvainMoveWeighted(unitSuper, lpa)
+      .as[(Long, Long)].collect().toMap
+    val viaPlain = GraphAnalytics.louvainMove(edges, lpa)
+      .as[(Long, Long)].collect().toMap
+    assert(viaWeighted == viaPlain,
+      "unit-weight louvainMoveWeighted must equal louvainMove")
+  }
+
+  test("louvainMergeRound: monotone level-2 merges on the fixture; guarded on toys") {
+    val edges = graft.rel.ScaleQueries.sparseEdges(spark, sf)
+    val lpa = GraphAnalytics.labelPropagation(edges, iters = 3)
+    // q_graph_louvain2's composition: move -> coarsen -> mutual-best merge
+    val l1 = GraphAnalytics.louvainMove(edges, lpa)
+    val cg = GraphAnalytics.coarsenGraph(edges, l1)
+    val l2sup = GraphAnalytics.louvainMergeRound(cg)
+    val l2 = l1.join(l2sup.select($"node".as("label"), $"label".as("label2")), "label")
+      .select($"node", $"label2".as("label"))
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphAnalytics.modularity(edges, labels)
+        .agg(sum($"q_contrib")).as[Double].collect().head
+    val (q1, q2) = (q(l1), q(l2))
+    // merges are positive-gain only, and the fixture HAS positive pairs:
+    // modularity must strictly increase and communities must merge
+    assert(q2 > q1, s"level-2 merge must strictly raise modularity: $q1 -> $q2")
+    val n1 = l1.select($"label").distinct().count()
+    val n2 = l2.select($"label").distinct().count()
+    assert(n2 < n1, s"level-2 must merge communities: $n1 -> $n2")
+    // the relabel map is a valid matching: each super-node appears once,
+    // merged pairs map both members to the smaller id
+    val m = l2sup.as[(Long, Long)].collect()
+    assert(m.map(_._1).distinct.length == m.length)
+    val merged = m.filter(p => p._1 != p._2)
+    assert(merged.nonEmpty)
+    merged.foreach { case (node, lab) =>
+      assert(lab < node && m.contains((lab, lab)),
+        s"merged pair must keep the smaller id as label: $node -> $lab")
+    }
+    // guard: two bridged triangles under the perfect partition — the only
+    // merge candidate has negative gain (m2*w(0,1)=14 < d0*d1=49), so the
+    // round must be the identity (where the sync sweep would overshoot)
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF("src", "dst")
+    val perfect = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("node", "label")
+    val toy = GraphAnalytics.louvainMergeRound(
+        GraphAnalytics.coarsenGraph(g, perfect))
+      .as[(Long, Long)].collect().toMap
+    assert(toy == Map(0L -> 0L, 1L -> 1L),
+      s"negative-gain merge must be rejected: $toy")
+    // and a heavy positive pair merges: one K4 split in half — merging the
+    // halves gains m2*w - d*d' = 14*4 - 7*7 > 0
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val halves = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)).toDF("node", "label")
+    val mk4 = GraphAnalytics.louvainMergeRound(
+        GraphAnalytics.coarsenGraph(k4, halves))
+      .as[(Long, Long)].collect().toMap
+    assert(mk4 == Map(0L -> 0L, 2L -> 0L), s"positive pair must merge: $mk4")
+  }
+
   test("coarsenGraph: self-loops carry intra weight; every edge conserved") {
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4, perfect partition
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
