@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, IngestDedup}
 import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
@@ -176,6 +176,52 @@ class StreamingSpec extends SparkSpec {
         .as[Long].collect().toList.sorted
       assert(ids == List(1L, 2L, 3L),
         s"each id emitted exactly once across batches: $ids")
+    } finally q.stop()
+  }
+
+  test("streaming ingest dedup over shards == declared batch incremental dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val docs = Tables(spark, sf, "documents")
+    // the exact planted batch q_dedup_incremental declares: 20 corpus
+    // copies, 10 batch-internal dup pairs of new text, 15 fresh edits
+    val arriving = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 300000).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 350000).as("doc_id"),
+          concat($"text", lit(" brandnew")).as("text")))
+      .unionByName(docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 360000).as("doc_id"),
+          concat($"text", lit(" brandnew")).as("text")))
+      .unionByName(docs.filter($"doc_id" < 15)
+        .select(($"doc_id" + 400000).as("doc_id"),
+          concat($"text", lit(" fresh v2")).as("text")))
+      .orderBy($"doc_id")
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val index = IngestDedup.indexOf(docs, "text")
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = IngestDedup.start(stream.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", index) { kept =>
+      accepted ++= kept.as[(Long, String)].collect()
+    }
+    try {
+      // shards of 10 in id order: each 350000 dup pair's partner (360000)
+      // arrives TWO shards later, so the cross-batch INDEX path — not the
+      // within-batch group — must drop it
+      arriving.grouped(10).foreach { shard =>
+        stream.addData(shard.toSeq: _*); q.processAllAvailable()
+      }
+      val batch = graft.rel.ScaleQueries.dedupIncremental
+        .run(spark, sf).as[(Long, String)].collect().toSet
+      assert(batch.nonEmpty && accepted.toSet == batch,
+        s"streaming ${accepted.toSet} vs batch $batch")
+      // survivors: the 10 internal-pair keepers + 15 edits, nothing else
+      assert(accepted.size == 25)
+      // and replaying the whole stream again accepts NOTHING (index full)
+      val replayed = IngestDedup.dedupBatch(
+          arriving.toSeq.toDF("doc_id", "text"), "doc_id", "text", index)
+      assert(replayed.isEmpty, "second pass must be fully deduped")
     } finally q.stop()
   }
 
