@@ -33,4 +33,51 @@ class SkewSpec extends SparkSpec {
     assert(direct(0L)._2 > direct.filterKeys(_ != 0L).values.map(_._2).max * 5,
       "key 0 really is skewed in this fixture")
   }
+
+  test("planted power-law hub: graph suite stays within 2x of uniform time at equal |E|") {
+    import graft.graph.GraphAnalytics
+    // two deterministic bipartite graphs with IDENTICAL |E| and node-id
+    // ranges: uniform spreads dst evenly; power-law funnels 60% of edges
+    // into ONE hub (degree 0.6|E|) — the planted version of the giant
+    // community the hash-sampled parquet fixture doesn't exhibit. The
+    // skew-absorption claims on louvainMove (broadcast dc), modularity
+    // (map-side partial agg on the giant label), and coarsenGraph
+    // ((c1,c2) count partials) are MEASURED here, not argued.
+    val n = 3000L
+    val m = 200000L
+    def edgesOf(hub: Boolean) = {
+      val dstUniform = lit(n) + pmod(col("id") * 7919, lit(n))
+      val dst = if (hub) when(pmod(col("id"), lit(10)) < 6, lit(n))
+        .otherwise(dstUniform) else dstUniform
+      spark.range(m).select((col("id") % n).as("src"), dst.as("dst"))
+        .localCheckpoint()
+    }
+    val uni = edgesOf(hub = false)
+    val skw = edgesOf(hub = true)
+    // giant-label partitions: 2 LPA rounds on the hub graph flood most
+    // nodes to one label — the skewed join key the operators must absorb
+    val labU = GraphAnalytics.labelPropagation(uni, 2).localCheckpoint()
+    val labS = GraphAnalytics.labelPropagation(skw, 2).localCheckpoint()
+    val hubLab = labS.groupBy("label").count().orderBy(col("count").desc)
+      .first().getLong(1)
+    assert(hubLab >= n / 2, s"hub LPA must produce a giant community: $hubLab")
+    def timed(body: => Unit): Double = {
+      body // warm: JIT + shuffle files + codegen cache
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val ops: Seq[(String,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => Unit)] = Seq(
+      ("louvainMove", (e, l) => { GraphAnalytics.louvainMove(e, l).count(); () }),
+      ("modularity", (e, l) => { GraphAnalytics.modularity(e, l).count(); () }),
+      ("coarsenGraph", (e, l) => { GraphAnalytics.coarsenGraph(e, l).count(); () }))
+    ops.foreach { case (name, op) =>
+      val tU = timed(op(uni, labU))
+      val tS = timed(op(skw, labS))
+      // 2x the uniform time plus a small absolute floor for scheduler
+      // noise at local-test scale; a skew-funneled single partition
+      // (the failure mode) measures 10x+, far outside this bound
+      assert(tS <= 2.0 * tU + 0.5,
+        f"$name skewed ${tS}%.2fs vs uniform ${tU}%.2fs — hub key not absorbed")
+    }
+  }
 }
