@@ -4,6 +4,12 @@ package graft
   * if names collide (later Map entry wins) or an oracle goes blank. */
 class RegistrySpec extends SparkSpec {
 
+  test("documented query count equals the registry — docs cannot drift") {
+    assert(SparkEntry.queries.size == SparkEntry.declaredCount,
+      s"update SparkEntry.declaredCount AND the README/SURVEY citations: " +
+        s"registry has ${SparkEntry.queries.size}, docs say ${SparkEntry.declaredCount}")
+  }
+
   test("registry names are unique and well-formed") {
     val names = SparkEntry.registry.map(_.name)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
