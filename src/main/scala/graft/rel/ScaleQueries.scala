@@ -425,8 +425,10 @@ object ScaleQueries {
     (s, dir) => {
       import s.implicits._
       val edges = sparseEdges(s, dir)
+      // l1 feeds BOTH the coarsening and the final label join — checkpoint
+      // once so the LPA+move chain isn't executed twice
       val l1 = GraphAnalytics.louvainMove(edges,
-        GraphAnalytics.labelPropagation(edges, iters = 3))
+        GraphAnalytics.labelPropagation(edges, iters = 3)).localCheckpoint()
       val cg = GraphAnalytics.coarsenGraph(edges, l1)
       val l2 = GraphAnalytics.louvainMergeRound(cg)
       // |level-1 communities| rows — broadcast the level map, never
