@@ -1,11 +1,50 @@
 package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
 /** Scans every declared query's physical plan for scale red flags:
-  * CartesianProduct and non-broadcast nested-loop joins. Exits nonzero if
-  * any query plans a true cartesian — the cheap tripwire the plan audit
-  * runs per round. */
+  * CartesianProduct joins (hard failure), non-broadcast nested-loop joins
+  * (note), and SINGLE-PARTITION windows — a Window/WindowGroupLimit with
+  * an empty partition spec whose input is not already bounded by a limit
+  * or a literal table funnels the whole input through one task, the
+  * classic 100 TB cliff. Unreviewed global windows are hard failures;
+  * the reviewed ones (inputs provably tiny — aggregated score tables,
+  * vocab slices, centroid sets) live in `globalWindowReviewed` with the
+  * justification beside each. */
 object PlanScan {
+
+  /** Queries whose global window runs over a provably small input (the
+    * subtree aggregates/filters to table-of-groups size long before the
+    * window). Reviewed per entry — adding a query here is a code-reviewed
+    * decision, not a default. */
+  val globalWindowReviewed: Map[String, String] = Map(
+    "q_text_classifier_eval" -> ("cumulative negatives over the DISTINCT " +
+      "round-8 sigmoid-score table (Classifier.evalSweep), bounded by " +
+      "distinct feature combinations, never corpus rows"))
+
+  private def hasBound(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec, LocalTableScanExec}
+    p.collectFirst {
+      case _: GlobalLimitExec => ()
+      case _: LocalLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: LocalTableScanExec => ()
+    }.isDefined
+  }
+
+  private def globalWindows(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty && !hasBound(w.child) =>
+        Seq(w.windowExpression.map(_.sql).mkString(",").take(80))
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !hasBound(w.child) =>
+        Seq(s"WindowGroupLimit(${w.rankLikeFunction.sql})")
+      case _ => Nil
+    }
+    here ++ p.children.flatMap(globalWindows)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -16,12 +55,19 @@ object PlanScan {
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, "/root/testdata/sf0.001")
-          .queryExecution.executedPlan.toString
+        val qe = fn(spark, "/root/testdata/sf0.001").queryExecution
+        val plan = qe.executedPlan.toString
         val cart = plan.contains("CartesianProduct")
         val bnlj = plan.contains("BroadcastNestedLoopJoin")
         if (cart) { bad += 1; println(s"[planscan] CARTESIAN in $name") }
         else if (bnlj) println(s"[planscan] note: broadcast NL join in $name (ok if one side is tiny)")
+        // pre-AQE plan: no AdaptiveSparkPlanExec wrapper to unwrap
+        val gw = globalWindows(qe.sparkPlan)
+        if (gw.nonEmpty) {
+          if (globalWindowReviewed.contains(name))
+            println(s"[planscan] note: reviewed global window in $name (${globalWindowReviewed(name)})")
+          else { bad += 1; println(s"[planscan] GLOBAL WINDOW in $name: ${gw.mkString("; ")}") }
+        }
       } catch { case e: Throwable =>
         bad += 1; println(s"[planscan] $name failed to plan: ${e.getMessage}")
       }
