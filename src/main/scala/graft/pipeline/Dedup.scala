@@ -56,13 +56,22 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val ma = mh.select(col("doc_id").as("a"), col("i"), col("mh").as("mha"))
-    val mb = mh.select(col("doc_id").as("b"), col("i"), col("mh").as("mhb"))
+    estJaccard(cand, mh, mh, numHashes).filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Estimated Jaccard (matching-minhash fraction) for candidate pairs
+    * (a, b) whose signatures may live in DIFFERENT tables — the shared
+    * verification step of the batch self-join ([[minhashPairs]]) and the
+    * streaming index-vs-batch path (streaming.NearDupIngest). Returns
+    * (a, b, est_jaccard). */
+  private[graft] def estJaccard(cand: DataFrame, sigA: DataFrame,
+                                sigB: DataFrame, numHashes: Int): DataFrame = {
+    val ma = sigA.select(col("doc_id").as("a"), col("i"), col("mh").as("mha"))
+    val mb = sigB.select(col("doc_id").as("b"), col("i"), col("mh").as("mhb"))
     cand.join(ma, "a").join(mb, Seq("b", "i"))
       .groupBy(col("a"), col("b"))
       .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)) /
         lit(numHashes.toDouble)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Band keys for LSH banding over (doc_id, i, mh) signature rows: one

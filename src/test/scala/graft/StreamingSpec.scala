@@ -225,6 +225,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: LSH index drops copies, greedy chain semantics hold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.NearDupIngest
+    implicit val sql = spark.sqlContext
+    // disjoint-token corpus: no base doc is similar to any other
+    def fam(i: Int) = (1 to 10).map(k => s"w${i}x$k").mkString(" ")
+    val corpus = (0 until 10).map(i => (i.toLong, fam(i))).toDF("doc_id", "text")
+    // chain a ~ b ~ c with a !~ c, as windows of one master token run:
+    // a = t1..t14 (12 shingles s1..s12), b = t1..t20 (18), c = t7..t20
+    // (s7..s18): J(a,b) = J(b,c) = 12/18 = .667 but J(a,c) = 6/18 = .333
+    val t = (1 to 20).map(k => s"m$k")
+    val a = t.take(14).mkString(" ")
+    val b = t.mkString(" ")
+    val c = t.drop(6).mkString(" ")
+    val shards = Seq(
+      Seq((100L, fam(0) + " qq17 zz88"), (101L, a)),          // 100 ~ corpus 0
+      Seq((201L, b)),                                          // b ~ indexed a
+      Seq((301L, c), (302L, c + " pp55 rr66"),                 // c vs index; 302 ~ 301 in-batch
+        (400L, (1 to 10).map(k => s"freshz$k").mkString(" "))))
+    val stream = MemoryStream[(Long, String)]
+    val index = NearDupIngest.indexOf(corpus, "doc_id", "text", rowsPerBand = 2)
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = NearDupIngest.start(stream.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", index, rowsPerBand = 2) { kept =>
+      accepted ++= kept.as[Long].collect()
+    }
+    try {
+      shards.foreach { sh => stream.addData(sh: _*); q.processAllAvailable() }
+      // 100 dropped by the corpus index; 201 dropped by indexed 101;
+      // 301 ACCEPTED (its only near-dup 201 never entered the index —
+      // the greedy convention a naive batch pair rule would violate);
+      // 302 dropped within-batch by 301; 400 fresh
+      assert(accepted.toSet == Set(101L, 301L, 400L),
+        s"accepted ${accepted.toSet}")
+      // replaying shard 1 accepts nothing (both docs now indexed or dup)
+      val (replay, _, _) = NearDupIngest.dedupBatch(
+        shards.head.toDF("doc_id", "text"), "doc_id", "text", index, rowsPerBand = 2)
+      assert(replay.isEmpty, "replay must be fully near-deduped")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals == plain aggregation (batch mode)") {
     val events = Tables(spark, sf, "events")
     val got = EventStreams.runningUserTotals(events)
