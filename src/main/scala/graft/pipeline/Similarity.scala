@@ -568,6 +568,29 @@ object Similarity {
         col("score"), col("rn"))
   }
 
+  /** Durable quantizer artifacts — the vector-side counterpart of
+    * [[graft.search.Bm25Index.save]]/load: a production ANN stack trains
+    * the coarse quantizer / PQ codebook ONCE, persists it, and every
+    * serving job reopens the parquet (partition-prunable, schema-checked)
+    * instead of retraining. Training is bit-deterministic here (no-RNG
+    * Lloyd), so save → load → serve is spec-proven ROW-IDENTICAL to
+    * serving from the in-memory artifact — the property that makes the
+    * persisted index a cache rather than an approximation. Centroids are
+    * (cid, cv: array<double>); PQ codebooks (cid, s, cs: array<double>)
+    * — both written as-is, loaded with a column check that fails fast on
+    * a path mixup instead of mis-serving. */
+  def saveQuantizer(artifact: DataFrame, path: String): Unit =
+    artifact.write.mode("overwrite").parquet(path)
+
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession, path: String,
+                    expectCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(expectCols.forall(df.columns.contains),
+      s"quantizer at $path has ${df.columns.mkString(",")}, " +
+        s"expected ${expectCols.mkString(",")}")
+    df
+  }
+
   /** Cluster-stratified representative selection: for each cell of a
     * caller-supplied quantizer (cid, cv) — typically [[kmeansCentroids]] —
     * the `perCell` members nearest their own centroid, by round-6 cosine

@@ -315,6 +315,29 @@ class SketchIvfSpec extends SparkSpec {
     assert(ext == extSingle)
   }
 
+  test("persisted quantizer serves row-identically to the in-memory artifact") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    Similarity.saveQuantizer(cent, s"$dir/centroids")
+    val loaded = Similarity.loadQuantizer(spark, s"$dir/centroids", Seq("cid", "cv"))
+    // the artifact round-trips exactly (bit-deterministic doubles)
+    val a = cent.as[(Long, Seq[Double])].collect().toMap
+    val b = loaded.select($"cid", $"cv").as[(Long, Seq[Double])].collect().toMap
+    assert(a == b, "centroid parquet round-trip must be bit-exact")
+    // and SERVING from the loaded artifact is row-identical
+    val q = VectorQueries.queryVec
+    val mem = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cent, q, k = 5)
+      .collect().toSeq
+    val disk = Similarity.ivfTopKWith(emb, "vec_id", "embedding", loaded, q, k = 5)
+      .collect().toSeq
+    assert(mem == disk)
+    // column check fails fast on a wrong-artifact path
+    intercept[IllegalArgumentException] {
+      Similarity.loadQuantizer(spark, s"$dir/centroids", Seq("cid", "s", "cs"))
+    }
+  }
+
   test("ivfPqTopKQueries: over-limit batches fall back to shuffle joins, rows unchanged") {
     val emb = Tables(spark, sf, "embeddings")
     val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
