@@ -457,4 +457,65 @@ object Dedup {
             s => s.getField("seg")),
           " ")).as("cleaned"))
   }
+
+  /** EXACT all-pairs set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * every document pair with word-3-shingle Jaccard ≥ `threshold`, with
+    * NO false negatives — the exact counterpart to [[minhashPairs]] when
+    * the dedup decision cannot tolerate LSH's probabilistic recall.
+    *
+    * Prefix-filtering principle: order every doc's shingle set by one
+    * GLOBAL total order (ascending document frequency, rarest first, then
+    * lexicographic); if J(x,y) ≥ t, then the first
+    * |x| − ⌈t·|x|⌉ + 1 shingles of x and the first |y| − ⌈t·|y|⌉ + 1 of y
+    * must share at least one shingle. Candidate generation is therefore an
+    * equi-join on PREFIX shingles only — and because prefixes hold each
+    * doc's RAREST shingles, join buckets are small by construction (the
+    * frequency order is what makes this affordable; a random order would
+    * put boilerplate shingles in prefixes and blow the join up).
+    *
+    * Scale shape: one groupBy for shingle document frequency, one join to
+    * attach df, a PER-DOC window (partitioned by doc_id — no global sort)
+    * to take the prefix, one equi-join on the shingle string with the
+    * symmetric length filter ⌈t·|x|⌉ ≤ |y| ∧ ⌈t·|y|⌉ ≤ |x| as join
+    * predicates, then exact verification of only the candidate pairs via
+    * [[ngramJaccard]]'s set-intersection step. Completeness (no false
+    * negatives vs brute force) is spec-asserted in PipelineSpec.
+    *
+    * Returns (a, b, inter, uni, jaccard) for pairs with jaccard ≥ t,
+    * a < b. Docs with no shingles (< 3 tokens) cannot reach t > 0 and are
+    * excluded. */
+  def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold): prefix length " +
+        "|x| - ceil(t*|x|) + 1 degenerates to the whole set at t = 0")
+    val sh = spread(docs)
+      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol))).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val rows = sh.select(col("doc_id"), size(col("shs")).as("len"),
+      explode(col("shs")).as("s"))
+    val df = rows.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = rows.join(df, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+      .select(col("doc_id"), col("len"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.len") >= ceil(lit(threshold) * col("x.len")) &&
+          col("x.len") >= ceil(lit(threshold) * col("y.len")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val full = sh.select(col("doc_id"), col("shs"))
+    cand
+      .join(full.select(col("doc_id").as("a"), col("shs").as("sha")), "a")
+      .join(full.select(col("doc_id").as("b"), col("shs").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+  }
 }

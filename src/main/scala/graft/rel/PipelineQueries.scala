@@ -1255,6 +1255,58 @@ object PipelineQueries {
                     CAST(COUNT(DISTINCT r) AS BIGINT) AS component_size
              FROM reach GROUP BY v ORDER BY doc_id"""))
 
+  /** EXACT all-pairs near-dup join via prefix filtering (AllPairs/PPJoin,
+    * Bayardo WWW'07) — the zero-false-negative counterpart to the LSH
+    * pipeline: candidate pairs come from an equi-join on each doc's
+    * RAREST shingles (global df order), so buckets stay small while the
+    * guarantee stays exact. Corpus plants mutated copies of doc_id < 20
+    * (append two tokens: ~3 new shingles, J ≈ L/(L+3) ≥ 0.5); natural
+    * pairs sit at shingle Jaccard ≤ 0.024 and never reach t = 0.5.
+    * Completeness vs the brute-force cross join is spec-asserted
+    * (PipelineSpec); the declared plan never goes all-pairs. */
+  val dedupAllPairs = QueryDef(
+    "q_dedup_allpairs",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      Dedup.allPairsJaccard(corpus, "doc_id", "text", 0.5)
+        .select($"a", $"b", $"inter", $"uni", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"a", $"b")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             r AS (SELECT doc_id, len(shs) AS len, unnest(shs) AS s
+                   FROM sh WHERE len(shs) > 0),
+             df AS (SELECT s, COUNT(*) AS df FROM r GROUP BY s),
+             p AS (SELECT doc_id, len, s FROM (
+                     SELECT r.doc_id, r.len, r.s,
+                            ROW_NUMBER() OVER (PARTITION BY r.doc_id
+                              ORDER BY df.df, r.s) AS rn
+                     FROM r JOIN df USING (s))
+                   WHERE rn <= len - ceil(0.5 * len) + 1),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id
+                        AND y.len >= ceil(0.5 * x.len)
+                        AND x.len >= ceil(0.5 * y.len)),
+             j AS (SELECT c.a, c.b,
+                          len(list_intersect(sa.shs, sb.shs)) AS inter,
+                          len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs)) AS uni
+                   FROM cand c
+                   JOIN sh sa ON sa.doc_id = c.a
+                   JOIN sh sb ON sb.doc_id = c.b)
+             SELECT a, b, CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni,
+                    round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+             FROM j WHERE inter / CAST(uni AS DOUBLE) >= 0.5
+             ORDER BY a, b"""))
+
   /** Sequence packing: greedy contiguous token-budget binning (2048 tokens)
     * of docs into training examples, per source — running token cumsum
     * windowed by source, bin = start-offset DIV budget. Integer arithmetic
@@ -2305,7 +2357,7 @@ object PipelineQueries {
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
-    textChunks, dedupCanonical, sampleStratified, textPii, textDecontam,
+    textChunks, dedupCanonical, dedupAllPairs, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,

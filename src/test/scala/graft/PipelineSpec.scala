@@ -572,4 +572,46 @@ class PipelineSpec extends SparkSpec {
     assert(prec >= 0.9 && rec >= 0.9,
       s"est-Jaccard >= 0.5 banding on near-identical plants: prec=$prec rec=$rec")
   }
+
+  test("allPairsJaccard is EXACT: equals the brute-force cross join on the fixture") {
+    val corpus = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat($"text", lit(" qq17 zz88")).as("text")))
+    val got = Dedup.allPairsJaccard(corpus, "doc_id", "text", 0.5)
+      .select($"a", $"b", $"inter", $"uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // brute force: every pair, exact Jaccard — the O(n²) baseline the
+    // prefix-filtered plan must reproduce bit-for-bit (never ships)
+    val sh = TextOps.spread(corpus)
+      .select($"doc_id", TextOps.shingles(TextOps.tokens($"text")).as("shs"))
+      .filter(size($"shs") > 0)
+    val brute = sh.as("x")
+      .join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.shs"), col("y.shs"))))
+      .withColumn("uni",
+        size(col("x.shs")) + size(col("y.shs")) - col("inter"))
+      .filter(col("inter") / col("uni").cast("double") >= 0.5)
+      .select(col("x.doc_id"), col("y.doc_id"), col("inter"), col("uni"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.size >= 20, s"the 20 planted pairs must surface: ${got.size}")
+  }
+
+  test("allPairsJaccard threshold boundary: J = t kept, J < t dropped, clones J = 1") {
+    val mini = Seq(
+      (1L, "a b c d e"),   // shingles {abc, bcd, cde}
+      (2L, "a b c d f"),   // ∩ with 1 = 2, ∪ = 4 → J = 0.5 exactly
+      (3L, "a b c x y z"), // ∩ with 1 = 1 (abc), ∪ = 6 → J ≈ 0.17
+      (4L, "a b c d e")    // clone of 1 → J = 1
+    ).toDF("doc_id", "text")
+    val r = Dedup.allPairsJaccard(mini, "doc_id", "text", 0.5)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(r.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"exactly the >= t pairs: ${r.keySet}")
+    assert(r((1L, 2L)) == 0.5, "boundary pair kept at exactly t")
+    assert(r((1L, 4L)) == 1.0, "clone pair at J = 1")
+  }
 }
