@@ -85,6 +85,32 @@ object GraphAnalytics {
     dists
   }
 
+  /** Hop distances from EVERY pivot at once over the undirected simple
+    * graph — the shared-traversal core of pivot-sampled closeness
+    * (Eppstein–Wang, Fast approximation of centralities, SODA'01): the
+    * frontier rows carry the pivot id, so K BFS runs execute as ONE set
+    * of per-round joins/aggregations — no per-pivot loop, no extra
+    * shuffles, and the per-round state is ≤ K·|V| fixed-width rows. At
+    * 100 TB this is the point of pivot sampling: exact all-pairs
+    * closeness is |V| BFS runs; K fixed pivots bound the work to K
+    * frontier expansions regardless of graph size.
+    * Returns (p, node, d) — min hop distance per reached (pivot, node). */
+  def multiSourceHopDistances(und: DataFrame, pivots: DataFrame,
+                              hops: Int): DataFrame = {
+    val e = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var dist = pivots.select(col("p"), col("p").as("node"), lit(0).as("d"))
+    for (_ <- 1 to hops) {
+      val nxt = e.join(dist, e("src") === dist("node"))
+        .select(col("p"), col("dst").as("node"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(nxt)
+        .groupBy("p", "node").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Fixed-point scale for integer PageRank: ranks live in [0, 10^12]. */
   val PrScale = 1000000000000L
 

@@ -376,6 +376,100 @@ object Similarity {
       .select(col("vid").as(idCol), col("hamming"), col("cos"))
   }
 
+  /** Packed-Hamming ANN for a BATCH of query vectors — [[hammingTopK]] in
+    * the multi-tenant serving shape of [[ivfTopKQueries]]: corpus sign
+    * codes are built ONCE (one map-side fold pass over the scan — the
+    * 8-bytes-per-vector form), query codes ride a broadcast, ranking is a
+    * popcount per (query, vector) over the packed codes, and the exact
+    * round-`roundTo` cosine is computed ONLY for the ≤ batch·k finalists
+    * — the full float arrays never cross the ranking join, which is the
+    * whole point of the sketch at 100 TB (the single-query path computes
+    * cos pre-limit; here that would be batch·n cosines for nothing).
+    * Per-query top-k via a window PARTITIONED BY qid. Single-query output
+    * is row-identical to [[hammingTopK]] (spec-pinned).
+    * Returns (qid, cand, hamming, cos, rn ≤ k). */
+  def hammingTopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
+                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                         dim: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    require(dim % 2 == 0 && dim <= 126,
+      s"hammingTopKQueries needs an even dimension <= 126, got $dim")
+    val dt = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    def codeOf(half: Column): Column =
+      aggregate(half, lit(0L),
+        (a, x) => a * 2 + when(x > 0, lit(1L)).otherwise(lit(0L)))
+    val half = dim / 2
+    val coded = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
+      .withColumn("h1", codeOf(slice(col("v"), 1, half)))
+      .withColumn("h2", codeOf(slice(col("v"), half + 1, half)))
+    val q = queries
+      .select(col(qIdCol).as("qid"), col(qVecCol).cast(dt).as("qv"))
+      .withColumn("qh1", codeOf(slice(col("qv"), 1, half)))
+      .withColumn("qh2", codeOf(slice(col("qv"), half + 1, half)))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("vid"))
+    coded.join(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(col("h1").bitwiseXOR(col("qh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("qh2")))).cast("int"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .withColumn("cos", round(vec.cosine(col("v"), col("qv")), roundTo))
+      .select(col("qid"), col("vid").as("cand"), col("hamming"),
+        col("cos"), col("rn"))
+  }
+
+  /** PQ-flat ADC scoring for a BATCH of query vectors — [[pqTopK]] in the
+    * serving shape: the corpus is PQ-coded ONCE for the whole batch (the
+    * assignment pass is query-independent — per-query literal plans
+    * re-pay it every call), the per-(qid, subspace, codeword) ADC lookup
+    * table is built from the broadcast query batch, and per-query top-k
+    * runs as a window PARTITIONED BY qid over the DECIMAL-exact summed
+    * scores. The ADC table is |queries|·m·|codebook| rows and is
+    * broadcast-GATED exactly like [[ivfPqTopKQueries]]: past
+    * `broadcastRowLimit` estimated rows it falls back to a shuffle join
+    * on (qid, s, cid), so batch size degrades throughput, never
+    * stability. Pass corpusN/queriesN to keep the estimate job-free.
+    * Single-query output is row-identical to [[pqTopK]] (spec-pinned).
+    * Returns (qid, cand, score, rn ≤ k). */
+  def pqTopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    dim: Int, k: Int, m: Int = 8, roundTo: Int = 6,
+                    codewordEvery: Long = 0L, corpusN: Long = 0L,
+                    queriesN: Long = 0L,
+                    broadcastRowLimit: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val e = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
+    val n = if (corpusN > 0) corpusN else corpus.count()
+    val spacing = sqrtSpacing(corpus, codewordEvery, n)
+    val d = dim / m
+    val cb = pqSpacedCodebook(e, spacing, d, m)
+    val codes = pqAssign(pqSub(e, d, m), cb, roundTo)
+      .select(col("vid"), col("s"), col("cid"))
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).cast(dt).as("qv"))
+    val qN = if (queriesN > 0) queriesN else q.count()
+    val contribRows = qN * (n / spacing + 1) * m
+    val contrib = q.crossJoin(cb)
+      .select(col("qid"), col("s"), col("cid"),
+        round(vec.dot(slice(col("qv"), col("s") * d + 1, lit(d)), col("cs")),
+          roundTo).as("contrib"))
+    val gatedContrib =
+      if (contribRows <= broadcastRowLimit) broadcast(contrib) else contrib
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vid"))
+    codes.join(gatedContrib, Seq("s", "cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("contrib").cast(DecimalType(20, 10))).cast("double"),
+        roundTo).as("score"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid").as("cand"), col("score"), col("rn"))
+  }
+
   /** IVF-flat ANN: the inverted-file index re-expressed as DataFrames.
     *
     * Coarse quantizer = every `centroidEvery`-th corpus vector (deterministic

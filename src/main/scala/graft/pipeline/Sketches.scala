@@ -67,4 +67,74 @@ object Sketches {
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
+
+  /** Mergeable fixed-width histogram quantiles, with the exact quantile
+    * located through the SAME sketch — the two-phase distributed quantile:
+    *
+    * Phase 1 (the sketch): one groupBy on bucket id `x DIV width` —
+    * integer counts, mergeable and order-independent, the form 1000
+    * executors can partial-aggregate map-side. The estimate for fraction
+    * num/den is the UPPER EDGE of the first bucket whose cumulative count
+    * reaches rank r = ⌈n·num/den⌉ (type-1), so est − exact ∈ [1, width]
+    * by construction — the histogram's deterministic error bound.
+    *
+    * Phase 2 (exact, still distributed): the rank-r value is the
+    * (r − cum_before)-th smallest WITHIN the located bucket, found by a
+    * window PARTITIONED BY bucket over only the selected buckets' rows —
+    * never a global sort of the data. The cumulative prefix runs over the
+    * histogram table itself (≤ value-range/width rows — a tiny broadcast),
+    * not over data rows.
+    *
+    * `values` must be integer units (pre-scale floats — e.g. cents) and
+    * non-negative: both engines truncate integer division toward zero, so
+    * negative values would mis-bucket identically but break the
+    * upper-edge bound. All arithmetic is integral — the output is
+    * hash-exact in any engine. Quantile fractions are (num, den) integer
+    * pairs for the same reason (0.9 has no exact binary form; 9/10 does).
+    * Returns (num, den, qrank, exact, est, err) — err = est − exact,
+    * spec-asserted ∈ [1, width]. */
+  def histogramQuantiles(values: DataFrame, valCol: String, width: Long,
+                         quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1 (got $width)")
+    require(quantiles.nonEmpty && quantiles.forall { case (num, den) =>
+      num >= 1 && den >= 1 && num <= den },
+      s"quantile fractions must satisfy 1 <= num <= den: $quantiles")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val v = values.select(col(valCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val hist = v.groupBy(expr(s"x DIV ${width}L").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // prefix sums over the HISTOGRAM (tiny) — h2 ≤ h theta-join is a
+    // tiny-side broadcast-NL, bounded by (#buckets)², never data rows
+    val cum = hist.as("h")
+      .join(broadcast(hist.select(col("b").as("b2"), col("c").as("c2"))),
+        col("b2") <= col("b"))
+      .groupBy(col("b"))
+      .agg(sum(col("c2")).as("cum"),
+        sum(when(col("b2") < col("b"), col("c2")).otherwise(0L)).as("cum_before"))
+    val n = hist.agg(sum(col("c")).as("n"))
+    val qr = quantiles.toDF("num", "den")
+      .crossJoin(broadcast(n))
+      .withColumn("qrank", expr("(n * num + den - 1) DIV den"))
+      .select(col("num"), col("den"), col("qrank"))
+    // first bucket whose cumulative count reaches the rank
+    val sel = qr.join(broadcast(cum), col("cum") >= col("qrank"))
+      .groupBy(col("num"), col("den"), col("qrank"))
+      .agg(min(col("b")).as("b"))
+      .join(cum.select(col("b"), col("cum_before")), "b")
+    // phase 2: local rank within selected buckets only
+    val selB = sel.select(col("b")).distinct()
+    val wB = Window.partitionBy(col("b")).orderBy(col("x"))
+    val inB = v.withColumn("b", expr(s"x DIV ${width}L"))
+      .join(broadcast(selB), "b")
+      .withColumn("lr", row_number().over(wB))
+    sel
+      .join(inB, sel("b") === inB("b") &&
+        col("lr") === col("qrank") - col("cum_before"))
+      .select(col("num"), col("den"), col("qrank"),
+        col("x").as("exact"),
+        ((sel("b") + 1L) * width).as("est"),
+        ((sel("b") + 1L) * width - col("x")).as("err"))
+  }
 }

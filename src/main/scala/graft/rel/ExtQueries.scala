@@ -436,6 +436,52 @@ object ExtQueries {
                    CAST(est.cms_est AS BIGINT) AS cms_est
             FROM est LEFT JOIN x USING (l_partkey) ORDER BY l_partkey"""))
 
+  /** Mergeable fixed-width histogram quantiles beside the EXACT quantile
+    * (Sketches.histogramQuantiles over l_extendedprice in integer cents,
+    * $1000 buckets): the sketch estimate is the located bucket's upper
+    * edge, the exact rank-r value is found by descending into that one
+    * bucket — the two-phase distributed quantile, never a global sort.
+    * err = est − exact is emitted and sits in [1, width] by construction
+    * (spec-asserted); all arithmetic integral, so the row is hash-exact
+    * cross-engine — the quantile analogue of q_sketch_kmv's
+    * estimate-beside-exact shape. */
+  val sketchQuantile = QueryDef(
+    "q_sketch_quantile",
+    (s, dir) => {
+      import s.implicits._
+      val cents = Tables(s, dir, "lineitem")
+        .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+      Sketches.histogramQuantiles(cents, "cents", width = 100000L,
+          Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)))
+        .orderBy($"qrank", $"num", $"den")
+    },
+    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+                       FROM lineitem),
+                 h AS (SELECT x // 100000 AS b, COUNT(*) AS c FROM v GROUP BY 1),
+                 cum AS (SELECT h.b, SUM(h2.c) AS cum,
+                                SUM(CASE WHEN h2.b < h.b THEN h2.c ELSE 0 END) AS cum_before
+                         FROM h JOIN h h2 ON h2.b <= h.b GROUP BY h.b),
+                 n AS (SELECT COUNT(*) AS n FROM v),
+                 qs(num, den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+                 r AS (SELECT num, den, (n.n * num + den - 1) // den AS qrank
+                       FROM qs CROSS JOIN n),
+                 sel AS (SELECT r.num, r.den, r.qrank, MIN(c.b) AS b
+                         FROM r JOIN cum c ON c.cum >= r.qrank GROUP BY 1, 2, 3),
+                 sel2 AS (SELECT sel.num, sel.den, sel.qrank, sel.b, c.cum_before
+                          FROM sel JOIN cum c ON c.b = sel.b),
+                 inb AS (SELECT v.x, v.x // 100000 AS b,
+                                ROW_NUMBER() OVER (PARTITION BY v.x // 100000
+                                  ORDER BY v.x) AS lr
+                         FROM v WHERE v.x // 100000 IN (SELECT b FROM sel)),
+                 o AS (SELECT s.num, s.den, s.qrank, i.x AS exact,
+                              (s.b + 1) * 100000 AS est,
+                              (s.b + 1) * 100000 - i.x AS err
+                       FROM sel2 s JOIN inb i
+                         ON i.b = s.b AND i.lr = s.qrank - s.cum_before)
+            SELECT CAST(num AS INT) AS num, CAST(den AS INT) AS den, qrank,
+                   exact, CAST(est AS BIGINT) AS est, CAST(err AS BIGINT) AS err
+            FROM o ORDER BY qrank, num, den"""))
+
   // ------------------------------------------------------------ cat 12: ANN
   /** IVF-flat ANN (Similarity.ivfTopK): ⌈√n⌉ centroid spacing (≈√n
     * deterministic centroids — the scale-stable IVF sizing), probe the 2
@@ -1407,7 +1453,7 @@ object ExtQueries {
     statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,
-    sketchKmv, sketchAggBound, annIvf,
+    sketchKmv, sketchAggBound, sketchQuantile, annIvf,
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,

@@ -298,6 +298,60 @@ object GraphQueries {
              SELECT node, round(MIN(pw), 6) AS dist
              FROM walk GROUP BY node ORDER BY node"""))
 
+  /** Pivot-sampled approximate closeness centrality (Eppstein–Wang):
+    * hop distances from K = 5 deterministic pivots (the smallest node
+    * ids) to every node in ONE shared multi-source BFS, distance capped
+    * at hops+1 for pivots that cannot reach a node within the bound, and
+    * approx_closeness = K / Σ_p min(d(p,v), hops+1). Exact closeness is
+    * |V| BFS runs — pivot sampling is the standard fixed-work estimator,
+    * and the capped sum makes the statistic total (no reachability
+    * special-casing) and all-integer until one final division. */
+  val graphClosenessApprox = QueryDef(
+    "q_graph_closeness_approx",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir)
+      val und = graft.graph.GraphAnalytics.undirected(ed.select($"src", $"dst"))
+      val nodes = und.select($"u".as("n"))
+        .unionByName(und.select($"v".as("n"))).distinct()
+      val pivots = nodes.orderBy($"n").limit(5).select($"n".as("p"))
+      val d = graft.graph.GraphAnalytics.multiSourceHopDistances(
+        und, pivots, hops = 4)
+      val dd = d.select($"p".as("dp"), $"node".as("dn"), $"d")
+      broadcast(pivots).crossJoin(nodes)
+        .join(dd, $"p" === $"dp" && $"n" === $"dn", "left")
+        .groupBy($"n")
+        .agg(sum(coalesce($"d", lit(5))).cast("long").as("sum_dist"),
+          sum(when($"d".isNull, 1).otherwise(0)).cast("int").as("n_unreached"))
+        .select($"n".as("node"), $"sum_dist", $"n_unreached",
+          round(lit(5.0) / $"sum_dist", 6).as("approx_closeness"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM edges WHERE src <> dst),
+             bi AS (SELECT u AS src, v AS dst FROM und
+                    UNION ALL SELECT v, u FROM und),
+             nodes AS (SELECT DISTINCT n FROM
+                         (SELECT u AS n FROM und UNION ALL SELECT v FROM und)),
+             piv AS (SELECT n AS p FROM nodes ORDER BY n LIMIT 5),
+             walk(p, node, d) AS (
+               SELECT p, p, 0 FROM piv
+               UNION ALL
+               SELECT w.p, e.dst, w.d + 1
+               FROM walk w JOIN bi e ON e.src = w.node WHERE w.d < 4),
+             md AS (SELECT p, node, MIN(d) AS d FROM walk GROUP BY p, node),
+             g AS (SELECT piv.p, nodes.n FROM piv CROSS JOIN nodes),
+             st AS (SELECT g.n AS node,
+                           SUM(COALESCE(md.d, 5)) AS sum_dist,
+                           SUM(CASE WHEN md.d IS NULL THEN 1 ELSE 0 END) AS n_unreached
+                    FROM g LEFT JOIN md ON md.p = g.p AND md.node = g.n
+                    GROUP BY g.n)
+             SELECT node, CAST(sum_dist AS BIGINT) AS sum_dist,
+                    CAST(n_unreached AS INT) AS n_unreached,
+                    round(5.0 / sum_dist, 6) AS approx_closeness
+             FROM st ORDER BY node"""))
+
   /** Per-node local clustering coefficient: cc = 2·tri / (deg·(deg−1)).
     *
     * Composes the O(m^1.5) degree-ordered triangle count with undirected
@@ -483,5 +537,5 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphPagerankExact, graphPpr, graphSssp,
-      graphCc, graphClustering, graphJaccard)
+      graphCc, graphClustering, graphJaccard, graphClosenessApprox)
 }

@@ -511,6 +511,48 @@ object PipelineQueries {
          |FROM b ORDER BY hamming, vec_id LIMIT 10""".stripMargin
     })
 
+  /** Packed-Hamming ANN for a query BATCH (Similarity.hammingTopKQueries):
+    * corpus sign codes built once, ranking joins only the two packed
+    * BIGINT columns, exact cosine computed for the ≤ batch·k finalists
+    * only. Single-query equivalence with q_vec_hamming's path is
+    * spec-pinned (SketchIvfSpec). */
+  val vecHammingBatch = QueryDef(
+    "q_vec_hamming_batch",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      Similarity.hammingTopKQueries(e, "vec_id", "embedding",
+          e.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64, k = 5)
+        .orderBy($"qid", $"rn")
+    },
+    Some {
+      def codeSql(sl: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform($sl, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+           |  (a, b) -> a*2 + b)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |             ${codeSql("v[1:32]")} AS h1,
+         |             ${codeSql("v[33:64]")} AS h2
+         |      FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv,
+         |             ${codeSql("v[1:32]")} AS qh1,
+         |             ${codeSql("v[33:64]")} AS qh2
+         |      FROM e WHERE vec_id < 3),
+         |r AS (SELECT q.qid, b.vec_id,
+         |             CAST(bit_count(xor(b.h1, q.qh1)) +
+         |                  bit_count(xor(b.h2, q.qh2)) AS INT) AS hamming,
+         |             b.v, q.qv
+         |      FROM b CROSS JOIN q),
+         |t AS (SELECT qid, vec_id, hamming, v, qv,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY hamming, vec_id) AS rn
+         |      FROM r)
+         |SELECT qid, vec_id AS cand, hamming,
+         |       round(${cosSql("v", "qv")}, 6) AS cos, CAST(rn AS INT) AS rn
+         |FROM t WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    })
+
   /** SemDeDup over TRAINED k-means cells (Dedup.semanticDedup): the
     * 10 planted exact copies must each be pruned by their original —
     * identical vectors always share a cell, and the original is the
@@ -753,6 +795,50 @@ object PipelineQueries {
          |       GROUP BY a.vec_id)
          |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     })
+
+  /** PQ-flat ADC for a query BATCH (Similarity.pqTopKQueries): the corpus
+    * is PQ-coded once for the whole batch (the assignment pass is query-
+    * independent), per-query ADC rides the broadcast-gated
+    * (qid, s, cid) lookup table, top-k windows partition by qid.
+    * Single-query equivalence with q_ann_pq's path is spec-pinned
+    * (SketchIvfSpec). */
+  val annPqBatch = QueryDef(
+    "q_ann_pq_batch",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      Similarity.pqTopKQueries(e, "vec_id", "embedding",
+          e.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64, k = 5,
+          corpusN = Tables.rowCount(s, dir, "embeddings"), queriesN = 3L)
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ss AS (SELECT unnest(range(8)) AS s),
+         |sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
+         |        FROM e CROSS JOIN ss),
+         |cb AS (SELECT vec_id AS cid, s, list_slice(v, s*8 + 1, s*8 + 8) AS cs
+         |       FROM e CROSS JOIN ss WHERE vec_id % (SELECT sp FROM sp) = 0),
+         |asg AS (SELECT vec_id, s, cid FROM (
+         |          SELECT sub.vec_id, sub.s, cb.cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+         |                   round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
+         |                         + list_dot_product(cs, cs), 6), cb.cid) AS rn
+         |          FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |qc AS (SELECT q.qid, cb.s, cb.cid,
+         |              round(list_dot_product(list_slice(q.qv, cb.s*8 + 1, cb.s*8 + 8),
+         |                                     cb.cs), 6) AS contrib
+         |       FROM q CROSS JOIN cb),
+         |sc AS (SELECT qc.qid, a.vec_id,
+         |              round(CAST(SUM(CAST(qc.contrib AS DECIMAL(20,10))) AS DOUBLE), 6) AS score
+         |       FROM asg a JOIN qc ON qc.s = a.s AND qc.cid = a.cid
+         |       GROUP BY qc.qid, a.vec_id)
+         |SELECT qid, vec_id AS cand, score, CAST(rn AS INT) AS rn FROM (
+         |  SELECT qid, vec_id, score,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin))
 
   /** ANN quality evaluation as a query: recall@5 of multi-probe LSH
     * against the exact brute-force top-5, per query vector — the metric
@@ -1306,6 +1392,91 @@ object PipelineQueries {
                     round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
              FROM j WHERE inter / CAST(uni AS DOUBLE) >= 0.5
              ORDER BY a, b"""))
+
+  /** QUALITY-AWARE near-dup resolution: MinHash-LSH pairs → connected
+    * components → keep the HIGHEST-quality doc per component (heuristic
+    * quality score, doc_id tie-break) — the production policy
+    * (q_dedup_canonical's min-id keeper is the arbitrary baseline; real
+    * pipelines keep the best-scoring duplicate, not the first-crawled
+    * one). One row per dup-component member: its keeper, the keeper's
+    * quality, and whether this row survives. */
+  val dedupKeepBest = QueryDef(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      val cc = graft.graph.GraphXOps.connectedComponents(
+        pairs.select($"a".as("src"), $"b".as("dst"), lit(1.0).as("weight")))
+      val q = TextAnalysis.qualityScore(corpus, "doc_id", "text")
+        .select($"doc_id", $"quality")
+      val members = cc.select($"node".as("doc_id"), $"component").join(q, "doc_id")
+      val w = Window.partitionBy($"component").orderBy($"quality".desc, $"doc_id")
+      val keepers = members.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"component", $"doc_id".as("keep_id"),
+          $"quality".as("keep_quality"))
+      members.join(keepers, "component")
+        .select($"doc_id", $"keep_id", $"keep_quality",
+          ($"doc_id" === $"keep_id").as("kept"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val allStop = TextAnalysis.stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+         |  FROM documents WHERE doc_id < 20),
+         |$shinglesCte,
+         |$minhashCte,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |est AS (SELECT c.a, c.b,
+         |               SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+         |        FROM cand c
+         |        JOIN mh ma ON ma.doc_id = c.a
+         |        JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+         |        GROUP BY c.a, c.b),
+         |pairs AS (SELECT a, b FROM est WHERE ej >= 0.5),
+         |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |verts AS (SELECT DISTINCT a AS v FROM und),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r0.v, u.b FROM reach r0 JOIN und u ON u.a = r0.r),
+         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+         |qb AS (SELECT doc_id,
+         |              CAST(len($toksSql) AS INT) AS n_tokens,
+         |              CAST(length(text) AS INT) AS n_chars,
+         |              CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         |              CAST(len(list_intersect(list_distinct($toksSql), $allStop)) AS INT) AS n_stop
+         |       FROM corpus),
+         |qual AS (SELECT doc_id,
+         |                round(0.4 * (n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE)) +
+         |                      0.3 * least(n_tokens / 100.0, 1.0) +
+         |                      0.3 * (1.0 - n_punct / CAST(greatest(n_chars, 1) AS DOUBLE)), 6) AS quality
+         |         FROM qb),
+         |mem AS (SELECT c.doc_id, c.component, q.quality
+         |        FROM comp c JOIN qual q USING (doc_id)),
+         |keep AS (SELECT component, doc_id AS keep_id, quality AS keep_quality
+         |         FROM (SELECT component, doc_id, quality,
+         |                      ROW_NUMBER() OVER (PARTITION BY component
+         |                        ORDER BY quality DESC, doc_id) AS rn
+         |               FROM mem) WHERE rn = 1)
+         |SELECT m.doc_id, k.keep_id, k.keep_quality, m.doc_id = k.keep_id AS kept
+         |FROM mem m JOIN keep k USING (component)
+         |ORDER BY m.doc_id""".stripMargin
+    })
 
   /** Sequence packing: greedy contiguous token-budget binning (2048 tokens)
     * of docs into training examples, per source — running token cumsum
@@ -2357,12 +2528,12 @@ object PipelineQueries {
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
-    textChunks, dedupCanonical, dedupAllPairs, sampleStratified, textPii, textDecontam,
+    textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, annIvfPq, annIvfPqBatch, annPqTrained, annPqErr, vecDiverse,
+    annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
-    dedupSemanticBudget, vecHamming,
+    dedupSemanticBudget, vecHamming, vecHammingBatch,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }

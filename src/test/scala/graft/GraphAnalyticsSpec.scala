@@ -268,4 +268,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     // conservation: super-edge weights partition the original edge set
     assert(sup.toSeq.map(_._3).sum == 7)
   }
+
+  test("multiSourceHopDistances: K pivots share one traversal, distances exact") {
+    // path 1-2-3-4-5 plus isolated-from-path pair 8-9
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("u", "v")
+    val pivots = Seq(1L, 3L).toDF("p")
+    val d = GraphAnalytics.multiSourceHopDistances(und, pivots, hops = 4)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val expected = Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3, (1L, 5L) -> 4,
+      (3L, 1L) -> 2, (3L, 2L) -> 1, (3L, 3L) -> 0, (3L, 4L) -> 1, (3L, 5L) -> 2)
+    assert(d == expected, s"$d")
+    // hop bound truncates: depth 1 sees only direct neighbours
+    val d1 = GraphAnalytics.multiSourceHopDistances(und, pivots, hops = 1)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(d1 == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1,
+      (3L, 2L) -> 1, (3L, 3L) -> 0, (3L, 4L) -> 1), s"$d1")
+  }
 }

@@ -315,6 +315,88 @@ class SketchIvfSpec extends SparkSpec {
     assert(ext == extSingle)
   }
 
+  test("histogramQuantiles: err within (0, width]; exact matches a driver-side sort; mergeable") {
+    val li = Tables(spark, sf, "lineitem")
+    val cents = li.select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val qs = Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+    val r = Sketches.histogramQuantiles(cents, "cents", width = 100000L, qs)
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map { case (num, den, rank, exact, est, err) =>
+        (num, den) -> (rank, exact, est, err) }.toMap
+    assert(r.keySet == qs.toSet, s"one row per fraction: ${r.keySet}")
+    // ground truth by an in-memory sort (test-only; the operator never does this)
+    val sorted = cents.as[Long].collect().sorted
+    val n = sorted.length
+    qs.foreach { case (num, den) =>
+      val (rank, exact, est, err) = r((num, den))
+      assert(rank == (n.toLong * num + den - 1) / den)
+      assert(exact == sorted((rank - 1).toInt),
+        s"$num/$den: exact $exact != sorted rank ${sorted((rank - 1).toInt)}")
+      assert(err == est - exact && err >= 1 && err <= 100000L,
+        s"$num/$den: err $err outside (0, width]")
+    }
+    // mergeable: the sketch is one integer groupBy — repartitioning the
+    // input cannot move a single output row
+    val r13 = Sketches.histogramQuantiles(
+        cents.repartition(13), "cents", width = 100000L, qs)
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSet
+    assert(r13 == r.map { case ((num, den), (rank, exact, est, err)) =>
+      (num, den, rank, exact, est, err) }.toSet)
+  }
+
+  test("hammingTopKQueries: every batch slice row-identical to the per-query hammingTopK plan") {
+    val emb = Tables(spark, sf, "embeddings")
+    val batch = Similarity.hammingTopKQueries(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64, k = 5)
+      .select($"qid", $"cand", $"hamming", $"cos")
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    (0L to 2L).foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].head()
+      val single = Similarity.hammingTopK(emb, "vec_id", "embedding", qv, k = 5)
+        .as[(Long, Int, Double)].collect().toSet
+      assert(batch(qid) == single,
+        s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopKQueries(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 63, k = 5)
+    }
+  }
+
+  test("pqTopKQueries: batch slices row-identical to pqTopK; gate fallback rows unchanged") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val batch = Similarity.pqTopKQueries(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64, k = 5,
+        corpusN = n, queriesN = 3L)
+      .select($"qid", $"cand", $"score")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    (0L to 2L).foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].head()
+      val single = Similarity.pqTopK(emb, "vec_id", "embedding", qv,
+          k = 5, corpusN = n)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(qid) == single,
+        s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+    // broadcast gate: forcing the shuffle path must not change a row
+    val shuffled = Similarity.pqTopKQueries(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", dim = 64, k = 5,
+        corpusN = n, queriesN = 3L, broadcastRowLimit = 1L)
+      .select($"qid", $"cand", $"score")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(shuffled == batch)
+  }
+
   test("persisted quantizer serves row-identically to the in-memory artifact") {
     val emb = Tables(spark, sf, "embeddings")
     val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", iters = 2)
