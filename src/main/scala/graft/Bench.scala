@@ -37,10 +37,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
-      // queries are independent: drop leftover checkpoint/persist blocks
-      // (graph traversals localCheckpoint per level) so memory pressure
-      // from one query can't skew the next one's timing
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // queries are independent: free the finished query's checkpoint
+      // blocks (graph traversals localCheckpoint per level) so memory
+      // pressure from one query can't skew the next one's timing — but
+      // through GC + ContextCleaner, NOT a manual unpersist sweep: the
+      // session-memoized trained-quantizer artifacts are localCheckpoint
+      // frames too, and a blanket unpersist kills their blocks with
+      // truncated lineage (6 trained queries failed when the old async
+      // sweep was made blocking). The memos stay strongly referenced, so
+      // GC cleans exactly the per-query garbage. Runs outside any timer;
+      // only wall-clock pays.
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -96,17 +96,54 @@ object Sketches {
   def histogramQuantiles(values: DataFrame, valCol: String, width: Long,
                          quantiles: Seq[(Int, Int)]): DataFrame = {
     require(width >= 1, s"bucket width must be >= 1 (got $width)")
-    require(quantiles.nonEmpty && quantiles.forall { case (num, den) =>
-      num >= 1 && den >= 1 && num <= den },
-      s"quantile fractions must satisfy 1 <= num <= den: $quantiles")
-    val spark = values.sparkSession
-    import spark.implicits._
     val v = values.select(col(valCol).cast("long").as("x"))
       .filter(col("x").isNotNull)
     val hist = v.groupBy(expr(s"x DIV ${width}L").as("b"))
       .agg(count(lit(1)).as("c"))
-    // prefix sums over the HISTOGRAM (tiny) — h2 ≤ h theta-join is a
-    // tiny-side broadcast-NL, bounded by (#buckets)², never data rows
+    val sel = selectedBuckets(hist, quantiles)
+    // phase 2: local rank within selected buckets only
+    val selB = sel.select(col("b")).distinct()
+    val wB = Window.partitionBy(col("b")).orderBy(col("x"))
+    val inB = v.withColumn("b", expr(s"x DIV ${width}L"))
+      .join(broadcast(selB), "b")
+      .withColumn("lr", row_number().over(wB))
+    broadcast(sel)
+      .join(inB, sel("b") === inB("b") &&
+        col("lr") === col("qrank") - col("cum_before"))
+      .select(col("num"), col("den"), col("qrank"),
+        col("x").as("exact"),
+        ((sel("b") + 1L) * width).as("est"),
+        ((sel("b") + 1L) * width - col("x")).as("err"))
+  }
+
+  /** Quantile ESTIMATES from an already-maintained histogram (b, c) —
+    * the read path of the STREAMING sketch (streaming.HistogramIngest):
+    * when only the sketch is retained (the point of a sketch at 100 TB —
+    * the raw values are gone), the estimate is the located bucket's
+    * upper edge, within one width of the true quantile by the same
+    * argument as [[histogramQuantiles]]. StreamingSpec pins these
+    * estimates equal to the batch sketch's `est` column on the same
+    * data. Returns (num, den, qrank, est). */
+  def quantileEstimatesFromHist(hist: DataFrame, width: Long,
+                                quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1 (got $width)")
+    selectedBuckets(hist, quantiles)
+      .select(col("num"), col("den"), col("qrank"),
+        ((col("b") + 1L) * width).as("est"))
+  }
+
+  /** Shared bucket location: for each (num, den) fraction over histogram
+    * (b, c), the first bucket whose cumulative count reaches rank
+    * ⌈n·num/den⌉, with its cum_before. The cumulative prefix runs over
+    * the HISTOGRAM table (tiny — ≤ value-range/width rows; the b2 ≤ b
+    * theta-join is a tiny-side broadcast-NL), never data rows. */
+  private def selectedBuckets(hist: DataFrame,
+                              quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall { case (num, den) =>
+      num >= 1 && den >= 1 && num <= den },
+      s"quantile fractions must satisfy 1 <= num <= den: $quantiles")
+    val spark = hist.sparkSession
+    import spark.implicits._
     val cum = hist.as("h")
       .join(broadcast(hist.select(col("b").as("b2"), col("c").as("c2"))),
         col("b2") <= col("b"))
@@ -118,23 +155,9 @@ object Sketches {
       .crossJoin(broadcast(n))
       .withColumn("qrank", expr("(n * num + den - 1) DIV den"))
       .select(col("num"), col("den"), col("qrank"))
-    // first bucket whose cumulative count reaches the rank
-    val sel = qr.join(broadcast(cum), col("cum") >= col("qrank"))
+    qr.join(broadcast(cum), col("cum") >= col("qrank"))
       .groupBy(col("num"), col("den"), col("qrank"))
       .agg(min(col("b")).as("b"))
       .join(cum.select(col("b"), col("cum_before")), "b")
-    // phase 2: local rank within selected buckets only
-    val selB = sel.select(col("b")).distinct()
-    val wB = Window.partitionBy(col("b")).orderBy(col("x"))
-    val inB = v.withColumn("b", expr(s"x DIV ${width}L"))
-      .join(broadcast(selB), "b")
-      .withColumn("lr", row_number().over(wB))
-    sel
-      .join(inB, sel("b") === inB("b") &&
-        col("lr") === col("qrank") - col("cum_before"))
-      .select(col("num"), col("den"), col("qrank"),
-        col("x").as("exact"),
-        ((sel("b") + 1L) * width).as("est"),
-        ((sel("b") + 1L) * width - col("x")).as("err"))
   }
 }

@@ -609,48 +609,92 @@ object ScaleQueries {
     * regardless of offset. Every 20-window of an original also occurs in
     * its shifted copy, so originals clean to md5('') and copies keep only
     * the 3 pad tokens; only affected docs are returned. */
+  /** The rolling-hash substring-dedup CTE chain (corpus with planted
+    * offset-shifted clones → per-doc token/dup-token counts + cleaned
+    * md5), shared by q_dedup_substring and q_text_dupfrac. */
+  private val substringAggCtes =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, 'zq1 zq2 zq3 ' || text
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |h AS (SELECT doc_id, toks,
+       |             list_transform(toks, x ->
+       |               CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647) AS hvs
+       |      FROM t),
+       |g AS (SELECT doc_id, u.j AS j,
+       |             list_sum(list_transform(range(20), o ->
+       |               (hvs[u.j + o + 1] * (${TextOps.windowCoefSql(20)})[o + 1])
+       |                 % 2147483647)) % 2147483647 AS gh
+       |      FROM h, unnest(range(greatest(len(toks) - 19, 0))) AS u(j)),
+       |dup AS (SELECT gh FROM g GROUP BY gh
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT g.doc_id, g.j + o.o AS p
+       |        FROM g JOIN dup USING (gh), unnest(range(20)) AS o(o)),
+       |tok AS (SELECT doc_id, u.p AS p, toks[u.p + 1] AS w
+       |        FROM t, unnest(range(len(toks))) AS u(p)),
+       |agg AS (SELECT tok.doc_id,
+       |               CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |               CAST(SUM(CASE WHEN cov.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_toks,
+       |               md5(COALESCE(string_agg(CASE WHEN cov.p IS NULL THEN tok.w END,
+       |                                       ' ' ORDER BY tok.p), '')) AS cleaned
+       |        FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+       |        GROUP BY tok.doc_id)""".stripMargin
+
+  /** The matching Spark-side corpus + per-doc substring-dedup table. */
+  private def substringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat(lit("zq1 zq2 zq3 "), $"text").as("text")))
+    Dedup.substringDedup(corpus, "doc_id", "text", k = 20)
+  }
+
   val dedupSubstring = QueryDef(
     "q_dedup_substring",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val corpus = docs.select($"doc_id", $"text").unionByName(
-        docs.filter($"doc_id" < 10)
-          .select(($"doc_id" + 100000).as("doc_id"),
-            concat(lit("zq1 zq2 zq3 "), $"text").as("text")))
-      Dedup.substringDedup(corpus, "doc_id", "text", k = 20)
+      substringAgg(s, dir)
         .filter($"n_dup_toks" > 0)
         .orderBy($"doc_id")
     },
-    Some(s"""WITH corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL SELECT doc_id + 100000, 'zq1 zq2 zq3 ' || text
-             |  FROM documents WHERE doc_id < 10),
-             |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
-             |h AS (SELECT doc_id, toks,
-             |             list_transform(toks, x ->
-             |               CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 2147483647) AS hvs
-             |      FROM t),
-             |g AS (SELECT doc_id, u.j AS j,
-             |             list_sum(list_transform(range(20), o ->
-             |               (hvs[u.j + o + 1] * (${TextOps.windowCoefSql(20)})[o + 1])
-             |                 % 2147483647)) % 2147483647 AS gh
-             |      FROM h, unnest(range(greatest(len(toks) - 19, 0))) AS u(j)),
-             |dup AS (SELECT gh FROM g GROUP BY gh
-             |        HAVING COUNT(DISTINCT doc_id) >= 2),
-             |cov AS (SELECT DISTINCT g.doc_id, g.j + o.o AS p
-             |        FROM g JOIN dup USING (gh), unnest(range(20)) AS o(o)),
-             |tok AS (SELECT doc_id, u.p AS p, toks[u.p + 1] AS w
-             |        FROM t, unnest(range(len(toks))) AS u(p)),
-             |agg AS (SELECT tok.doc_id,
-             |               CAST(COUNT(*) AS BIGINT) AS n_toks,
-             |               CAST(SUM(CASE WHEN cov.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_toks,
-             |               md5(COALESCE(string_agg(CASE WHEN cov.p IS NULL THEN tok.w END,
-             |                                       ' ' ORDER BY tok.p), '')) AS cleaned
-             |        FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
-             |        GROUP BY tok.doc_id)
-             |SELECT doc_id, n_toks, n_dup_toks, cleaned FROM agg
-             |WHERE n_dup_toks > 0 ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH $substringAggCtes
+             SELECT doc_id, n_toks, n_dup_toks, cleaned FROM agg
+             WHERE n_dup_toks > 0 ORDER BY doc_id"""))
+
+  /** Corpus duplicate-token share per source (the Lee et al. "what
+    * fraction of the corpus is duplicated text" number every dedup run
+    * reports): aggregate the per-doc substring-dedup counts up to the
+    * source level — planted clones keep their original's source (id %
+    * 100000). The expensive part is the rolling-hash table q_dedup_
+    * substring already builds; this is the one-groupBy rollup on top. */
+  val textDupfrac = QueryDef(
+    "q_text_dupfrac",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "documents")
+        .select($"doc_id".as("orig_id"), $"source")
+      substringAgg(s, dir)
+        .withColumn("orig_id", $"doc_id" % 100000)
+        .join(src, "orig_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("n_toks"),
+          sum($"n_dup_toks").as("n_dup_toks"))
+        .withColumn("dup_frac",
+          round($"n_dup_toks" / $"n_toks".cast("double"), 6))
+        .orderBy($"source")
+    },
+    Some(s"""WITH $substringAggCtes
+             SELECT d.source,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(a.n_toks) AS BIGINT) AS n_toks,
+                    CAST(SUM(a.n_dup_toks) AS BIGINT) AS n_dup_toks,
+                    round(SUM(a.n_dup_toks) / CAST(SUM(a.n_toks) AS DOUBLE), 6) AS dup_frac
+             FROM agg a JOIN documents d ON d.doc_id = a.doc_id % 100000
+             GROUP BY d.source ORDER BY d.source"""))
 
   /** Winnowing fingerprint pairs (Dedup.winnowPairs — MOSS document
     * similarity): same planted offset-shifted clones as q_dedup_substring;
@@ -1185,7 +1229,7 @@ object ScaleQueries {
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
-    dedupIncremental, profileCorr, sampleWeighted, dedupSubstring,
+    dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,
     aggIncremental, eventsFunnel, linkEr, eventsAnomaly)
 }

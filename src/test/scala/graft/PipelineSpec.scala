@@ -578,7 +578,7 @@ class PipelineSpec extends SparkSpec {
       docs.filter($"doc_id" < 20)
         .select(($"doc_id" + 100000).as("doc_id"),
           concat($"text", lit(" qq17 zz88")).as("text")))
-    val got = Dedup.allPairsJaccard(corpus, "doc_id", "text", 0.5)
+    val got = Dedup.allPairsJaccard(corpus, "doc_id", "text", 4, 5)
       .select($"a", $"b", $"inter", $"uni")
       .as[(Long, Long, Int, Int)].collect().toSet
     // brute force: every pair, exact Jaccard — the O(n²) baseline the
@@ -591,7 +591,7 @@ class PipelineSpec extends SparkSpec {
       .withColumn("inter", size(array_intersect(col("x.shs"), col("y.shs"))))
       .withColumn("uni",
         size(col("x.shs")) + size(col("y.shs")) - col("inter"))
-      .filter(col("inter") / col("uni").cast("double") >= 0.5)
+      .filter(col("inter") * 5 >= col("uni") * 4)
       .select(col("x.doc_id"), col("y.doc_id"), col("inter"), col("uni"))
       .as[(Long, Long, Int, Int)].collect().toSet
     assert(got == brute,
@@ -600,18 +600,30 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("allPairsJaccard threshold boundary: J = t kept, J < t dropped, clones J = 1") {
+    // t = 1/2 on a tiny set algebra: J(1,2) = 2/4 = t exactly
     val mini = Seq(
       (1L, "a b c d e"),   // shingles {abc, bcd, cde}
       (2L, "a b c d f"),   // ∩ with 1 = 2, ∪ = 4 → J = 0.5 exactly
       (3L, "a b c x y z"), // ∩ with 1 = 1 (abc), ∪ = 6 → J ≈ 0.17
       (4L, "a b c d e")    // clone of 1 → J = 1
     ).toDF("doc_id", "text")
-    val r = Dedup.allPairsJaccard(mini, "doc_id", "text", 0.5)
+    val r = Dedup.allPairsJaccard(mini, "doc_id", "text", 1, 2)
       .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     assert(r.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
       s"exactly the >= t pairs: ${r.keySet}")
     assert(r((1L, 2L)) == 0.5, "boundary pair kept at exactly t")
     assert(r((1L, 4L)) == 1.0, "clone pair at J = 1")
+    // t = 4/5 integer-boundary: 11-token docs → 9 shingles; changing the
+    // last token rewrites the final shingle only: inter 8, uni 10 → J = 0.8
+    // exactly — kept iff the ceil/length/verify arithmetic is exact
+    // rational (a double 0.8 threshold drops it at some lengths)
+    val b5 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 zz")
+    ).toDF("doc_id", "text")
+    val rb = Dedup.allPairsJaccard(b5, "doc_id", "text", 4, 5)
+      .select($"a", $"b", $"inter", $"uni").as[(Long, Long, Int, Int)].collect()
+    assert(rb.toSeq == Seq((1L, 2L, 8, 10)), s"J = 4/5 boundary pair: ${rb.toSeq}")
   }
 }

@@ -225,6 +225,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram: shard-merged sketch equals batch; estimates match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.HistogramIngest
+    import graft.pipeline.Sketches
+    implicit val sql = spark.sqlContext
+    val cents = Tables(spark, sf, "lineitem")
+      .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .as[Long].collect()
+    val stream = MemoryStream[Long]
+    val index = HistogramIngest.emptyIndex(spark)
+    val q = HistogramIngest.start(
+      stream.toDS().toDF("cents"), "cents", 100000L, index)
+    try {
+      cents.grouped(2000).foreach { shard =>
+        stream.addData(shard.toSeq: _*); q.processAllAvailable()
+      }
+      // integer counts under addition: streamed == batch, exactly
+      val streamed = index.hist.as[(Long, Long)].collect().toMap
+      val batch = HistogramIngest.bucketCounts(
+          cents.toSeq.toDF("cents"), "cents", 100000L)
+        .as[(Long, Long)].collect().toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      // reading quantile estimates from the MAINTAINED sketch equals the
+      // batch sketch (the raw values are not needed — the sketch's point)
+      val qs = Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+      val fromSketch = Sketches.quantileEstimatesFromHist(
+          index.hist, 100000L, qs)
+        .as[(Int, Int, Long, Long)].collect().toSet
+      val full = Sketches.histogramQuantiles(
+          cents.toSeq.toDF("cents"), "cents", 100000L, qs)
+        .select($"num", $"den", $"qrank", $"est")
+        .as[(Int, Int, Long, Long)].collect().toSet
+      assert(fromSketch == full, s"$fromSketch vs $full")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest: LSH index drops copies, greedy chain semantics hold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.NearDupIngest
