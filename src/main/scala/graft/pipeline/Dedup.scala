@@ -515,11 +515,22 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("len") - expr(s"(len * $thrNum + $thrDen - 1) DIV $thrDen") + 1)
-      .select(col("doc_id"), col("len"), col("s"))
+      .select(col("doc_id"), col("len"), col("rn"), col("s"))
+    // positional filter (PPJoin, Xiao et al. WWW'08): J ≥ t needs overlap
+    // α = ⌈t/(1+t)·(Lx+Ly)⌉; at a shared prefix shingle at ranks
+    // (rnx, rny), every other shared shingle is LATER in the global
+    // order, so overlap ≤ 1 + min(Lx−rnx, Ly−rny). Suffix bounds shrink
+    // with rank, so the earliest shared shingle carries the largest
+    // bound — testing every match is equivalent to testing the first,
+    // and a J ≥ t pair always survives (bound ≥ true overlap ≥ α).
+    // Exact rational arithmetic throughout, as above.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
           col("y.len") * thrDen >= col("x.len") * thrNum &&
-          col("x.len") * thrDen >= col("y.len") * thrNum)
+          col("x.len") * thrDen >= col("y.len") * thrNum &&
+          expr(s"""1 + least(x.len - x.rn, y.len - y.rn) >=
+                   ($thrNum * (x.len + y.len) + ${thrNum + thrDen - 1})
+                     DIV ${thrNum + thrDen}"""))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val full = sh.select(col("doc_id"), col("shs"))

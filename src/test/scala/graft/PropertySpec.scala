@@ -94,4 +94,50 @@ class PropertySpec extends SparkSpec {
       assert(d1.size <= d3.size)
     }
   }
+
+  test("histogramQuantiles: est-exact in (0, width], exact == sorted rank (5 samples)") {
+    val valuesGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 5000L)),
+      Gen.chooseNum(7L, 400L))
+    forAll(valuesGen, n = 5) { case (xs, width) =>
+      val df = xs.toDF("x")
+      val qs = Seq((1, 3), (1, 2), (9, 10))
+      val r = pipeline.Sketches.histogramQuantiles(df, "x", width, qs)
+        .as[(Int, Int, Long, Long, Long, Long)].collect()
+      assert(r.length == qs.size)
+      val sorted = xs.sorted
+      r.foreach { case (num, den, rank, exact, est, err) =>
+        assert(rank == (xs.size.toLong * num + den - 1) / den)
+        assert(exact == sorted((rank - 1).toInt),
+          s"$num/$den exact $exact != ${sorted((rank - 1).toInt)} (w=$width)")
+        assert(err == est - exact && err >= 1 && err <= width,
+          s"$num/$den err $err outside (0, $width]")
+      }
+    }
+  }
+
+  test("allPairsJaccard == brute force on random small corpora (4 samples)") {
+    // tiny vocab → heavy shingle collisions → the filters get exercised
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.listOfN(8, tok).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(12, doc)
+    forAll(corpusGen, n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = pipeline.Dedup.allPairsJaccard(df, "doc_id", "text", 2, 3)
+        .select($"a", $"b", $"inter", $"uni")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      val sh = df.select($"doc_id",
+          pipeline.TextOps.shingles(pipeline.TextOps.tokens($"text")).as("shs"))
+        .filter(size($"shs") > 0)
+      val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("inter", size(array_intersect(col("x.shs"), col("y.shs"))))
+        .withColumn("uni", size(col("x.shs")) + size(col("y.shs")) - col("inter"))
+        .filter(col("inter") * 3 >= col("uni") * 2)
+        .select(col("x.doc_id"), col("y.doc_id"), col("inter"), col("uni"))
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == brute,
+        s"missed=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    }
+  }
 }
