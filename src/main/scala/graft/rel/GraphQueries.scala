@@ -120,6 +120,28 @@ object GraphQueries {
              WHERE e.src IN (SELECT node FROM vis) AND e.dst IN (SELECT node FROM vis)
              ORDER BY src, dst, etype"""))
 
+  /** The BFS re-expressed as a NATIVE Spark SQL recursive CTE — Spark 4.x
+    * executes `WITH RECURSIVE` (UnionLoop under Catalyst), so the exact
+    * recursion the DuckDB oracle has always run now also runs verbatim on
+    * the Spark side; only the edge-derivation CTE differs by JSON-function
+    * dialect (get_json_object vs json_extract_string). Cross-checks
+    * [[graft.graph.Bfs.traverse]] (the driver-loop implementation behind
+    * q_graph_bfs) against the planner's own fixpoint execution — three
+    * independent BFS engines, one hash. Depth-bounded recursion keeps the
+    * per-iteration frontier an equi-join on the node key, the same
+    * scale shape as the driver loop. */
+  val graphBfsSql = QueryDef.sqlBoth(
+    "q_graph_bfs_sql",
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT user_id AS src,
+       |         CAST(get_json_object(props, '$$.k') AS BIGINT) % 15 AS dst,
+       |         event_type AS etype, MAX(value) AS w
+       |  FROM events GROUP BY 1, 2, 3),
+       |${bfsCte(3, None)}
+       |SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node""".stripMargin,
+    s"""WITH RECURSIVE $edgesCte, ${bfsCte(3, None)}
+       |SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node""".stripMargin)
+
   /** Full hybrid fusion pipeline (O20, cat 14): min-max-normalized vector
     * scores ⊕ BFS closeness from doc 0 over a deterministic doc ring graph,
     * 0.7/0.3 weights, final>0 filter, top-25. One composed Catalyst plan. */
@@ -535,7 +557,7 @@ object GraphQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(graphBfs, graphBfsTyped, graphScore, graphInduced, hybrid,
+    Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphPagerankExact, graphPpr, graphSssp,
       graphCc, graphClustering, graphJaccard, graphClosenessApprox)
 }

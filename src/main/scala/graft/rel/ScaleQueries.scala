@@ -43,7 +43,7 @@ object ScaleQueries {
   }
 
   /** The same graph, DuckDB side: e0 = canonical edges, ee = both ways. */
-  private val eeCte =
+  private[rel] val eeCte =
     """e0 AS (
       |  SELECT DISTINCT user_id AS u,
       |         100000 + TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
