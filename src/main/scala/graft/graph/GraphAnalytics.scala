@@ -111,6 +111,66 @@ object GraphAnalytics {
     dist
   }
 
+  /** Pivot-sampled Brandes betweenness centrality (Brandes 2001; pivot
+    * sampling per Brandes–Pich 2007), hop-capped. Forward phase: K
+    * level-synchronous BFS expansions carried as ONE frontier keyed by
+    * pivot — each level is an equi-join against the edge list plus a
+    * left-anti join against the visited set, with shortest-path counts
+    * (sigma) accumulated by integer group-sums (exact, order-free).
+    * Backward phase: dependency accumulation level by level —
+    * delta(v) = Σ over successors w of sigma_v/sigma_w · (1 + delta_w) —
+    * where the single double expression per edge is rounded to 8 places
+    * and fixed into DECIMAL(20,8), so per-node sums are exact decimal
+    * arithmetic and results cannot depend on partitioning. State per
+    * round is ≤ K·|V| fixed-width rows; exact betweenness is |V| BFS
+    * runs, pivots bound it to K regardless of graph size.
+    * Returns (node, bc DOUBLE) = Σ over pivots of delta — unnormalized,
+    * levels 1..hops-1 (the hop-cap truncates deeper dependencies; pivots
+    * contribute nothing to themselves by construction). */
+  def betweennessApprox(und: DataFrame, pivots: DataFrame, hops: Int): DataFrame = {
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(20, 8))
+    val e = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var levels = Vector(
+      pivots.select(col("p"), col("p").as("node"), lit(1L).as("sig")).localCheckpoint())
+    var visited = levels(0).select(col("p"), col("node")).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val prev = levels.last
+      val cand = e.join(prev, e("src") === prev("node"))
+        .select(col("p"), col("dst").as("node"), col("sig"))
+      val nxt = cand.join(visited, Seq("p", "node"), "left_anti")
+        .groupBy(col("p"), col("node")).agg(sum(col("sig")).as("sig"))
+        .localCheckpoint()
+      levels :+= nxt
+      visited = visited.unionByName(nxt.select(col("p"), col("node"))).localCheckpoint()
+    }
+    var nextInfo = levels(hops)
+      .select(col("p").as("np"), col("node").as("w"), col("sig").as("sigw"),
+        zero.as("dw"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (d <- hops - 1 to 1 by -1) {
+      val cur = levels(d)
+      val contrib = e.join(cur, e("src") === cur("node"))
+        .join(nextInfo, col("dst") === col("w") && col("p") === col("np"))
+        .select(col("p"), col("node"),
+          round(col("sig").cast("double") / col("sigw").cast("double") *
+            (lit(1.0) + col("dw").cast("double")), 8)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 8)).as("c"))
+        .groupBy(col("p"), col("node")).agg(sum(col("c")).as("delta"))
+      val deltaD = cur.join(contrib, Seq("p", "node"), "left")
+        .select(col("p"), col("node"), col("sig"),
+          coalesce(col("delta"), zero).as("delta"))
+        .localCheckpoint()
+      deltas += deltaD.select(col("p"), col("node"), col("delta"))
+      nextInfo = deltaD.select(col("p").as("np"), col("node").as("w"),
+        col("sig").as("sigw"), col("delta").as("dw"))
+    }
+    deltas.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("delta")).as("bc_dec"))
+      .select(col("node"), col("bc_dec").cast("double").as("bc"))
+  }
+
   /** Fixed-point scale for integer PageRank: ranks live in [0, 10^12]. */
   val PrScale = 1000000000000L
 

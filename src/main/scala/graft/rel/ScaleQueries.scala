@@ -522,6 +522,77 @@ object ScaleQueries {
           ORDER BY n.node"""
     })
 
+  /** Pivot-sampled Brandes betweenness (4 pivots, hop cap 3) over the
+    * sparse bipartite graph: forward level-synchronous sigma counting
+    * (exact BIGINT), backward dependency accumulation with each edge
+    * contribution rounded to 8 places into DECIMAL(20,8) — per-node sums
+    * exact, ranks partition-independent. The oracle unrolls both phases:
+    * BFS levels l1..l3 with NOT-EXISTS visited guards, then delta tables
+    * d2, d1 replaying the identical rounded expression. Top 20 central
+    * nodes. */
+  val graphBetweenness = QueryDef(
+    "q_graph_betweenness",
+    (s, dir) => {
+      import s.implicits._
+      val edges = sparseEdges(s, dir)
+      val und = edges.select($"src".as("u"), $"dst".as("v"))
+      val pivots = edges.select($"src").distinct()
+        .orderBy($"src").limit(4).select($"src".as("p"))
+      GraphAnalytics.betweennessApprox(und, pivots, hops = 3)
+        .select($"node", round($"bc", 6).as("bc"))
+        .orderBy($"bc".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH $eeCte,
+             |piv AS (SELECT u AS p FROM (SELECT DISTINCT u FROM e0)
+             |        ORDER BY u LIMIT 4),
+             |l0 AS (SELECT p, p AS node, CAST(1 AS BIGINT) AS sig FROM piv),
+             |l1 AS (SELECT l0.p, ee.v AS node, CAST(SUM(l0.sig) AS BIGINT) AS sig
+             |       FROM l0 JOIN ee ON ee.u = l0.node
+             |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |                         WHERE x.p = l0.p AND x.node = ee.v)
+             |       GROUP BY 1, 2),
+             |l2 AS (SELECT l1.p, ee.v AS node, CAST(SUM(l1.sig) AS BIGINT) AS sig
+             |       FROM l1 JOIN ee ON ee.u = l1.node
+             |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |                         WHERE x.p = l1.p AND x.node = ee.v)
+             |         AND NOT EXISTS (SELECT 1 FROM l1 x
+             |                         WHERE x.p = l1.p AND x.node = ee.v)
+             |       GROUP BY 1, 2),
+             |l3 AS (SELECT l2.p, ee.v AS node, CAST(SUM(l2.sig) AS BIGINT) AS sig
+             |       FROM l2 JOIN ee ON ee.u = l2.node
+             |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |                         WHERE x.p = l2.p AND x.node = ee.v)
+             |         AND NOT EXISTS (SELECT 1 FROM l1 x
+             |                         WHERE x.p = l2.p AND x.node = ee.v)
+             |         AND NOT EXISTS (SELECT 1 FROM l2 x
+             |                         WHERE x.p = l2.p AND x.node = ee.v)
+             |       GROUP BY 1, 2),
+             |ct2 AS (SELECT a.p, a.node,
+             |               SUM(CAST(round(CAST(a.sig AS DOUBLE) / CAST(b.sig AS DOUBLE)
+             |                              * (1.0 + 0.0), 8) AS DECIMAL(20,8))) AS delta
+             |        FROM l2 a JOIN ee ON ee.u = a.node
+             |        JOIN l3 b ON b.p = a.p AND b.node = ee.v
+             |        GROUP BY 1, 2),
+             |d2 AS (SELECT a.p, a.node, a.sig,
+             |              COALESCE(ct2.delta, CAST(0 AS DECIMAL(20,8))) AS delta
+             |       FROM l2 a LEFT JOIN ct2 ON ct2.p = a.p AND ct2.node = a.node),
+             |ct1 AS (SELECT a.p, a.node,
+             |               SUM(CAST(round(CAST(a.sig AS DOUBLE) / CAST(b.sig AS DOUBLE)
+             |                              * (1.0 + CAST(b.delta AS DOUBLE)), 8)
+             |                        AS DECIMAL(20,8))) AS delta
+             |        FROM l1 a JOIN ee ON ee.u = a.node
+             |        JOIN d2 b ON b.p = a.p AND b.node = ee.v
+             |        GROUP BY 1, 2),
+             |d1 AS (SELECT a.p, a.node, COALESCE(ct1.delta, CAST(0 AS DECIMAL(20,8))) AS delta
+             |       FROM l1 a LEFT JOIN ct1 ON ct1.p = a.p AND ct1.node = a.node),
+             |bc AS (SELECT node, CAST(SUM(delta) AS DOUBLE) AS bc
+             |       FROM (SELECT p, node, delta FROM d1
+             |             UNION ALL SELECT p, node, delta FROM d2)
+             |       GROUP BY node)
+             |SELECT node, round(bc, 6) AS bc FROM bc
+             |ORDER BY round(bc, 6) DESC, node LIMIT 20""".stripMargin))
+
   // --------------------------------------------------- coarse-fine rerank
   private val queryVecSql =
     VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
@@ -1231,5 +1302,5 @@ object ScaleQueries {
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,
-    aggIncremental, eventsFunnel, linkEr, eventsAnomaly)
+    aggIncremental, eventsFunnel, linkEr, eventsAnomaly, graphBetweenness)
 }

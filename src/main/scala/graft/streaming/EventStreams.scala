@@ -7,6 +7,17 @@ import org.apache.spark.sql.types._
 
 case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** A closed gap-session emitted by [[EventStreams.sessionizeWithState]].
+  * `total` carries cents internally, emitted as the dollars double —
+  * matching the batch side's DECIMAL(18,2) discipline exactly. */
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                         n: Long, total: Double)
+
+/** Open-session state for [[EventStreams.sessionizeWithState]]: timestamps
+  * as epoch micros, money as cents — all-integer so streaming totals are
+  * bit-identical to the batch DECIMAL sums at any arrival order. */
+case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
 /** Structured-Streaming operators over the events stream (SURVEY §2.B.10 —
   * an *extension* beyond the reference, which is request/response only).
   *
@@ -222,6 +233,74 @@ object EventStreams {
           val next = UserRunningTotal(user, n, tot)
           state.update(next)
           next
+      }
+  }
+
+  /** Production gap-sessionization as an explicit state machine:
+    * flatMapGroupsWithState with an EVENT-TIME TIMEOUT — the shape
+    * session_window cannot express (emit each session the moment the
+    * watermark passes its gap, carry custom per-session aggregates, bound
+    * state to one fixed-width row per OPEN session). Money accumulates as
+    * integer cents (the batch side's DECIMAL(18,2) discipline), timestamps
+    * as epoch micros — totals are bit-identical to the batch gap-island
+    * aggregation at any arrival order, which StreamingSpec asserts.
+    *
+    * Within a batch, a group's rows are sorted by event time before the
+    * gap scan; across batches the watermark guarantees no event older than
+    * the horizon arrives, so the sorted-scan + saved-state composition
+    * equals the global sorted scan. On timeout (watermark > last + gap)
+    * the open session closes and its one state row frees — state is
+    * O(open sessions), independent of stream length. */
+  def sessionizeWithState(events: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def close(user: Long, s: SessionState): ClosedSession = {
+      val t = new java.sql.Timestamp(s.startUs / 1000000L * 1000L)
+      t.setNanos(((s.startUs % 1000000L) * 1000L).toInt)
+      ClosedSession(user, t, s.n, s.cents / 100.0)
+    }
+
+    events.withWatermark("ts", watermark)
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(close(user, _)).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var st = state.getOption
+            rows.toSeq.sortBy(r => us(r._2)).foreach { r =>
+              val t = us(r._2); val c = cents(r._3)
+              st match {
+                case None => st = Some(SessionState(t, t, 1L, c))
+                case Some(s) if t - s.lastUs >= gapUs =>
+                  out += close(user, s)
+                  st = Some(SessionState(t, t, 1L, c))
+                case Some(s) =>
+                  st = Some(SessionState(s.startUs, math.max(s.lastUs, t),
+                    s.n + 1L, s.cents + c))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
+            }
+            out.iterator
+          }
       }
   }
 }

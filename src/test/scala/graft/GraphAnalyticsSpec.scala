@@ -287,4 +287,26 @@ class GraphAnalyticsSpec extends SparkSpec {
       (1L, 1L) -> 0, (1L, 2L) -> 1,
       (3L, 2L) -> 1, (3L, 3L) -> 0, (3L, 4L) -> 1), s"$d1")
   }
+
+  test("betweennessApprox: diamond splits sigma, path accumulates deps") {
+    // diamond 1-2, 1-3, 2-4, 3-4: from pivot 1, sigma(4)=2 via 2 and 3;
+    // delta(2) = delta(3) = 1/2 * (1 + 0) = 0.5; node 4 is deepest (delta 0)
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val bc = GraphAnalytics.betweennessApprox(diamond, Seq(1L).toDF("p"), hops = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(bc == Map(2L -> 0.5, 3L -> 0.5), s"$bc")
+
+    // path 1-2-3-4-5 from pivot 1, hops=4: delta(2)=3, delta(3)=2, delta(4)=1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val bcp = GraphAnalytics.betweennessApprox(path, Seq(1L).toDF("p"), hops = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(bcp == Map(2L -> 3.0, 3L -> 2.0, 4L -> 1.0), s"$bcp")
+
+    // two pivots sum: star 1..4 around center 9, pivots {1,2} -> each sees
+    // the 3 other leaves through the center: bc(9) = 2 * 3
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("u", "v")
+    val bcs = GraphAnalytics.betweennessApprox(star, Seq(1L, 2L).toDF("p"), hops = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(bcs(9L) == 6.0, s"$bcs")
+  }
 }

@@ -303,6 +303,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer == batch gap sessions, exact totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val real = Tables(spark, sf, "events").filter($"user_id" < 5)
+      .select($"user_id", $"ts", $"value")
+      .orderBy($"ts").as[(Long, Timestamp, Double)].collect()
+    assert(real.nonEmpty)
+    // far-future sentinel per user closes that user's final session via the
+    // gap rule itself (its own session stays open, never emitted)
+    val maxTs = real.map(_._2.getTime).max
+    val sentinels = real.map(_._1).distinct
+      .map(u => (u, new Timestamp(maxTs + 86400000L), 0.0))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val events = stream.toDS().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionizeWithState(events)
+      .writeStream.format("memory").queryName("sess_state_out")
+      .outputMode("append").start()
+    try {
+      (real.grouped(200).map(_.toSeq).toSeq :+ sentinels.toSeq).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("sess_state_out")
+        .select($"user_id", $"session_start", $"n", $"total")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      val batch = EventStreams.sessionCounts(
+          Tables(spark, sf, "events").filter($"user_id" < 5))
+        .select($"user_id", $"session_start", $"n", $"total")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"missing ${batch -- streamed}; extra ${streamed -- batch}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals == plain aggregation (batch mode)") {
     val events = Tables(spark, sf, "events")
     val got = EventStreams.runningUserTotals(events)
