@@ -499,6 +499,43 @@ object Similarity {
     ivfTopKWith(corpus, idCol, vecCol, cent, queryVec, k, nprobe, roundTo)
   }
 
+  /** Filter-aware ANN serving — the pre-filter vs post-filter decision
+    * every production vector store makes when a search carries a metadata
+    * predicate:
+    *  - SELECTIVE predicate (filtered fraction ≤ `selectThreshold`):
+    *    pre-filter — exact brute-force top-k over the filtered subset; a
+    *    selective scan beats any index probe and the answer is exact
+    *    (post-filtering an ANN index here would also starve: most probed
+    *    candidates fail the predicate, recall collapses);
+    *  - LOOSE predicate: post-filter — IVF probe over the FULL corpus
+    *    with an `overFetch`× candidate budget, predicate applied to the
+    *    candidates, top-k of survivors (pre-filtering here would scan
+    *    nearly everything and waste the index).
+    * The decision statistic is one count aggregate over the predicate —
+    * at cluster scale that is a catalog/statistics lookup, not a data
+    * pass. Returns (idCol, score) either way, so callers are
+    * strategy-agnostic. */
+  def filteredTopKAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                       pred: org.apache.spark.sql.Column, queryVec: Seq[Double],
+                       k: Int, selectThreshold: Double = 0.2, overFetch: Int = 4,
+                       centroidEvery: Int = 0, nprobe: Int = 2,
+                       roundTo: Int = 6, corpusN: Long = 0L): DataFrame = {
+    val n = if (corpusN > 0) corpusN else corpus.count()
+    val filtered = corpus.filter(pred)
+    val m = filtered.count()
+    if (n == 0 || m <= selectThreshold * n) {
+      graft.search.VectorSearch.topK(filtered, idCol, vecCol, queryVec, k,
+          scoreCol = "score", cosine = true, roundTo = Some(roundTo))
+        .select(col(idCol), col("score"))
+    } else {
+      val cand = ivfTopK(corpus, idCol, vecCol, queryVec, k * overFetch,
+        centroidEvery, nprobe, roundTo, corpusN = n)
+      cand.join(filtered.select(col(idCol)), Seq(idCol), "left_semi")
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
   /** IVF query path against a CALLER-SUPPLIED coarse quantizer (cid, cv) —
     * the spaced sample ([[ivfTopK]]) and trained k-means centroids
     * ([[kmeansCentroids]]) share this code, so swapping quantizers never

@@ -39,6 +39,39 @@ object Sketches {
           .as("kmv_est"))
   }
 
+  /** KMV set-operation estimates over two keyed sets (Beyer et al.,
+    * SIGMOD 2007): each side keeps its k smallest distinct hashes (via
+    * orderBy+limit → TakeOrderedAndProject, per-partition heaps — never a
+    * single-partition window); the UNION sketch is the k smallest of the
+    * combined minima (the defining KMV mergeability), estimating
+    * |A∪B| ≈ (k−1)·P DIV h_k; the INTERSECTION estimate scales the union
+    * estimate by ρ = |{x ∈ K(A∪B) : x ∈ K(A) ∧ x ∈ K(B)}| / |K(A∪B)|.
+    * Integer arithmetic end to end, so both estimates are bit-identical
+    * in any engine and under any partitioning. Returns one row
+    * (est_union, est_intersect). */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
+    def minima(df: DataFrame): DataFrame = df
+      .select(TextOps.strHash(col(keyCol).cast("string")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+    val ka = minima(a).localCheckpoint()
+    val kb = minima(b).localCheckpoint()
+    val ku = ka.unionByName(kb).distinct().orderBy(col("h")).limit(k)
+      .localCheckpoint()
+    val stats = ku.agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+    val both = ku.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("i"))
+    // m < k ⇒ the union sketch holds EVERY distinct hash, so est_union = m
+    // and ρ·U = i·m/m = i — both estimates collapse to the exact values
+    stats.join(both)
+      .select(
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"(${(k - 1).toLong} * ${TextOps.P}L) DIV hk"))
+          .as("est_union"),
+        col("m"), col("i"))
+      .select(col("est_union"),
+        expr("(i * est_union) DIV m").as("est_intersect"))
+  }
+
   /** Count-Min sketch: depth×width counter table from the cross-engine
     * hash family ([[TextOps.minhashPerm]] over [[TextOps.strHash]]).
     * Counter updates are sums → mergeable and order-independent, so the

@@ -331,6 +331,10 @@ object ExtQueries {
             FROM g ORDER BY p_partkey"""))
 
   // ----------------------------------------------------------- cat 4: sketch
+  /** The cross-engine hash (TextOps.strHash) as a DuckDB fragment. */
+  private def hvSqlExt(x: String) =
+    s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT) % 2147483647"
+
   /** KMV-vs-exact CTE chain over lineitem (k = 64), shared by
     * q_sketch_kmv and q_sketch_agg_bound: kx = (g, exact, kmv_est). */
   private val kmvCtes =
@@ -393,6 +397,67 @@ object ExtQueries {
                     abs(kmv_est - exact) <= 0.25 * exact AS kmv_ok,
                     TRUE AS hll_ok, TRUE AS sketches_agree
              FROM kx ORDER BY l_returnflag"""))
+
+  /** KMV set-operation estimates (Sketches.kmvSetOps, Beyer et al. SIGMOD
+    * 2007) beside the exact values: A = parts ever returned, B = parts
+    * shipped in 1997. The union sketch is the k smallest of the combined
+    * per-side minima (KMV's defining mergeability — at 1000 executors the
+    * same merge happens per partition first); intersection scales the
+    * union estimate by the fraction of union-sketch members present in
+    * BOTH side sketches. All-integer arithmetic, so the oracle replays
+    * the estimates bit-for-bit. */
+  val sketchSetops = QueryDef(
+    "q_sketch_setops",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val in97 = $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp")
+      val a = li.filter($"l_returnflag" === "R").select($"l_partkey")
+      val b = li.filter(in97).select($"l_partkey")
+      val est = Sketches.kmvSetOps(a, b, "l_partkey", k = 128)
+      val flags = li.groupBy($"l_partkey")
+        .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("fa"),
+          max(when(in97, 1).otherwise(0)).as("fb"))
+      val ex = flags.agg(
+        sum(when($"fa" === 1 || $"fb" === 1, 1L).otherwise(0L)).as("exact_union"),
+        sum(when($"fa" === 1 && $"fb" === 1, 1L).otherwise(0L)).as("exact_intersect"))
+      est.join(ex)
+        .select($"est_union", $"est_intersect", $"exact_union", $"exact_intersect")
+    },
+    Some(s"""WITH ha AS (SELECT DISTINCT ${hvSqlExt("CAST(l_partkey AS VARCHAR)")} AS h
+             |           FROM lineitem WHERE l_returnflag = 'R'),
+             |ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+             |hb AS (SELECT DISTINCT ${hvSqlExt("CAST(l_partkey AS VARCHAR)")} AS h
+             |       FROM lineitem
+             |       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |         AND l_shipdate < TIMESTAMP '1998-01-01'),
+             |kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+             |ku AS (SELECT DISTINCT h FROM
+             |         (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+             |       ORDER BY h LIMIT 128),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS hk FROM ku),
+             |bo AS (SELECT CAST(COUNT(*) AS BIGINT) AS i FROM ku
+             |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+             |eu AS (SELECT CAST(CASE WHEN m < 128 THEN m
+             |                        ELSE (127 * 2147483647::BIGINT) // hk
+             |                   END AS BIGINT) AS est_union, m
+             |       FROM st),
+             |flags AS (SELECT l_partkey,
+             |                 MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fa,
+             |                 MAX(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+             |                           AND l_shipdate < TIMESTAMP '1998-01-01'
+             |                          THEN 1 ELSE 0 END) AS fb
+             |          FROM lineitem GROUP BY l_partkey),
+             |ex AS (SELECT CAST(SUM(CASE WHEN fa = 1 OR fb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |                AS exact_union,
+             |              CAST(SUM(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |                AS exact_intersect
+             |       FROM flags)
+             |SELECT eu.est_union,
+             |       CAST((bo.i * eu.est_union) // eu.m AS BIGINT) AS est_intersect,
+             |       ex.exact_union, ex.exact_intersect
+             |FROM eu, bo, ex""".stripMargin))
 
   /** Count-Min sketch point queries beside exact counts (Sketches.cmsBuild/
     * cmsEstimate, depth 3 × width 256): like q_sketch_kmv, a sketch whose
@@ -1453,7 +1518,7 @@ object ExtQueries {
     statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,
-    sketchKmv, sketchAggBound, sketchQuantile, annIvf,
+    sketchKmv, sketchAggBound, sketchSetops, sketchQuantile, annIvf,
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,

@@ -1159,6 +1159,50 @@ object ScaleQueries {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** Incremental JOIN-view maintenance — the bilinear delta algebra:
+    * with R = Rh ∪ ΔR and S = Sh ∪ ΔS,
+    *   R⋈S = Rh⋈Sh ∪ Rh⋈ΔS ∪ ΔR⋈Sh ∪ ΔR⋈ΔS
+    * so refreshing a join-backed aggregate view touches only the three
+    * delta terms plus the saved hist⋈hist partials — at 100 TB the
+    * nightly refresh joins a day of orders against a day of lineitem
+    * (plus two delta-vs-history probes), never fact×fact. The Spark side
+    * computes the view through the four-term decomposition (orders split
+    * by order date, lineitem independently by ship date — every (o,l)
+    * pair lands in exactly one term); the oracle recomputes the flat
+    * join, so the hash match PROVES the algebra. */
+  val joinIncremental = QueryDef(
+    "q_join_incremental",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cut = lit("1998-01-01").cast("timestamp")
+      val o = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+        $"o_orderpriority", $"o_orderdate")
+      val l = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice",
+        $"l_discount", $"l_shipdate")
+      val (oh, od) = (o.filter($"o_orderdate" < cut), o.filter($"o_orderdate" >= cut))
+      val (lh, ld) = (l.filter($"l_shipdate" < cut), l.filter($"l_shipdate" >= cut))
+      def partial(r: DataFrame, t: DataFrame): DataFrame =
+        r.join(t, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast(DecimalType(18, 4))).as("amt"))
+      partial(oh, lh).unionByName(partial(oh, ld))
+        .unionByName(partial(od, lh)).unionByName(partial(od, ld))
+        .groupBy($"o_orderpriority")
+        .agg(sum($"cnt").as("n_lines"),
+          sum($"amt").cast("double").as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(l_extendedprice * (1.0::DOUBLE - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   /** Ordered conversion funnel view → click → purchase
     * (EventStreams.orderedFunnel): stage i counts users whose first
     * stage-i event strictly follows their first-QUALIFYING stage-(i−1)
@@ -1302,5 +1346,6 @@ object ScaleQueries {
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,
-    aggIncremental, eventsFunnel, linkEr, eventsAnomaly, graphBetweenness)
+    aggIncremental, joinIncremental, eventsFunnel, linkEr, eventsAnomaly,
+    graphBetweenness)
 }

@@ -186,6 +186,32 @@ object VectorQueries {
              WHERE label % 3 = 0 AND len(embedding) = 64
              ORDER BY score DESC, vec_id LIMIT 20"""))
 
+  /** Filter-aware ANN (Similarity.filteredTopKAuto): the pre-filter vs
+    * post-filter strategy decision. Here the predicate keeps ~10% of the
+    * corpus (label % 10 = 0) — under the 20% threshold, so the operator
+    * takes the PRE-FILTER path: exact cosine top-k over the filtered
+    * subset (post-filtering an index would starve recall at this
+    * selectivity). The oracle computes exactly that, so the hash match
+    * pins both the strategy choice and the result; SketchIvfSpec pins
+    * the loose-predicate path against its ivf+semi-join composition. */
+  val annFilteredAuto = QueryDef(
+    "q_ann_filtered_auto",
+    (s, dir) => {
+      import s.implicits._
+      graft.pipeline.Similarity.filteredTopKAuto(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        $"label" % 10 === 0, queryVec, k = 15,
+        corpusN = Tables.rowCount(s, dir, "embeddings"))
+    },
+    Some(s"""WITH s AS (
+               SELECT vec_id,
+                      list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql) AS d,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product($queryVecSql, $queryVecSql)) AS nn
+               FROM embeddings WHERE label % 10 = 0 AND len(embedding) = 64)
+             SELECT vec_id, round(CASE WHEN nn = 0 THEN 0.0 ELSE d / nn END, 6) AS score
+             FROM s ORDER BY score DESC, vec_id LIMIT 15"""))
+
   /** Reciprocal Rank Fusion of the vector and BM25 rankers
     * (HybridSearch.rrfFuse) — the PDF-claimed fusion the reference never
     * implemented (SURVEY authoritative-source note; app.py:670-672 keeps
@@ -300,6 +326,6 @@ object VectorQueries {
             |SELECT vid AS vec_id, proj, resid2 FROM resid ORDER BY vec_id""".stripMargin))
 
   val all: Seq[QueryDef] =
-    Seq(vecTopK, vecCosineTopK, vecTopKFiltered, vecKnn, bm25, hashEmbedQ,
-      hybridRrf, vecPca, vecWhiten)
+    Seq(vecTopK, vecCosineTopK, vecTopKFiltered, annFilteredAuto, vecKnn,
+      bm25, hashEmbedQ, hybridRrf, vecPca, vecWhiten)
 }

@@ -441,4 +441,26 @@ class SketchIvfSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Int)].collect().sortBy(r => (r._1, r._5))
     assert(a.toSeq == b.toSeq, "join strategy must never change results")
   }
+
+  test("filteredTopKAuto: selective pred = exact pre-filter; loose pred = ivf post-filter") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = graft.rel.VectorQueries.queryVec
+    val n = emb.count()
+    // selective (10%): must equal exact brute force over the subset
+    val auto = Similarity.filteredTopKAuto(emb, "vec_id", "embedding",
+      $"label" % 10 === 0, q, k = 15, corpusN = n)
+      .as[(Long, Double)].collect().toSeq
+    val exact = graft.search.VectorSearch.topK(emb.filter($"label" % 10 === 0),
+      "vec_id", "embedding", q, 15, scoreCol = "score", cosine = true,
+      roundTo = Some(6)).as[(Long, Double)].collect().toSeq
+    assert(auto == exact, s"pre-filter path must be the exact subset top-k")
+    // loose (always true): must equal the ivf + semi-join + re-limit composition
+    val loose = Similarity.filteredTopKAuto(emb, "vec_id", "embedding",
+      lit(true), q, k = 15, corpusN = n).as[(Long, Double)].collect().toSeq
+    val post = Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 60,
+        corpusN = n)
+      .orderBy($"score".desc, $"vec_id").limit(15)
+      .as[(Long, Double)].collect().toSeq
+    assert(loose == post, "post-filter path must be the ivf composition")
+  }
 }
