@@ -420,6 +420,43 @@ object Similarity {
         col("cos"), col("rn"))
   }
 
+  /** Int8 scalar-quantized (SQ8) ANN scan: one global symmetric scale
+    * M = max |component| over the corpus (a single tiny aggregate — a
+    * statistics lookup at lake scale, broadcast to every task) quantizes
+    * each component to q = ⌊x·127/M⌋ ∈ [−127, 127]; candidates rank on
+    * the ALL-INTEGER quantized dot product (every term ≤ dim·127², exact
+    * in doubles — no summation-order sensitivity, so the ranking is
+    * bit-identical at any parallelism), and the exact double cosine runs
+    * only on the `rerank` finalists picked by orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, never a global sort).
+    * This is the classic SQ8 serving path: int8 codes are a 4× I/O cut
+    * vs float32 and the scan kernel is a cheap integer MAC; materialize
+    * the `q` column once at ingest and the rerank step is the only
+    * consumer that ever touches the full vectors.
+    * Returns top-k (id, qdot, cos) by exact-cosine rank. */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Double], k: Int, rerank: Int,
+              roundTo: Int = 6): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val dt = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val e = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
+    val scale = e.agg(
+      max(array_max(transform(col("v"), x => abs(x)))).as("mx"))
+    val qv = typedlit(queryVec)
+    e.join(broadcast(scale))
+      .withColumn("qq", transform(qv, x => floor(x * 127.0 / col("mx"))))
+      .withColumn("qc", transform(col("v"), x => floor(x * 127.0 / col("mx"))))
+      .withColumn("qdot", vec.dot(col("qc"), col("qq")).cast("long"))
+      .orderBy(col("qdot").desc, col("vid"))
+      .limit(rerank)
+      .withColumn("cos", round(vec.cosine(col("v"), qv), roundTo))
+      .orderBy(col("cos").desc, col("vid"))
+      .limit(k)
+      .select(col("vid").as(idCol), col("qdot"), col("cos"))
+  }
+
   /** PQ-flat ADC scoring for a BATCH of query vectors — [[pqTopK]] in the
     * serving shape: the corpus is PQ-coded ONCE for the whole batch (the
     * assignment pass is query-independent — per-query literal plans

@@ -280,6 +280,64 @@ object GraphQueries {
              FROM (SELECT unnest([a, y, z]) AS node FROM t)
              GROUP BY node ORDER BY node"""))
 
+  /** Oracle-side k-truss peel rounds: per round i, sup = per-edge common
+    * neighbor count (one pair equi-join over both-ways adjacency, exactly
+    * the support definition), then e(i+1) keeps support ≥ k−2. e CTEs are
+    * MATERIALIZED — the final peel-round left-join chain references every
+    * round, and DuckDB inlines plain CTEs per reference. */
+  private def ktrussCtes(k: Int, rounds: Int): String =
+    (0 until rounds).map { i =>
+      s"""b$i AS (SELECT u, v FROM e$i UNION ALL SELECT v AS u, u AS v FROM e$i),
+         |s$i AS (SELECT e.u, e.v, COUNT(*) AS sup
+         |        FROM e$i e JOIN b$i a ON a.u = e.u
+         |        JOIN b$i b ON b.u = e.v AND b.v = a.v
+         |        GROUP BY e.u, e.v),
+         |e${i + 1} AS MATERIALIZED (
+         |        SELECT e.u, e.v FROM e$i e
+         |        JOIN s$i s ON s.u = e.u AND s.v = e.v
+         |        WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+
+  /** 5-truss onion decomposition of the hash-halved event graph, 7 peeling
+    * rounds (past the fixpoint on every fixture — sf0.001 converges in 5
+    * rounds, sf0.01 in 4, sf0.1 in 6; GraphAnalyticsSpec asserts one more
+    * round changes nothing): (u, v, peel_round) for every edge, 0 = in the
+    * 5-truss. The full event graph is too dense to peel (minimum support
+    * 12 at sf0.01), so the derivation drops half the edges with the same
+    * deterministic md5 hash rule sparseEdges uses — both engines keep the
+    * identical half at every scale factor. */
+  val graphKtruss = QueryDef(
+    "q_graph_ktruss",
+    (s, dir) => {
+      import s.implicits._
+      val und = graft.graph.GraphAnalytics.undirected(
+          eventEdges(s, dir).select($"src", $"dst"))
+        .filter(graft.pipeline.TextOps.strHash(
+          concat($"u".cast("string"), lit(":"), $"v".cast("string"))) % 2 === 0)
+        .select($"u".as("src"), $"v".as("dst"))
+      graft.graph.GraphAnalytics.kTrussPeel(und, k = 5, rounds = 7)
+        .orderBy($"u", $"v")
+    },
+    Some {
+      val rounds = 7
+      val cases = (1 to rounds).map(i => s"WHEN a$i.u IS NULL THEN $i").mkString(" ")
+      val joins = (1 to rounds)
+        .map(i => s"LEFT JOIN e$i a$i ON a$i.u = e0.u AND a$i.v = e0.v")
+        .mkString(" ")
+      s"""WITH $edgesCte, $edCte,
+          und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                  FROM ed WHERE src <> dst),
+          e0 AS MATERIALIZED (
+            SELECT u, v FROM und
+            WHERE (CAST(('0x'||substr(md5(CAST(u AS VARCHAR) || ':' ||
+                     CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 2147483647) % 2 = 0),
+          ${ktrussCtes(5, rounds)}
+          SELECT e0.u, e0.v, CAST(CASE $cases ELSE 0 END AS INT) AS peel_round
+          FROM e0 $joins
+          ORDER BY e0.u, e0.v"""
+    })
+
   /** Exact fixed-point PageRank (5 iterations, damping 85/100, BIGINT
     * 10^-12 scale — GraphAnalytics.pageRankFixedPoint). Unlike the HLL/
     * double-precision variants, integer arithmetic makes the oracle exact:
@@ -558,6 +616,6 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
-      graphDegree, graphTriangles, graphPagerankExact, graphPpr, graphSssp,
-      graphCc, graphClustering, graphJaccard, graphClosenessApprox)
+      graphDegree, graphTriangles, graphKtruss, graphPagerankExact, graphPpr,
+      graphSssp, graphCc, graphClustering, graphJaccard, graphClosenessApprox)
 }

@@ -553,6 +553,38 @@ object PipelineQueries {
          |FROM t WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     })
 
+  /** Int8 scalar-quantized ANN (Similarity.sq8TopK): one global max-|x|
+    * scale quantizes every component to ⌊x·127/M⌋, the scan ranks on the
+    * exact all-integer quantized dot product, and the true cosine runs
+    * only on the 30 finalists — the 4×-compressed SQ8 serving scan.
+    * Both engines compute the identical ⌊x·127/M⌋ codes (floor of one
+    * IEEE multiply-divide), so the candidate set is bit-identical and
+    * the hash check covers the whole path. */
+  val annSq8 = QueryDef(
+    "q_ann_sq8",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.sq8TopK(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", VectorQueries.queryVec, k = 10, rerank = 30)
+        .orderBy($"cos".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |m AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS mx FROM e),
+         |c AS (SELECT vec_id, v,
+         |             CAST(list_dot_product(
+         |               list_transform(v, x -> floor(x * 127.0 / mx)),
+         |               list_transform($qv, x -> floor(x * 127.0 / mx)))
+         |               AS BIGINT) AS qdot
+         |      FROM e CROSS JOIN m),
+         |r AS (SELECT vec_id, v, qdot FROM c
+         |      ORDER BY qdot DESC, vec_id LIMIT 30)
+         |SELECT vec_id, qdot, round(${cosSql("v", qv)}, 6) AS cos
+         |FROM r ORDER BY round(${cosSql("v", qv)}, 6) DESC, vec_id
+         |LIMIT 10""".stripMargin
+    })
+
   /** SemDeDup over TRAINED k-means cells (Dedup.semanticDedup): the
     * 10 planted exact copies must each be pruned by their original —
     * identical vectors always share a cell, and the original is the
@@ -2537,7 +2569,7 @@ object PipelineQueries {
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
-    dedupSemanticBudget, vecHamming, vecHammingBatch,
+    dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }

@@ -309,4 +309,51 @@ class GraphAnalyticsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(bcs(9L) == 6.0, s"$bcs")
   }
+
+  test("kTrussPeel: K5 is its own 5-truss; pendant triangle peels at round 1") {
+    val k5 = (for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val got5 = GraphAnalytics.kTrussPeel(k5, k = 5, rounds = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(got5.length == 10 && got5.forall(_._3 == 0),
+      s"every K5 edge has support 3 >= k-2: ${got5.toSeq}")
+
+    // K4 on {0,1,2,3} + pendant triangle (0,1,4): edges (0,4),(1,4) have
+    // support 1 < 2 and peel at round 1; (0,1) keeps support 2 via {2,3}
+    val g = ((for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) ++
+      Seq((0L, 4L), (1L, 4L))).toDF("src", "dst")
+    val got4 = GraphAnalytics.kTrussPeel(g, k = 4, rounds = 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got4((0L, 4L)) == 1 && got4((1L, 4L)) == 1, s"$got4")
+    assert(got4.filterNot(e => e._1 == (0L, 4L) || e._1 == (1L, 4L))
+      .values.forall(_ == 0), s"K4 core survives: $got4")
+  }
+
+  test("kTrussPeel: removal cascades round by round, fixpoint is stable") {
+    // K4 {0,1,2,3} + triangle strip (2,3,4) + (3,4,5): round 1 peels the
+    // support-1 edges (2,4),(3,5),(4,5); that strands (3,4) -> round 2
+    val g = ((for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) ++
+      Seq((2L, 4L), (3L, 4L), (3L, 5L), (4L, 5L))).toDF("src", "dst")
+    val got = GraphAnalytics.kTrussPeel(g, k = 4, rounds = 4)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((2L, 4L)) == 1 && got((3L, 5L)) == 1 && got((4L, 5L)) == 1, s"$got")
+    assert(got((3L, 4L)) == 2, s"cascade reaches (3,4) one round later: $got")
+    assert(got.count(_._2 == 0) == 6, s"K4 is the 4-truss: $got")
+
+    // one more round than the declared budget changes nothing on the
+    // declared query's fixture graph (the round budget is past fixpoint)
+    val edges = Tables(spark, sf, "events")
+      .select($"user_id".as("src"),
+        (get_json_object($"props", "$.k").cast("long") % 15).as("dst"))
+    val und = GraphAnalytics.undirected(edges)
+      .filter(graft.pipeline.TextOps.strHash(
+        concat($"u".cast("string"), lit(":"), $"v".cast("string"))) % 2 === 0)
+      .select($"u".as("src"), $"v".as("dst"))
+    val r7 = GraphAnalytics.kTrussPeel(und, k = 5, rounds = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    val r8 = GraphAnalytics.kTrussPeel(und, k = 5, rounds = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r7.nonEmpty && r7 == r8, "declared budget must be past the fixpoint")
+    assert(r7.exists(_._3 > 0), "fixture peel must be non-vacuous")
+  }
 }

@@ -463,4 +463,33 @@ class SketchIvfSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(loose == post, "post-filter path must be the ivf composition")
   }
+
+  test("sq8TopK: full rerank == exact cosine top-k; codes bounded; partition-independent") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    // rerank = n: the integer prefilter admits everything, so the result
+    // must be EXACTLY the brute-force cosine top-k
+    val full = Similarity.sq8TopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, rerank = n)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
+    val brute = graft.search.VectorSearch.topK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, scoreCol = "cos",
+        cosine = true, roundTo = Some(6))
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute, s"full rerank must reduce to exact search: $full vs $brute")
+    // the quantized dot is bounded by dim * 127^2 (codes in [-127, 127])
+    val qd = Similarity.sq8TopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, rerank = 30)
+      .select($"qdot").as[Long].collect()
+    assert(qd.forall(d => math.abs(d) <= 64L * 127 * 127), s"${qd.toSeq}")
+    // bounded rerank: deterministic across partitioning (integer ranking
+    // has no FP order sensitivity; ties broken by id)
+    val a = Similarity.sq8TopK(emb, "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, rerank = 30)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Similarity.sq8TopK(emb.repartition(7), "vec_id", "embedding",
+        VectorQueries.queryVec, k = 10, rerank = 30)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b, "sq8 ranking must not depend on partitioning")
+  }
 }
