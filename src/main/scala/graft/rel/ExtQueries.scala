@@ -1513,8 +1513,116 @@ object ExtQueries {
             FROM customer JOIN s ON s.nk = c_nationkey
             ORDER BY c_custkey"""))
 
+  // ------------------------------------------------- table maintenance
+  /** CDC changelog apply (Debezium-style compaction): the event stream is
+    * read as an ordered changelog over the customer snapshot — key =
+    * user_id·11 (hits existing keys AND past the key range, so inserts
+    * occur), op = DELETE for 'error' events else UPSERT with the event's
+    * value as the new balance (floor to cents — floor, not round: both
+    * engines floor the identical double product, while half-up vs
+    * half-even rounding of .xx5 diverges). Last op per key wins (window
+    * by key, ordered ts DESC with event_id tie-break — never global);
+    * result = untouched base rows + surviving upserts, each tagged
+    * kept/updated/inserted. At lake scale this is the snapshot-compaction
+    * join every CDC-fed table runs: one window over the day's changelog +
+    * one key join against the snapshot — base rows never shuffle by
+    * changelog order. */
+  val cdcApply = QueryDef(
+    "q_cdc_apply",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select($"c_custkey".as("key"), $"c_acctbal".as("bal"))
+      val log = Tables(s, dir, "events")
+        .select(($"user_id" * 11).as("key"), $"ts", $"event_id",
+          when($"event_type" === "error", "D").otherwise("U").as("op"),
+          (floor($"value" * 100) / 100.0).as("val"))
+      val w = Window.partitionBy($"key").orderBy($"ts".desc, $"event_id".desc)
+      val last = log.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val kept = base.join(last.select($"key"), Seq("key"), "left_anti")
+        .select($"key", $"bal", lit("kept").as("status"))
+      val upserts = last.filter($"op" === "U")
+        .join(base.select($"key", lit(1).as("inb")), Seq("key"), "left")
+        .select($"key", $"val".as("bal"),
+          when($"inb".isNotNull, "updated").otherwise("inserted").as("status"))
+      kept.unionByName(upserts).orderBy($"key")
+    },
+    Some("""WITH log AS (
+              SELECT user_id * 11 AS key, ts, event_id,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                     floor(value * 100) / 100.0 AS val
+              FROM events),
+            lst AS (SELECT key, op, val FROM (
+                      SELECT key, op, val,
+                             ROW_NUMBER() OVER (PARTITION BY key
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM log) WHERE rn = 1),
+            kept AS (SELECT c_custkey AS key, c_acctbal AS bal, 'kept' AS status
+                     FROM customer
+                     WHERE c_custkey NOT IN (SELECT key FROM lst)),
+            ups AS (SELECT l.key, l.val AS bal,
+                           CASE WHEN c.c_custkey IS NOT NULL
+                                THEN 'updated' ELSE 'inserted' END AS status
+                    FROM lst l LEFT JOIN customer c ON c.c_custkey = l.key
+                    WHERE l.op = 'U')
+            SELECT key, bal, status FROM kept
+            UNION ALL SELECT key, bal, status FROM ups
+            ORDER BY key"""))
+
+  /** Snapshot diff: two dataset versions (B = A with deterministic
+    * deletes/updates/inserts) full-outer-joined on the key and classified
+    * added / removed / changed / unchanged, rolled up to per-class counts
+    * + a key checksum — the dataset-versioning audit a 100 TB lake runs
+    * between publishes. One key-partitioned full join; payload compare is
+    * DECIMAL-exact (price deltas applied in decimal, never re-rounded
+    * doubles). */
+  val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val a = o.select($"o_orderkey".as("key"), $"o_orderstatus".as("sta"),
+        dec2($"o_totalprice").as("pa"))
+      val bKeep = o.filter($"o_orderkey" % 97 =!= 0)
+        .select($"o_orderkey".as("key"), $"o_orderstatus".as("stb"),
+          (dec2($"o_totalprice") +
+            when($"o_orderkey" % 89 === 0, lit(5)).otherwise(lit(0))).as("pb"))
+      val bIns = o.filter($"o_orderkey" % 101 === 0)
+        .select(($"o_orderkey" + 10000000L).as("key"), $"o_orderstatus".as("stb"),
+          (dec2($"o_totalprice") + lit(0)).as("pb"))
+      val j = a.join(bKeep.unionByName(bIns), Seq("key"), "full")
+      j.select($"key",
+          when($"sta".isNull, "added")
+            .when($"stb".isNull, "removed")
+            .when($"sta" =!= $"stb" || $"pa" =!= $"pb", "changed")
+            .otherwise("unchanged").as("diff_class"))
+        .groupBy($"diff_class")
+        .agg(count(lit(1)).as("n"), sum($"key").as("keysum"))
+        .orderBy($"diff_class")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS key, o_orderstatus AS sta,
+                              CAST(o_totalprice AS DECIMAL(18,2)) AS pa
+                       FROM orders),
+            b AS (SELECT o_orderkey AS key, o_orderstatus AS stb,
+                         CAST(o_totalprice AS DECIMAL(18,2)) +
+                           CASE WHEN o_orderkey % 89 = 0 THEN 5 ELSE 0 END AS pb
+                  FROM orders WHERE o_orderkey % 97 <> 0
+                  UNION ALL
+                  SELECT o_orderkey + 10000000 AS key, o_orderstatus AS stb,
+                         CAST(o_totalprice AS DECIMAL(18,2)) + 0 AS pb
+                  FROM orders WHERE o_orderkey % 101 = 0),
+            j AS (SELECT COALESCE(a.key, b.key) AS key,
+                         CASE WHEN a.sta IS NULL THEN 'added'
+                              WHEN b.stb IS NULL THEN 'removed'
+                              WHEN a.sta <> b.stb OR a.pa <> b.pb THEN 'changed'
+                              ELSE 'unchanged' END AS diff_class
+                  FROM a FULL OUTER JOIN b ON a.key = b.key)
+            SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(key) AS BIGINT) AS keysum
+            FROM j GROUP BY diff_class ORDER BY diff_class"""))
+
   val all: Seq[QueryDef] = Seq(
-    joinAsof, joinRange, joinSalted,
+    joinAsof, joinRange, joinSalted, cdcApply, snapshotDiff,
     statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,

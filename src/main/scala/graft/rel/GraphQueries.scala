@@ -432,6 +432,68 @@ object GraphQueries {
                     round(5.0 / sum_dist, 6) AS approx_closeness
              FROM st ORDER BY node"""))
 
+  /** Pivot-sampled neighborhood function + effective diameter (the ANF
+    * statistic, Palmer et al. KDD'02, estimated from the same K = 5 pivot
+    * BFS the closeness query shares): per hop h, reached = # of
+    * (pivot, node) pairs with d ≤ h, frac = reached / pairs-within-cap,
+    * and is_eff marks the smallest h covering ≥ 90% — the effective-
+    * diameter reading. The 90% test is ALL-INTEGER (10·reached ≥ 9·total
+    * — no rounded-double threshold compare); the cumulative sum is a
+    * self-join over the ≤ hops+1-row per-hop table, never a window over
+    * data rows. Exact ANF is all-pairs BFS; K pivots bound the work at
+    * any graph size. */
+  val graphDiameter = QueryDef(
+    "q_graph_diameter",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir)
+      val und = graft.graph.GraphAnalytics.undirected(ed.select($"src", $"dst"))
+      val nodes = und.select($"u".as("n"))
+        .unionByName(und.select($"v".as("n"))).distinct()
+      val pivots = nodes.orderBy($"n").limit(5).select($"n".as("p"))
+      val d = graft.graph.GraphAnalytics.multiSourceHopDistances(
+        und, pivots, hops = 4)
+      val byHop = d.groupBy($"d").agg(count(lit(1)).as("cnt"))
+      val cum = byHop.as("a")
+        .join(broadcast(byHop.as("b")), $"b.d" <= $"a.d")
+        .groupBy($"a.d")
+        .agg(sum($"b.cnt").as("reached"))
+        .select($"d".as("h"), $"reached")
+      val tot = byHop.agg(sum($"cnt").as("total"))
+      val fr = cum.crossJoin(broadcast(tot))
+      val mh = fr.filter($"reached" * 10 >= $"total" * 9)
+        .agg(min($"h").as("mh"))
+      fr.crossJoin(broadcast(mh))
+        .select($"h", $"reached".cast("long").as("reached"),
+          round($"reached".cast("double") / $"total", 6).as("frac"),
+          when($"h" === $"mh", 1).otherwise(0).cast("int").as("is_eff"))
+        .orderBy($"h")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM edges WHERE src <> dst),
+             bi AS (SELECT u AS src, v AS dst FROM und
+                    UNION ALL SELECT v, u FROM und),
+             nodes AS (SELECT DISTINCT n FROM
+                         (SELECT u AS n FROM und UNION ALL SELECT v FROM und)),
+             piv AS (SELECT n AS p FROM nodes ORDER BY n LIMIT 5),
+             walk(p, node, d) AS (
+               SELECT p, p, 0 FROM piv
+               UNION ALL
+               SELECT w.p, e.dst, w.d + 1
+               FROM walk w JOIN bi e ON e.src = w.node WHERE w.d < 4),
+             md AS (SELECT p, node, MIN(d) AS d FROM walk GROUP BY p, node),
+             bh AS (SELECT d, COUNT(*) AS cnt FROM md GROUP BY d),
+             cum AS (SELECT a.d AS h, SUM(b.cnt) AS reached
+                     FROM bh a JOIN bh b ON b.d <= a.d GROUP BY a.d),
+             tot AS (SELECT SUM(cnt) AS total FROM bh),
+             mh AS (SELECT MIN(h) AS mh FROM cum, tot
+                    WHERE reached * 10 >= total * 9)
+             SELECT h, CAST(reached AS BIGINT) AS reached,
+                    round(CAST(reached AS DOUBLE) / total, 6) AS frac,
+                    CAST(CASE WHEN h = mh THEN 1 ELSE 0 END AS INT) AS is_eff
+             FROM cum, tot, mh ORDER BY h"""))
+
   /** Per-node local clustering coefficient: cc = 2·tri / (deg·(deg−1)).
     *
     * Composes the O(m^1.5) degree-ordered triangle count with undirected
@@ -617,5 +679,6 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphPagerankExact, graphPpr,
-      graphSssp, graphCc, graphClustering, graphJaccard, graphClosenessApprox)
+      graphSssp, graphCc, graphClustering, graphJaccard, graphClosenessApprox,
+      graphDiameter)
 }

@@ -100,5 +100,72 @@ object SelectionQueries {
          |ORDER BY wid, step""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(pipelineDsir, graphWalks)
+  /** Node2vec-biased second-order walk corpus (Walks.node2vecWalks) over
+    * the event graph — chosen over the bipartite fixture because the
+    * triangle ("stay close", weight 4) move class actually fires there;
+    * return moves weigh 1, explore moves 2. 10 seed walkers, 4 steps.
+    * The oracle unrolls every step: candidate classification is the same
+    * (prev, x) edge left join, cumulative integer weights via the
+    * per-walker window, and the hash draw r = H(wid:t:cur) mod Σw picks
+    * the identical candidate — a hash match proves every biased choice. */
+  val graphNode2vec = QueryDef(
+    "q_graph_node2vec",
+    (s, dir) => {
+      import s.implicits._
+      val ed = GraphQueries.eventEdges(s, dir)
+        .filter($"src" =!= $"dst").select($"src", $"dst")
+      val nodes = ed.select($"src".as("n"))
+        .union(ed.select($"dst".as("n"))).distinct()
+      val seeds = nodes.orderBy($"n").limit(10).select($"n".as("wid"))
+      Walks.node2vecWalks(ed, seeds, steps = 4)
+        .select($"wid", $"step", $"node")
+        .orderBy($"wid", $"step")
+    },
+    Some {
+      def hv(t: Int, nodeExpr: String) =
+        hvSql(s"CAST(wid AS VARCHAR) || ':$t:' || CAST($nodeExpr AS VARCHAR)")
+      def stepCtes(t: Int) =
+        s"""c$t AS (
+           |  SELECT f.wid, f.prev, f.node AS cur, a.v AS x, a.r,
+           |         CASE WHEN a.v = f.prev THEN 1
+           |              WHEN e.u IS NOT NULL THEN 4
+           |              ELSE 2 END AS wt
+           |  FROM f${t - 1} f JOIN adj a ON a.u = f.node
+           |  LEFT JOIN und e ON e.u = f.prev AND e.v = a.v),
+           |g$t AS (
+           |  SELECT wid, cur, x, wt,
+           |         SUM(wt) OVER (PARTITION BY wid ORDER BY r) AS cw,
+           |         SUM(wt) OVER (PARTITION BY wid) AS tw
+           |  FROM c$t),
+           |f$t AS (
+           |  SELECT wid, cur AS prev, x AS node FROM g$t
+           |  WHERE (${hv(t, "cur")}) % tw >= cw - wt
+           |    AND (${hv(t, "cur")}) % tw < cw)""".stripMargin
+      s"""WITH ${GraphQueries.edgesCte},
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS u, src AS v FROM edges WHERE src <> dst)),
+         |adj AS MATERIALIZED (
+         |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS r,
+         |         COUNT(*) OVER (PARTITION BY u) AS deg
+         |  FROM und),
+         |seeds AS (SELECT u AS wid FROM (SELECT DISTINCT u FROM und)
+         |          ORDER BY u LIMIT 10),
+         |w0 AS (SELECT wid, 0 AS step, wid AS node FROM seeds),
+         |f1 AS (SELECT p.wid, a.u AS prev, a.v AS node
+         |       FROM w0 p JOIN adj a ON a.u = p.node
+         |       WHERE a.r = (${hv(1, "a.u")}) % a.deg + 1),
+         |${(2 to 4).map(stepCtes).mkString(",\n")}
+         |SELECT wid, CAST(step AS INT) AS step, node FROM (
+         |  SELECT wid, step, node FROM w0
+         |  UNION ALL SELECT wid, 1 AS step, node FROM f1
+         |  UNION ALL SELECT wid, 2 AS step, node FROM f2
+         |  UNION ALL SELECT wid, 3 AS step, node FROM f3
+         |  UNION ALL SELECT wid, 4 AS step, node FROM f4)
+         |ORDER BY wid, step""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(pipelineDsir, graphWalks, graphNode2vec)
 }

@@ -70,4 +70,42 @@ class SelectionSpec extends SparkSpec {
     val expected = Seq(10L, 11L, 12L)((h % 3).toInt)
     assert(step1._3 == expected)
   }
+
+  test("node2vec: unit weights reduce exactly to the first-order walk") {
+    // with wRet = wTri = wOut = 1 the cumulative ranges are the ranks and
+    // the draw string is identical, so the biased walk IS deterministicWalks
+    val edges = ScaleQueries.sparseEdges(spark, sf)
+    val seeds = edges.select($"src".as("wid")).distinct().orderBy($"wid").limit(5)
+    val uni = Walks.node2vecWalks(edges, seeds, steps = 3,
+        wRet = 1, wTri = 1, wOut = 1)
+      .orderBy($"wid", $"step").collect().toSeq
+    val first = Walks.deterministicWalks(edges, seeds, steps = 3)
+      .orderBy($"wid", $"step").collect().toSeq
+    assert(uni == first, "uniform node2vec must equal the first-order walk")
+  }
+
+  test("node2vec: leaves force return; dominant triangle weight avoids backtracking") {
+    // path 1-2: every step alternates (the only neighbor is prev)
+    val path = Seq((1L, 2L)).toDF("src", "dst")
+    val p = Walks.node2vecWalks(path, Seq(1L).toDF("wid"), steps = 4)
+      .orderBy($"step").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    assert(p == Seq(1L, 2L, 1L, 2L, 1L), s"leaf walk must alternate: $p")
+
+    // K3 with wTri >> wRet: after step 1 the walker must never immediately
+    // backtrack (the return candidate's range is 1 of 2^20+1 slots; the
+    // hash draws on this fixed graph are deterministic and land tri-side)
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Walks.node2vecWalks(k3, Seq(1L).toDF("wid"), steps = 6,
+        wRet = 1, wTri = 1 << 20, wOut = 1)
+      .orderBy($"step").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    t.sliding(3).foreach { w =>
+      assert(w.head != w.last,
+        s"dominant triangle weight must not backtrack: $t")
+    }
+    // determinism across partitioning (windows are per-walker, hash-driven)
+    val t2 = Walks.node2vecWalks(k3.repartition(5), Seq(1L).toDF("wid"),
+        steps = 6, wRet = 1, wTri = 1 << 20, wOut = 1)
+      .orderBy($"step").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    assert(t == t2, "node2vec walk must be partition-independent")
+  }
 }
