@@ -457,6 +457,48 @@ object Similarity {
       .select(col("vid").as(idCol), col("qdot"), col("cos"))
   }
 
+  /** SQ8 ANN for a BATCH of query vectors — [[sq8TopK]] in the
+    * multi-tenant serving shape of [[hammingTopKQueries]]: the corpus is
+    * quantized ONCE per batch against the one global scale (per-query
+    * literal plans re-pay the coding pass every call), quantized query
+    * codes ride the broadcast, ranking is the exact integer dot per
+    * (query, vector), and the true cosine runs only on the ≤ batch·rerank
+    * finalists picked by a window PARTITIONED BY qid. Queries are
+    * quantized with the CORPUS scale, exactly like the single-query path,
+    * so per-query output is row-identical to [[sq8TopK]] (spec-pinned).
+    * Returns (qid, cand, qdot, cos, rn ≤ k) by exact-cosine rank. */
+  def sq8TopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, rerank: Int, roundTo: Int = 6): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val dt = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val e = TextOps.spread(corpus)
+      .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
+    val scale = e.agg(
+      max(array_max(transform(col("v"), x => abs(x)))).as("mx"))
+    val coded = e.join(broadcast(scale))
+      .withColumn("qc", transform(col("v"), x => floor(x * 127.0 / col("mx"))))
+    val q = queries
+      .select(col(qIdCol).as("qid"), col(qVecCol).cast(dt).as("qv"))
+      .join(broadcast(scale))
+      .withColumn("qq", transform(col("qv"), x => floor(x * 127.0 / col("mx"))))
+      .select(col("qid"), col("qv"), col("qq"))
+    val byDot = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("vid"))
+    val byCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid"))
+    coded.join(broadcast(q))
+      .withColumn("qdot", vec.dot(col("qc"), col("qq")).cast("long"))
+      .withColumn("rf", row_number().over(byDot))
+      .filter(col("rf") <= rerank)
+      .withColumn("cos", round(vec.cosine(col("v"), col("qv")), roundTo))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid").as("cand"), col("qdot"),
+        col("cos"), col("rn"))
+  }
+
   /** PQ-flat ADC scoring for a BATCH of query vectors — [[pqTopK]] in the
     * serving shape: the corpus is PQ-coded ONCE for the whole batch (the
     * assignment pass is query-independent — per-query literal plans

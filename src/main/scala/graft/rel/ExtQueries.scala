@@ -1526,26 +1526,19 @@ object ExtQueries {
     * kept/updated/inserted. At lake scale this is the snapshot-compaction
     * join every CDC-fed table runs: one window over the day's changelog +
     * one key join against the snapshot — base rows never shuffle by
-    * changelog order. */
+    * changelog order. Built from streaming.CdcIngest's helpers, so the
+    * streamed pipeline is spec-pinned (StreamingSpec) to equal THIS
+    * oracle-checked result on any shard split. */
   val cdcApply = QueryDef(
     "q_cdc_apply",
     (s, dir) => {
       import s.implicits._
+      import graft.streaming.CdcIngest
       val base = Tables(s, dir, "customer")
         .select($"c_custkey".as("key"), $"c_acctbal".as("bal"))
-      val log = Tables(s, dir, "events")
-        .select(($"user_id" * 11).as("key"), $"ts", $"event_id",
-          when($"event_type" === "error", "D").otherwise("U").as("op"),
-          (floor($"value" * 100) / 100.0).as("val"))
-      val w = Window.partitionBy($"key").orderBy($"ts".desc, $"event_id".desc)
-      val last = log.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      val kept = base.join(last.select($"key"), Seq("key"), "left_anti")
-        .select($"key", $"bal", lit("kept").as("status"))
-      val upserts = last.filter($"op" === "U")
-        .join(base.select($"key", lit(1).as("inb")), Seq("key"), "left")
-        .select($"key", $"val".as("bal"),
-          when($"inb".isNotNull, "updated").otherwise("inserted").as("status"))
-      kept.unionByName(upserts).orderBy($"key")
+      val last = CdcIngest.lastOps(
+        CdcIngest.changelogOf(Tables(s, dir, "events")))
+      CdcIngest.applySnapshot(base, last).orderBy($"key")
     },
     Some("""WITH log AS (
               SELECT user_id * 11 AS key, ts, event_id,

@@ -585,6 +585,104 @@ object PipelineQueries {
          |LIMIT 10""".stripMargin
     })
 
+  /** SQ8 ANN for a query BATCH (Similarity.sq8TopKQueries): the corpus
+    * is int8-coded once per batch against the one global scale, ranking
+    * is the exact integer dot per (query, vector), and the true cosine
+    * runs only on per-query rerank finalists. Single-query equivalence
+    * with q_ann_sq8's path is spec-pinned (SketchIvfSpec). */
+  val annSq8Batch = QueryDef(
+    "q_ann_sq8_batch",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      Similarity.sq8TopKQueries(e, "vec_id", "embedding",
+          e.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, rerank = 30)
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |m AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS mx FROM e),
+            |cc AS (SELECT vec_id, v,
+            |              list_transform(v, x -> floor(x * 127.0 / mx)) AS qc
+            |       FROM e CROSS JOIN m),
+            |cq AS (SELECT vec_id AS qid, v AS qv,
+            |              list_transform(v, x -> floor(x * 127.0 / mx)) AS qq
+            |       FROM e CROSS JOIN m WHERE vec_id < 3),
+            |s AS (SELECT cq.qid, cc.vec_id, cc.v, cq.qv,
+            |             CAST(list_dot_product(cc.qc, cq.qq) AS BIGINT) AS qdot
+            |      FROM cc CROSS JOIN cq),
+            |r AS (SELECT qid, vec_id, v, qv, qdot,
+            |             ROW_NUMBER() OVER (PARTITION BY qid
+            |               ORDER BY qdot DESC, vec_id) AS rf
+            |      FROM s),
+            |t AS (SELECT qid, vec_id, qdot,
+            |             round(${cosSql("v", "qv")}, 6) AS cos
+            |      FROM r WHERE rf <= 30),
+            |f AS (SELECT qid, vec_id, qdot, cos,
+            |             ROW_NUMBER() OVER (PARTITION BY qid
+            |               ORDER BY cos DESC, vec_id) AS rn
+            |      FROM t)
+            |SELECT qid, vec_id AS cand, qdot, cos, CAST(rn AS INT) AS rn
+            |FROM f WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+
+  /** Nearest-class-mean evaluation over the labeled embeddings — the
+    * prototype-classifier probe (per-class mean embedding, each vector
+    * assigned to its highest-dot-product prototype) that diagnoses how
+    * linearly separable an embedding space's labels are before any
+    * training run. Class means are DECIMAL-exact sums over the exploded
+    * (label, dim) key — map-side partial-aggregable at any scale — and
+    * the per-(vector, class) score sums round-8 decimal products, so
+    * argmax ranks are partition-independent; prototypes are a
+    * |labels|·dim broadcast. Returns per-label (n, n_correct, acc). */
+  val vecNcm = QueryDef(
+    "q_vec_ncm",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val x = TextOps.spread(Tables(s, dir, "embeddings"))
+        .select($"vec_id", $"label",
+          posexplode($"embedding".cast("array<double>")).as(Seq("i", "x")))
+      val means = x.groupBy($"label".as("ml"), $"i")
+        .agg(count(lit(1)).as("nm"),
+          sum($"x".cast(DecimalType(20, 12))).as("sx"))
+        .select($"ml", $"i",
+          round($"sx".cast("double") / $"nm", 6).as("m"))
+      val scores = x.join(broadcast(means), Seq("i"))
+        .groupBy($"vec_id", $"label", $"ml")
+        .agg(sum(round($"x" * $"m", 8).cast(DecimalType(20, 8))).as("sc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"sc".desc, $"ml")
+      val pred = scores.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      pred.groupBy($"label")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when($"ml" === $"label", 1).otherwise(0)).cast("long").as("n_correct"))
+        .select($"label", $"n", $"n_correct",
+          round($"n_correct".cast("double") / $"n", 6).as("acc"))
+        .orderBy($"label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            x AS (SELECT vec_id, label, CAST(u.j AS INT) AS i, v[u.j + 1] AS xv
+                  FROM e, unnest(range(len(v))) AS u(j)),
+            mn AS (SELECT label AS ml, i,
+                          round(CAST(SUM(CAST(xv AS DECIMAL(20,12))) AS DOUBLE)
+                                / COUNT(*), 6) AS m
+                   FROM x GROUP BY label, i),
+            sc AS (SELECT x.vec_id, x.label, mn.ml,
+                          SUM(CAST(round(x.xv * mn.m, 8) AS DECIMAL(20,8))) AS s
+                   FROM x JOIN mn USING (i)
+                   GROUP BY x.vec_id, x.label, mn.ml),
+            pr AS (SELECT vec_id, label, ml FROM (
+                     SELECT vec_id, label, ml,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, ml) AS rn
+                     FROM sc) WHERE rn = 1)
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ml = label THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct,
+                   round(CAST(SUM(CASE WHEN ml = label THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS acc
+            FROM pr GROUP BY label ORDER BY label"""))
+
   /** SemDeDup over TRAINED k-means cells (Dedup.semanticDedup): the
     * 10 planted exact copies must each be pruned by their original —
     * identical vectors always share a cell, and the original is the
@@ -2569,7 +2667,8 @@ object PipelineQueries {
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
-    dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8,
+    dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
+    vecNcm,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }

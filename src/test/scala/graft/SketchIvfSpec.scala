@@ -492,4 +492,23 @@ class SketchIvfSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(a == b, "sq8 ranking must not depend on partitioning")
   }
+
+  test("sq8TopKQueries: batch slices row-identical to the per-query sq8TopK plan") {
+    val emb = Tables(spark, sf, "embeddings")
+    val batch = Similarity.sq8TopKQueries(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, rerank = 30)
+      .orderBy($"qid", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.length == 15, "3 queries x k=5")
+    (0L to 2L).foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().head
+      val single = Similarity.sq8TopK(emb, "vec_id", "embedding",
+          qv, k = 5, rerank = 30)
+        .as[(Long, Long, Double)].collect().toSeq
+      val slice = batch.filter(_._1 == qid).map(t => (t._2, t._3, t._4)).toSeq
+      assert(slice == single, s"batch slice for qid $qid must equal single-query")
+    }
+  }
 }

@@ -351,4 +351,37 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(got(u)._2 - t) < 1e-6)
     }
   }
+
+  test("streaming CDC apply over out-of-order shards == declared batch snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CdcIngest
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val ev = Tables(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val state = new CdcIngest.ChangeState(spark)
+    val q = CdcIngest.start(
+      stream.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      state)
+    try {
+      // shards by event_id % 3: each shard spans the WHOLE ts range, so
+      // later batches carry earlier timestamps — recency must be decided
+      // by (ts, event_id), never arrival order
+      (0 until 3).foreach { m =>
+        stream.addData(ev.filter(_._1 % 3 == m).toSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(state.state.count() > 0)
+      val base = Tables(spark, sf, "customer")
+        .select($"c_custkey".as("key"), $"c_acctbal".as("bal"))
+      val streamed = CdcIngest.applySnapshot(base, state.state)
+        .orderBy($"key").collect().toSeq
+      val batch = graft.rel.ExtQueries.cdcApply.run(spark, sf)
+        .collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
