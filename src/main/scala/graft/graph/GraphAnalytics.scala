@@ -645,6 +645,55 @@ object GraphAnalytics {
     * degree-ordered O(m^1.5) triangle enumeration — never a per-node
     * neighborhood cross product — so each round is two equi-join shuffles
     * plus an aggregation, the shape that survives a 1000-executor graph. */
+  /** Luby-style maximal independent set with deterministic hash
+    * priorities (Luby 1986, the parallel-MIS workhorse): per round,
+    * every undecided node whose priority is a strict minimum among its
+    * UNDECIDED neighbors joins the set; its neighbors become dominated.
+    * The priority pr(v) = H("mis:" v)·2²¹ + v is a single injective
+    * BIGINT (requires node ids < 2²¹ — true for every fixture graph; at
+    * larger id spaces widen the shift), so min-aggregation is exact and
+    * the whole run is a pure function of the graph — replayable by the
+    * SQL oracle and identical at any parallelism (a selected node can
+    * never also be dominated: strict minimality is asymmetric). Per
+    * round: one adjacency join + min-agg for neighbor minima, two
+    * semi/anti joins to shrink the undecided set — the O(log n)
+    * expected-round parallel shape, each round two shuffles. Returns
+    * (node, state ∈ in|out|und, round decided; und ⇒ round 0). */
+  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    val prio = graft.pipeline.TextOps.strHash(
+      concat(lit("mis:"), col("n").cast("string"))) * lit(2097152L) + col("n")
+    var undec = ee.select(col("u").as("n")).distinct()
+      .withColumn("pr", prio).localCheckpoint()
+    var decided = undec
+      .select(col("n"), lit("in").as("state"), lit(0).as("round")).limit(0)
+    for (i <- 1 to rounds) {
+      val nb = ee
+        .join(undec.select(col("n").as("v"), col("pr").as("vpr")), "v")
+        .join(undec.select(col("n").as("u")), "u")
+        .groupBy(col("u")).agg(min(col("vpr")).as("mn"))
+      val sel = undec
+        .join(nb.select(col("u").as("n"), col("mn")), Seq("n"), "left")
+        .filter(col("mn").isNull || col("pr") < col("mn"))
+        .select(col("n"))
+        .localCheckpoint()
+      val dominated = ee.join(sel.select(col("n").as("u")), "u")
+        .select(col("v").as("n")).distinct()
+        .join(undec.select(col("n")), Seq("n"), "left_semi")
+      decided = decided
+        .unionByName(sel.select(col("n"), lit("in").as("state"),
+          lit(i).as("round")))
+        .unionByName(dominated.select(col("n"), lit("out").as("state"),
+          lit(i).as("round")))
+      undec = undec
+        .join(sel, Seq("n"), "left_anti")
+        .join(dominated, Seq("n"), "left_anti")
+        .localCheckpoint()
+    }
+    decided.unionByName(
+      undec.select(col("n"), lit("und").as("state"), lit(0).as("round")))
+  }
+
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k)")
     var alive = undirected(edges).localCheckpoint()

@@ -149,6 +149,55 @@ object Sketches {
         ((sel("b") + 1L) * width - col("x")).as("err"))
   }
 
+  /** Per-GROUP two-phase distributed quantiles — [[histogramQuantiles]]
+    * keyed by a group column, the per-tenant/per-partition percentile
+    * report a lake-scale pipeline emits in one pass: phase 1 is a single
+    * (g, bucket) integer groupBy (map-side partial-aggregable); the
+    * cumulative prefix is a window PARTITIONED BY g over the per-group
+    * histogram table itself (≤ groups·range/width rows, never data
+    * rows); phase 2 ranks only the selected buckets' rows with a window
+    * partitioned by (g, bucket). All arithmetic integral, so exact and
+    * estimate both hash-match. Returns (g, num, den, qrank, exact, est,
+    * err ∈ [1, width]). */
+  def histogramQuantilesByGroup(values: DataFrame, grpCol: String,
+                                valCol: String, width: Long,
+                                quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1 (got $width)")
+    require(quantiles.nonEmpty && quantiles.forall { case (num, den) =>
+      num >= 1 && den >= 1 && num <= den },
+      s"quantile fractions must satisfy 1 <= num <= den: $quantiles")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val v = values.select(col(grpCol).as("g"), col(valCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val hist = v.groupBy(col("g"), expr(s"x DIV ${width}L").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("b"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val n = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val qr = n.crossJoin(broadcast(quantiles.toDF("num", "den")))
+      .withColumn("qrank", expr("(n * num + den - 1) DIV den"))
+    val wSel = Window.partitionBy(col("g"), col("num"), col("den"))
+      .orderBy(col("b"))
+    val sel = qr.join(cum, Seq("g"))
+      .filter(col("cum") >= col("qrank"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+      .select(col("g"), col("num"), col("den"), col("qrank"),
+        col("b"), col("cum_before"))
+    val selB = sel.select(col("g"), col("b")).distinct()
+    val wB = Window.partitionBy(col("g"), col("b")).orderBy(col("x"))
+    val inB = v.withColumn("b", expr(s"x DIV ${width}L"))
+      .join(broadcast(selB), Seq("g", "b"))
+      .withColumn("lr", row_number().over(wB))
+    broadcast(sel).join(inB, Seq("g", "b"))
+      .filter(col("lr") === col("qrank") - col("cum_before"))
+      .select(col("g"), col("num"), col("den"), col("qrank"),
+        col("x").as("exact"),
+        ((col("b") + 1L) * width).as("est"),
+        ((col("b") + 1L) * width - col("x")).as("err"))
+  }
+
   /** Quantile ESTIMATES from an already-maintained histogram (b, c) —
     * the read path of the STREAMING sketch (streaming.HistogramIngest):
     * when only the sketch is retained (the point of a sketch at 100 TB —

@@ -547,6 +547,58 @@ object ExtQueries {
                    exact, CAST(est AS BIGINT) AS est, CAST(err AS BIGINT) AS err
             FROM o ORDER BY qrank, num, den"""))
 
+  /** Per-group two-phase quantiles (Sketches.histogramQuantilesByGroup):
+    * median and p90 of price cents PER RETURNFLAG from one (g, bucket)
+    * integer groupBy — the per-tenant percentile report. The cumulative
+    * prefix is a g-partitioned window over the histogram table itself;
+    * phase 2 ranks only selected buckets' rows. All-integer ⇒ exact
+    * hash match on both the located exact value and the sketch estimate. */
+  val sketchQuantileGroup = QueryDef(
+    "q_sketch_quantile_group",
+    (s, dir) => {
+      import s.implicits._
+      val cents = Tables(s, dir, "lineitem")
+        .select($"l_returnflag",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+      Sketches.histogramQuantilesByGroup(cents, "l_returnflag", "cents",
+          width = 100000L, Seq((1, 2), (9, 10)))
+        .orderBy($"g", $"num", $"den")
+    },
+    Some("""WITH v AS (SELECT l_returnflag AS g,
+                              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+                       FROM lineitem),
+                 h AS (SELECT g, x // 100000 AS b, COUNT(*) AS c FROM v GROUP BY 1, 2),
+                 cum AS (SELECT g, b, c,
+                                SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum
+                         FROM h),
+                 cum2 AS (SELECT g, b, cum, cum - c AS cum_before FROM cum),
+                 n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g),
+                 qs(num, den) AS (VALUES (1, 2), (9, 10)),
+                 r AS (SELECT n.g, num, den,
+                              CAST((n.n * num + den - 1) // den AS BIGINT) AS qrank
+                       FROM qs CROSS JOIN n),
+                 selr AS (SELECT r.g, r.num, r.den, r.qrank, c.b, c.cum_before,
+                                 ROW_NUMBER() OVER (PARTITION BY r.g, r.num, r.den
+                                   ORDER BY c.b) AS rn
+                          FROM r JOIN cum2 c ON c.g = r.g AND c.cum >= r.qrank),
+                 sel AS (SELECT g, num, den, qrank, b, cum_before
+                         FROM selr WHERE rn = 1),
+                 inb AS (SELECT v.g, v.x, v.x // 100000 AS b,
+                                ROW_NUMBER() OVER (PARTITION BY v.g, v.x // 100000
+                                  ORDER BY v.x) AS lr
+                         FROM v
+                         WHERE EXISTS (SELECT 1 FROM sel
+                                       WHERE sel.g = v.g AND sel.b = v.x // 100000)),
+                 o AS (SELECT s.g, s.num, s.den, s.qrank, i.x AS exact,
+                              (s.b + 1) * 100000 AS est,
+                              (s.b + 1) * 100000 - i.x AS err
+                       FROM sel s JOIN inb i
+                         ON i.g = s.g AND i.b = s.b
+                        AND i.lr = s.qrank - s.cum_before)
+            SELECT g, CAST(num AS INT) AS num, CAST(den AS INT) AS den, qrank,
+                   exact, CAST(est AS BIGINT) AS est, CAST(err AS BIGINT) AS err
+            FROM o ORDER BY g, num, den"""))
+
   // ------------------------------------------------------------ cat 12: ANN
   /** IVF-flat ANN (Similarity.ivfTopK): ⌈√n⌉ centroid spacing (≈√n
     * deterministic centroids — the scale-stable IVF sizing), probe the 2
@@ -1619,7 +1671,8 @@ object ExtQueries {
     statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,
-    sketchKmv, sketchAggBound, sketchSetops, sketchQuantile, annIvf,
+    sketchKmv, sketchAggBound, sketchSetops, sketchQuantile,
+    sketchQuantileGroup, annIvf,
     sinkPartitioned, sourceJson,
     mergeUpsert, cascadeDelete, sourceCsv, joinBucketed,
     profileColumns, windowDistribution, dedupIds,

@@ -492,6 +492,92 @@ object ScaleQueries {
              FROM lmvm JOIN lmap ON lmap.node = lmvm.label
              ORDER BY lmvm.node"""))
 
+  /** Bipartite co-occurrence projection: the user–user similarity graph
+    * induced by shared prop keys — weight(a, b) = # keys both touch —
+    * the recsys/entity-similarity graph-build step. Hub keys past
+    * `cap = 50` distinct users are dropped BEFORE the wedge self-join
+    * (the standard pruning: a hub's C(d, 2) pair volume is what makes
+    * the naive projection quadratic, while its evidence value per pair
+    * is lowest); per-key pair volume is then ≤ C(cap, 2), so total work
+    * is linear in keys. Degree-1 keys can't form a pair and are filtered
+    * with the same join. Top 30 pairs by shared-key count. */
+  val graphCoproj = QueryDef(
+    "q_graph_coproj",
+    (s, dir) => {
+      import s.implicits._
+      val ee = sparseEdges(s, dir)
+      val kdeg = ee.groupBy($"dst").agg(count(lit(1)).as("kd"))
+      val kept = ee.join(broadcast(
+        kdeg.filter($"kd" <= 50 && $"kd" >= 2).select($"dst")), "dst")
+      val pairs = kept.select($"dst", $"src".as("a"))
+        .join(kept.select($"dst", $"src".as("b")), "dst")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+      pairs.orderBy($"w".desc, $"a", $"b").limit(30)
+    },
+    Some(s"""WITH $eeCte,
+             kd AS (SELECT v, COUNT(*) AS kd FROM e0 GROUP BY v),
+             kept AS (SELECT e0.u, e0.v FROM e0
+                      JOIN kd ON kd.v = e0.v AND kd.kd <= 50 AND kd.kd >= 2),
+             p AS (SELECT x.u AS a, y.u AS b, CAST(COUNT(*) AS BIGINT) AS w
+                   FROM kept x JOIN kept y ON x.v = y.v AND x.u < y.u
+                   GROUP BY x.u, y.u)
+             SELECT a, b, w FROM p ORDER BY w DESC, a, b LIMIT 30"""))
+
+  /** Oracle-side Luby MIS rounds: per round, nb = min undecided-neighbor
+    * priority per undecided node, s = strict local minima (selected),
+    * d = their undecided neighbors (dominated), u(i+1) = the rest.
+    * MATERIALIZED: the final state/round union references every round. */
+  private def misCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""nb$i AS (SELECT e.u, MIN(x.pr) AS mn
+         |         FROM ee e JOIN u$i x ON x.n = e.v
+         |         JOIN u$i y ON y.n = e.u
+         |         GROUP BY e.u),
+         |s$i AS MATERIALIZED (
+         |        SELECT d.n FROM u$i d LEFT JOIN nb$i b ON b.u = d.n
+         |        WHERE b.mn IS NULL OR d.pr < b.mn),
+         |d$i AS MATERIALIZED (
+         |        SELECT DISTINCT e.v AS n FROM ee e
+         |        JOIN s$i s ON s.n = e.u JOIN u$i x ON x.n = e.v),
+         |u${i + 1} AS MATERIALIZED (
+         |        SELECT n, pr FROM u$i
+         |        WHERE n NOT IN (SELECT n FROM s$i)
+         |          AND n NOT IN (SELECT n FROM d$i))""".stripMargin
+    }.mkString(",\n")
+
+  /** Luby maximal independent set over the sparse bipartite graph, 5
+    * rounds (past the fixpoint on every fixture — 2 rounds at sf0.001/
+    * sf0.1, 4 at sf0.01; GraphAnalyticsSpec asserts stability): (node,
+    * in|out, round decided). Deterministic hash priorities make the
+    * parallel round a pure function of the graph — the distributed-MIS
+    * primitive scheduling/coloring passes build on. */
+  val graphMis = QueryDef(
+    "q_graph_mis",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.GraphAnalytics.lubyMis(sparseEdges(s, dir), rounds = 5)
+        .select($"n".as("node"), $"state", $"round")
+        .orderBy($"node")
+    },
+    Some {
+      val rounds = 5
+      val unions = (1 to rounds).map { i =>
+        s"""SELECT n, 'in' AS state, $i AS round FROM s$i
+           |UNION ALL SELECT n, 'out' AS state, $i AS round FROM d$i""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $eeCte,
+         |u1 AS MATERIALIZED (
+         |  SELECT n, (CAST(('0x'||substr(md5('mis:'||CAST(n AS VARCHAR)),1,15))
+         |             AS BIGINT) % 2147483647) * 2097152 + n AS pr
+         |  FROM (SELECT DISTINCT u AS n FROM ee)),
+         |${misCtes(rounds)}
+         |SELECT n AS node, state, CAST(round AS INT) AS round FROM (
+         |  $unions
+         |  UNION ALL SELECT n, 'und' AS state, 0 AS round FROM u${rounds + 1})
+         |ORDER BY node""".stripMargin
+    })
+
   private def kcoreCtes(k: Int, rounds: Int): String =
     (1 to rounds).foldLeft("s0 AS (SELECT DISTINCT u AS node FROM ee)") { (acc, i) =>
       acc + s""",
@@ -1342,7 +1428,7 @@ object ScaleQueries {
 
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
-    sinkZorder, graphLpa, graphKcore, vecPrefixRerank,
+    sinkZorder, graphLpa, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,

@@ -356,4 +356,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(r7.nonEmpty && r7 == r8, "declared budget must be past the fixpoint")
     assert(r7.exists(_._3 > 0), "fixture peel must be non-vacuous")
   }
+
+  test("lubyMis: independent, maximal, deterministic; star picks one side") {
+    // star: center 9, leaves 1..4 — either the center is IN (all leaves
+    // OUT) or every leaf is IN (center OUT); both are valid MIS shapes
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val s = GraphAnalytics.lubyMis(star, rounds = 3)
+      .as[(Long, String, Int)].collect().map(t => t._1 -> t._2).toMap
+    assert(!s.values.exists(_ == "und"), "tiny graph must reach fixpoint")
+    if (s(9L) == "in") assert((1L to 4L).forall(s(_) == "out"), s"$s")
+    else assert((1L to 4L).forall(s(_) == "in"), s"$s")
+
+    // fixture graph: set is independent, maximal, und-free, and stable
+    // one round past the declared budget; repartitioning changes nothing
+    val edges = rel.ScaleQueries.sparseEdges(spark, sf)
+    val mis = GraphAnalytics.lubyMis(edges, rounds = 5)
+      .as[(Long, String, Int)].collect()
+    val state = mis.map(t => t._1 -> t._2).toMap
+    assert(!state.values.exists(_ == "und"), "budget must be past fixpoint")
+    val und = edges.select($"src", $"dst").as[(Long, Long)].collect()
+    und.foreach { case (a, b) =>
+      assert(!(state(a) == "in" && state(b) == "in"),
+        s"adjacent IN pair ($a, $b) — not independent")
+    }
+    val inSet = state.filter(_._2 == "in").keySet
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    state.filter(_._2 == "out").keys.foreach { n =>
+      assert(nbrs(n).exists(inSet.contains),
+        s"OUT node $n has no IN neighbor — not maximal")
+    }
+    val mis6 = GraphAnalytics.lubyMis(edges, rounds = 6)
+      .as[(Long, String, Int)].collect().toSet
+    assert(mis.toSet == mis6, "one more round must change nothing")
+    val misRep = GraphAnalytics.lubyMis(edges.repartition(13), rounds = 5)
+      .as[(Long, String, Int)].collect().toSet
+    assert(mis.toSet == misRep, "MIS must be partition-independent")
+  }
 }
