@@ -1565,6 +1565,26 @@ object ExtQueries {
             FROM customer JOIN s ON s.nk = c_nationkey
             ORDER BY c_custkey"""))
 
+  /** Correlated LATERAL top-N join — each customer's 2 priciest orders
+    * via a lateral subquery with ORDER BY + LIMIT, run as the SAME SQL
+    * text on both engines (Spark 4 plans the correlated limit as a
+    * per-key window under DomainJoin; DuckDB as a lateral join) — the
+    * dependent-join surface ORMs and BI tools generate constantly. */
+  val joinLateral = QueryDef.sqlBoth(
+    "q_join_lateral",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+
   // ------------------------------------------------- table maintenance
   /** CDC changelog apply (Debezium-style compaction): the event stream is
     * read as an ordered changelog over the customer snapshot — key =
@@ -1667,7 +1687,7 @@ object ExtQueries {
             FROM j GROUP BY diff_class ORDER BY diff_class"""))
 
   val all: Seq[QueryDef] = Seq(
-    joinAsof, joinRange, joinSalted, cdcApply, snapshotDiff,
+    joinAsof, joinRange, joinSalted, joinLateral, cdcApply, snapshotDiff,
     statsMoments, statsMad, percentileExact,
     windowFrames, windowRange, topkGroup,
     unpivotQ, fnBitwise, stringSim,

@@ -43,8 +43,9 @@ object GraphQueries {
       |  FROM events GROUP BY 1, 2, 3)""".stripMargin
 
   /** Depth-bounded BFS walk → (node, dist=min, pw=max at min dist). */
-  private def bfsCte(depth: Int, typeFilter: Option[String]): String = {
-    val src = typeFilter.fold("edges")(t => s"(SELECT * FROM edges WHERE etype = '$t')")
+  private def bfsCte(depth: Int, typeFilter: Option[String],
+                     table: String = "edges"): String = {
+    val src = typeFilter.fold(table)(t => s"(SELECT * FROM $table WHERE etype = '$t')")
     s"""walk(node, dist, pw) AS (
        |  SELECT CAST(0 AS BIGINT), 0, CAST(0.0 AS DOUBLE)
        |  UNION ALL
@@ -130,17 +131,25 @@ object GraphQueries {
     * independent BFS engines, one hash. Depth-bounded recursion keeps the
     * per-iteration frontier an equi-join on the node key, the same
     * scale shape as the driver loop. */
-  val graphBfsSql = QueryDef.sqlBoth(
+  val graphBfsSql = QueryDef(
     "q_graph_bfs_sql",
-    s"""WITH RECURSIVE edges AS (
-       |  SELECT user_id AS src,
-       |         CAST(get_json_object(props, '$$.k') AS BIGINT) % 15 AS dst,
-       |         event_type AS etype, MAX(value) AS w
-       |  FROM events GROUP BY 1, 2, 3),
-       |${bfsCte(3, None)}
-       |SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node""".stripMargin,
-    s"""WITH RECURSIVE $edgesCte, ${bfsCte(3, None)}
-       |SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node""".stripMargin)
+    (s, dir) => {
+      // materialize the derived edge table ONCE before the recursive SQL:
+      // UnionLoop re-executes the recursion step's whole subtree per
+      // level, and with the edges CTE inlined that re-paid the events
+      // scan + JSON parse + aggregation every level (measured 3.1 s warm
+      // at sf0.1; with the checkpointed view each level joins a cached
+      // 2k-row table). The recursion itself still runs verbatim as
+      // Spark SQL — the planner's own WITH RECURSIVE fixpoint.
+      eventEdges(s, dir)
+        .select(col("src"), col("dst"), col("etype"), col("weight").as("w"))
+        .createOrReplaceTempView("bfs_edges")
+      s.sql(
+        s"""WITH RECURSIVE ${bfsCte(3, None, table = "bfs_edges")}
+           |SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node""".stripMargin)
+    },
+    Some(s"""WITH RECURSIVE $edgesCte, ${bfsCte(3, None)}
+       |SELECT node, dist, round(pw, 6) AS path_weight FROM bfs ORDER BY node""".stripMargin))
 
   /** Full hybrid fusion pipeline (O20, cat 14): min-max-normalized vector
     * scores ⊕ BFS closeness from doc 0 over a deterministic doc ring graph,

@@ -1254,6 +1254,90 @@ object PipelineQueries {
                    FROM documents)
              GROUP BY token ORDER BY df DESC, token LIMIT 20"""))
 
+  /** Vocabulary coverage / OOV rate per source: the top-100 corpus words
+    * by token frequency (word tie-break at the boundary) form the
+    * vocabulary; each source reports its share of token OCCURRENCES
+    * outside it — the coverage report run before committing to any
+    * fixed-vocabulary tokenizer. The vocab is a 100-row broadcast; the
+    * scan is one exploded-token pass with a map-side countable left
+    * join. All-integer until one rounded division. */
+  val textOov = QueryDef(
+    "q_text_oov",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", explode(TextOps.tokens($"text")).as("token"))
+      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("tf"))
+        .orderBy($"tf".desc, $"token").limit(100)
+        .select($"token", lit(1).as("inv"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"inv".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"source", $"n_tokens", $"n_oov",
+          round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH t AS (SELECT source, unnest($toksSql) AS token FROM documents),
+            |v AS (SELECT token FROM (
+            |        SELECT token, COUNT(*) AS tf FROM t GROUP BY token
+            |        ORDER BY tf DESC, token LIMIT 100)),
+            |j AS (SELECT t.source,
+            |             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+            |      FROM t LEFT JOIN v ON v.token = t.token)
+            |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+            |       round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+            |FROM j GROUP BY source ORDER BY source""".stripMargin))
+
+  /** kNN label-consistency probe (the neighbor-agreement signal noisy-
+    * label detection starts from, Confident-Learning-adjacent): for each
+    * of the 25 probe vectors, the 5 nearest round-6-cosine neighbors
+    * (self excluded), and the share carrying the probe's own label. The
+    * probes ride a broadcast; ranking is a qid-partitioned window over
+    * the one corpus scan. A low agree value flags a vector whose label
+    * disagrees with its neighborhood. */
+  val vecLabelConsistency = QueryDef(
+    "q_vec_label_consistency",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      val probes = e.filter($"vec_id" < 25)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      TextOps.spread(e).join(broadcast(probes))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("cos", round(graft.functions.vec.cosine($"v", $"qv"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"qid", $"qlabel")
+        .agg(sum(when($"label" === $"qlabel", 1L).otherwise(0L)).as("n_same"))
+        .select($"qid".as("vec_id"), $"qlabel".as("label"), $"n_same",
+          round($"n_same".cast("double") / 5, 6).as("agree"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |p AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+         |      FROM e WHERE vec_id < 25),
+         |s AS (SELECT p.qid, p.qlabel, e.vec_id, e.label,
+         |             round(${cosSql("e.v", "p.qv")}, 6) AS cos
+         |      FROM e CROSS JOIN p WHERE e.vec_id <> p.qid),
+         |r AS (SELECT qid, qlabel, vec_id, label,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cos DESC, vec_id) AS rn
+         |      FROM s),
+         |agg AS (SELECT qid, qlabel,
+         |               SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS ns
+         |        FROM r WHERE rn <= 5 GROUP BY qid, qlabel)
+         |SELECT qid AS vec_id, qlabel AS label, CAST(ns AS BIGINT) AS n_same,
+         |       round(CAST(ns AS DOUBLE) / 5, 6) AS agree
+         |FROM agg ORDER BY vec_id""".stripMargin
+    })
+
   /** Smoothed TF-IDF scores for a fixed term set over every matching doc:
     * tf · (ln((N+1)/(df+1)) + 1). Integer tf/df feed a single ln — the
     * double result is engine-identical; round 6 regardless. */
@@ -2668,7 +2752,7 @@ object PipelineQueries {
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
-    vecNcm,
+    vecNcm, vecLabelConsistency, textOov,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }
