@@ -347,6 +347,65 @@ object GraphQueries {
           ORDER BY e0.u, e0.v"""
     })
 
+  /** Degree assortativity (Pearson correlation of endpoint degrees over
+    * the both-ways undirected edge list — Newman 2002's mixing
+    * coefficient in its plain-Pearson form): every moment (Σx, Σy, Σxy,
+    * Σx², Σy², M) is an exact BIGINT sum of integer degrees — map-side
+    * partial-aggregable, one shuffle — and the coefficient is a single
+    * double expression over the six exact integers, bit-identical in
+    * both engines. Negative r = hubs attach to leaves (the expected
+    * shape for this user↔key graph). */
+  val graphAssortativity = QueryDef(
+    "q_graph_assortativity",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir).select($"src", $"dst").distinct()
+      val und = graft.graph.GraphAnalytics.undirected(ed)
+      val both = und.unionAll(und.select($"v".as("u"), $"u".as("v")))
+      val deg = graft.graph.GraphAnalytics.degrees(und)
+      val e = both
+        .join(deg.select($"n".as("u"), $"deg".as("x")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("y")), "v")
+      e.agg(count(lit(1)).as("m"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        // zero-variance guard (regular graphs — the sf0.001 graph is one):
+        // r is undefined; emit 0.0 instead of an ANSI divide-by-zero
+        .select($"m",
+          when($"m" * $"sxx" - $"sx" * $"sx" <= 0 ||
+               $"m" * $"syy" - $"sy" * $"sy" <= 0, lit(0.0))
+            .otherwise(
+              round(($"m".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+                (sqrt($"m".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") *
+                 sqrt($"m".cast("double") * $"syy" - $"sy".cast("double") * $"sy")),
+                6)).as("r"))
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM ed WHERE src <> dst),
+             bi AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+                     FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                     GROUP BY n),
+             e AS (SELECT du.d AS x, dv.d AS y FROM bi
+                   JOIN deg du ON du.n = bi.u JOIN deg dv ON dv.n = bi.v),
+             s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                          CAST(SUM(x * y) AS BIGINT) AS sxy,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx,
+                          CAST(SUM(y * y) AS BIGINT) AS syy
+                   FROM e)
+             SELECT m,
+                    CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+                         THEN 0.0
+                         ELSE round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                               (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                                sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                               6)
+                    END AS r
+             FROM s"""))
+
   /** Exact fixed-point PageRank (5 iterations, damping 85/100, BIGINT
     * 10^-12 scale — GraphAnalytics.pageRankFixedPoint). Unlike the HLL/
     * double-precision variants, integer arithmetic makes the oracle exact:
@@ -687,7 +746,8 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
-      graphDegree, graphTriangles, graphKtruss, graphPagerankExact, graphPpr,
+      graphDegree, graphTriangles, graphKtruss, graphAssortativity,
+      graphPagerankExact, graphPpr,
       graphSssp, graphCc, graphClustering, graphJaccard, graphClosenessApprox,
       graphDiameter)
 }

@@ -236,6 +236,110 @@ object ScaleQueries {
             SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
 
+  /** First-order Markov transition estimation over per-user event
+    * sequences: lag window per user (ts, event_id order — never global),
+    * transition counts per (prev, cur) type pair, and the row-normalized
+    * probability — the behavior-model estimation step, two shuffles
+    * (window by user + pair groupBy) at any scale. All-integer counts;
+    * one rounded division. */
+  val eventsMarkov = QueryDef(
+    "q_events_markov",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = Tables(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy($"prev").agg(sum($"n").as("tn"))
+      tr.join(broadcast(tot), "prev")
+        .select($"prev", $"cur", $"n",
+          round($"n".cast("double") / $"tn", 6).as("p"))
+        .orderBy($"prev", $"cur")
+    },
+    Some("""WITH t AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+                       FROM events),
+            tr AS (SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM t WHERE prev IS NOT NULL GROUP BY prev, event_type),
+            tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tn
+                    FROM tr GROUP BY prev)
+            SELECT tr.prev, tr.cur, tr.n,
+                   round(CAST(tr.n AS DOUBLE) / tot.tn, 6) AS p
+            FROM tr JOIN tot USING (prev)
+            ORDER BY tr.prev, tr.cur"""))
+
+  /** Deterministic per-group mode: most frequent l_quantity per return
+    * flag, ties broken by the smaller value — counts groupBy + a 1-row-
+    * per-group window, the exact-mode shape that stays two shuffles at
+    * any scale. */
+  val aggMode = QueryDef(
+    "q_agg_mode",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"n".desc, $"l_quantity")
+      counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT l_returnflag, l_quantity, n,
+                         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY n DESC, l_quantity) AS rn
+                  FROM c)
+            SELECT l_returnflag, l_quantity AS mode_qty, n
+            FROM r WHERE rn = 1 ORDER BY l_returnflag"""))
+
+  /** Exponential time-decayed engagement score (half-life 7 days): each
+    * event contributes value·exp(−age_hours·ln2/168), anchored at the
+    * corpus max timestamp (deterministic — no wall clock in the plan).
+    * Integer age in whole hours; each contribution rounded to 8dp and
+    * summed as DECIMAL (order-independent, the classifier discipline for
+    * transcendentals); top 20 users. The recency-weighted score every
+    * engagement/feature pipeline maintains — one broadcast anchor + one
+    * user-keyed aggregation at any scale. */
+  val eventsDecay = QueryDef(
+    "q_events_decay",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      val anchor = ev.agg(max($"us").as("mx"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("ageh", expr("(mx - us) DIV 3600000000"))
+        .withColumn("c",
+          round($"value" * exp(-$"ageh" * lit(0.004125235)), 8)
+            .cast(DecimalType(20, 8)))
+        .groupBy($"user_id")
+        .agg(sum($"c").as("sc"), count(lit(1)).as("n_events"))
+        .select($"user_id", $"n_events",
+          round($"sc".cast("double"), 6).as("score"))
+        .orderBy($"score".desc, $"user_id")
+        .limit(20)
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            a AS (SELECT MAX(us) AS mx FROM ev),
+            c AS (SELECT user_id,
+                         CAST(round(value * exp(-((a.mx - us) // 3600000000)
+                                                * 0.004125235), 8)
+                              AS DECIMAL(20,8)) AS c
+                  FROM ev CROSS JOIN a),
+            g AS (SELECT user_id, SUM(c) AS sc,
+                         CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n_events, round(CAST(sc AS DOUBLE), 6) AS score
+            FROM g ORDER BY score DESC, user_id LIMIT 20"""))
+
   // ------------------------------------------------------- Z-order layout
   /** Z-order clustered sink: Morton-interleave (l_orderkey%1024,
     * l_partkey%1024), range-partition + sort by the key, write parquet,
@@ -1428,6 +1532,7 @@ object ScaleQueries {
 
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
+    eventsMarkov, aggMode, eventsDecay,
     sinkZorder, graphLpa, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
