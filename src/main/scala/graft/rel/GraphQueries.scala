@@ -406,6 +406,33 @@ object GraphQueries {
                     END AS r
              FROM s"""))
 
+  /** Edge reciprocity of the DIRECTED event graph: the share of directed
+    * edges whose reverse edge also exists — one (dst, src)-keyed
+    * self-semi-join plus two counts, the standard directed-graph health
+    * stat. Self-loops excluded (trivially reciprocal). */
+  val graphReciprocity = QueryDef(
+    "q_graph_reciprocity",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir).select($"src", $"dst").distinct()
+        .filter($"src" =!= $"dst")
+      val recip = ed.join(ed.select($"dst".as("src"), $"src".as("dst")),
+        Seq("src", "dst"), "left_semi")
+      ed.agg(count(lit(1)).as("m")).crossJoin(
+          broadcast(recip.agg(count(lit(1)).as("mr"))))
+        .select($"m", $"mr",
+          round($"mr".cast("double") / $"m", 6).as("reciprocity"))
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             d AS (SELECT src, dst FROM ed WHERE src <> dst),
+             r AS (SELECT a.src, a.dst FROM d a
+                   WHERE EXISTS (SELECT 1 FROM d b
+                                 WHERE b.src = a.dst AND b.dst = a.src)),
+             c AS (SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS m,
+                          CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS mr)
+             SELECT m, mr, round(CAST(mr AS DOUBLE) / m, 6) AS reciprocity
+             FROM c"""))
+
   /** Exact fixed-point PageRank (5 iterations, damping 85/100, BIGINT
     * 10^-12 scale — GraphAnalytics.pageRankFixedPoint). Unlike the HLL/
     * double-precision variants, integer arithmetic makes the oracle exact:
@@ -747,7 +774,7 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphAssortativity,
-      graphPagerankExact, graphPpr,
+      graphReciprocity, graphPagerankExact, graphPpr,
       graphSssp, graphCc, graphClustering, graphJaccard, graphClosenessApprox,
       graphDiameter)
 }

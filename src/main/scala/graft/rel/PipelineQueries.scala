@@ -1338,6 +1338,99 @@ object PipelineQueries {
          |FROM agg ORDER BY vec_id""".stripMargin
     })
 
+  /** Pairwise source vocabulary overlap: Jaccard similarity of the
+    * distinct-token sets of every source pair — the corpus-comparison
+    * matrix run before mixing domains (high overlap ⇒ redundant
+    * domains). One (source, token) distinct pass; intersections via a
+    * token-keyed self-join (each token contributes its source pairs —
+    * never a cross join of vocabularies); all-integer until the final
+    * rounded division. */
+  val textSourceSim = QueryDef(
+    "q_text_source_sim",
+    (s, dir) => {
+      import s.implicits._
+      val st = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+        .distinct()
+      val sizes = st.groupBy($"source").agg(count(lit(1)).as("nv"))
+      val inter = st.select($"token", $"source".as("s1"))
+        .join(st.select($"token", $"source".as("s2")), "token")
+        .filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"source".as("s1"), $"nv".as("n1"))), "s1")
+        .join(broadcast(sizes.select($"source".as("s2"), $"nv".as("n2"))), "s2")
+        .select($"s1", $"s2", $"inter",
+          round($"inter".cast("double") / ($"n1" + $"n2" - $"inter"), 6).as("jaccard"))
+        .orderBy($"s1", $"s2")
+    },
+    Some(s"""WITH st AS (SELECT DISTINCT source, token FROM (
+            |             SELECT source, unnest(list_distinct($toksSql)) AS token
+            |             FROM documents)),
+            |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+            |       FROM st GROUP BY source),
+            |it AS (SELECT a.source AS s1, b.source AS s2,
+            |              CAST(COUNT(*) AS BIGINT) AS inter
+            |       FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+            |       GROUP BY a.source, b.source)
+            |SELECT it.s1, it.s2, it.inter,
+            |       round(CAST(it.inter AS DOUBLE) / (z1.nv + z2.nv - it.inter), 6)
+            |         AS jaccard
+            |FROM it JOIN sz z1 ON z1.source = it.s1
+            |        JOIN sz z2 ON z2.source = it.s2
+            |ORDER BY it.s1, it.s2""".stripMargin))
+
+  /** One-query dataset card: the headline stats a corpus publish ships
+    * with (doc/token counts, vocabulary size, exact-duplicate fraction,
+    * language count, mean doc length) as (metric, value) rows — six
+    * independent full-scan aggregates, each map-side partial-aggregable,
+    * unioned into one artifact. */
+  val profileDataset = QueryDef(
+    "q_profile_dataset",
+    (s, dir) => {
+      import s.implicits._
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+      val toks = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      val nTokens = toks.agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_tokens").as("metric"), $"value")
+      val nVocab = toks.select($"token").distinct()
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_vocab").as("metric"), $"value")
+      val dupFrac = docs.agg(
+          (lit(1.0) - countDistinct(md5($"text")).cast("double") /
+            count(lit(1))).as("raw"))
+        .select(lit("exact_dup_frac").as("metric"), round($"raw", 6).as("value"))
+      val nLangs = docs.select($"lang").distinct()
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_langs").as("metric"), $"value")
+      val meanChars = docs.agg(
+          (sum($"n_chars").cast("double") / count(lit(1))).as("raw"))
+        .select(lit("mean_chars").as("metric"), round($"raw", 6).as("value"))
+      nDocs.unionByName(nTokens).unionByName(nVocab).unionByName(dupFrac)
+        .unionByName(nLangs).unionByName(meanChars)
+        .orderBy($"metric")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+            |SELECT metric, value FROM (
+            |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+            |  UNION ALL
+            |  SELECT 'n_tokens', CAST(COUNT(*) AS DOUBLE) FROM t
+            |  UNION ALL
+            |  SELECT 'n_vocab', CAST(COUNT(DISTINCT token) AS DOUBLE) FROM t
+            |  UNION ALL
+            |  SELECT 'exact_dup_frac',
+            |         round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM documents
+            |  UNION ALL
+            |  SELECT 'mean_chars',
+            |         round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+            |  FROM documents)
+            |ORDER BY metric""".stripMargin))
+
   /** Smoothed TF-IDF scores for a fixed term set over every matching doc:
     * tf · (ln((N+1)/(df+1)) + 1). Integer tf/df feed a single ln — the
     * double result is engine-identical; round 6 regardless. */
@@ -2752,7 +2845,7 @@ object PipelineQueries {
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
-    vecNcm, vecLabelConsistency, textOov,
+    vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
     pipelineE2e, pipelineFunnel)
 }
