@@ -694,6 +694,80 @@ object GraphAnalytics {
       undec.select(col("n"), lit("und").as("state"), lit(0).as("round")))
   }
 
+  /** Strongly connected components of a DIRECTED graph by iterated
+    * forward/backward max-label propagation (the Pregel-era "coloring"
+    * SCC; cf. Orzan 2004 / Salihoglu & Widom VLDB'14 — public
+    * algorithms, original DataFrame formulation). Per peeling round,
+    * over the remaining subgraph:
+    *   fwd(v) = max id that can REACH v,  bwd(v) = max id v can REACH,
+    * each computed by `propSteps` iterations of a neighbor-max step
+    * fused with a pointer-jumping step lab(v) ← max(lab(v), lab(lab(v)))
+    * — sound because lab(v) always holds a node on the required side of
+    * v (reaching / reached), and reachability composes; jumping doubles
+    * the propagated radius per step, so O(log diam) steps reach the
+    * fixpoint exactly like [[connectedComponentsDf]].
+    * Extraction: fwd(v) = bwd(v) = c proves v→*c and c→*v, so v ∈
+    * SCC(c); mutual-reachability paths never leave an SCC (any node on
+    * a u⇄v cycle is itself mutually reachable with both), so whole SCCs
+    * share (fwd, bwd) and are extracted COMPLETE, labeled with their
+    * maximum member id. Removing an extracted SCC cannot disconnect a
+    * surviving one, so peeling on the shrinking remainder is exact. The
+    * global max remaining id always satisfies fwd = bwd = itself, so
+    * every round extracts ≥ 1 SCC and the loop terminates; the round
+    * cap only bounds pathological id-ordered SCC chains, and hitting it
+    * throws rather than returning a partial labeling. Per round: two
+    * label propagations (two equi-join shuffles per step) + one
+    * node-keyed join — no transitive closure is ever materialized,
+    * which is what makes SCC viable on a 100 TB edge list where the
+    * closure is quadratic. Returns (node, scc = max member id). */
+  def stronglyConnectedComponents(edges: DataFrame, propSteps: Int = 8,
+                                  maxRounds: Int = 40): DataFrame = {
+    def propagate(ee: DataFrame, nodes: DataFrame, out: String): DataFrame = {
+      var lab = nodes.select(col("node"), col("node").as("lab"))
+      for (_ <- 1 to propSteps) {
+        val nb = ee.join(lab, ee("a") === lab("node"))
+          .select(ee("b").as("node"), col("lab"))
+        val stepped = lab.unionByName(nb)
+          .groupBy("node").agg(max(col("lab")).as("lab"))
+        // labels are remaining-node ids, so lab(lab) resolves in `stepped`
+        lab = stepped.join(
+            stepped.select(col("node").as("lab"), col("lab").as("plab")),
+            Seq("lab"))
+          .select(col("node"), greatest(col("lab"), col("plab")).as("lab"))
+          .localCheckpoint()
+      }
+      lab.withColumnRenamed("lab", out)
+    }
+    var rem = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    var nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var acc = nodes.select(col("node"), col("node").as("scc")).limit(0)
+    var round = 0
+    while (round < maxRounds && !nodes.isEmpty) {
+      val fwd = propagate(
+        rem.select(col("src").as("a"), col("dst").as("b")), nodes, "fwd")
+      val bwd = propagate(
+        rem.select(col("dst").as("a"), col("src").as("b")), nodes, "bwd")
+      val both = fwd.join(bwd, "node").localCheckpoint()
+      acc = acc.unionByName(
+          both.filter(col("fwd") === col("bwd"))
+            .select(col("node"), col("fwd").as("scc")))
+        .localCheckpoint()
+      nodes = both.filter(col("fwd") =!= col("bwd"))
+        .select("node").localCheckpoint()
+      rem = rem
+        .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      round += 1
+    }
+    require(nodes.isEmpty,
+      s"SCC peeling did not converge within $maxRounds rounds")
+    acc
+  }
+
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (got $k)")
     var alive = undirected(edges).localCheckpoint()

@@ -748,6 +748,51 @@ object GraphQueries {
              SELECT v AS node, MIN(r) AS component FROM reach
              GROUP BY v ORDER BY node"""))
 
+  /** Strongly connected components over a hash-derived DIRECTED graph
+    * (≤200 nodes: src = user_id % 200, dst = md5-hash % 200, 1-in-3
+    * hash-sampled — random enough for a giant SCC plus a singleton tail,
+    * the shape coloring-SCC peeling is interesting on; the dense event
+    * graph's user→key edges are bipartite-acyclic, i.e. vacuous). The
+    * oracle is TRUE mutual reachability — a directed recursive-CTE
+    * closure self-joined on (v→*r ∧ r→*v) — so a hash match proves the
+    * bounded-step forward/backward max-label propagation genuinely hit
+    * its fixpoint AND the peeling converged, not that the oracle
+    * replayed the same rounds (same stance as q_graph_cc). Labels are
+    * max member ids in both engines by construction. */
+  val graphScc = QueryDef(
+    "q_graph_scc",
+    (s, dir) => {
+      import s.implicits._
+      val k = get_json_object($"props", "$.k")
+      val hv = graft.pipeline.TextOps.strHash(
+        concat($"user_id".cast("string"), lit(":"), k))
+      val dg = Tables(s, dir, "events")
+        .select(($"user_id" % 200).as("src"), (hv % 200).as("dst"), hv.as("hv"))
+        .filter($"hv" % 3 === 0 && $"src" =!= $"dst")
+        .select($"src", $"dst")
+        .distinct()
+        .localCheckpoint()
+      graft.graph.GraphAnalytics.stronglyConnectedComponents(dg)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE
+             h AS (SELECT user_id % 200 AS src,
+                          (CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                             json_extract_string(props, '$.k')), 1, 15)) AS BIGINT)
+                           % 2147483647) AS hv
+                   FROM events),
+             dg AS (SELECT DISTINCT src, hv % 200 AS dst
+                    FROM h WHERE hv % 3 = 0 AND src <> hv % 200),
+             verts AS (SELECT DISTINCT v
+                       FROM (SELECT src AS v FROM dg UNION ALL SELECT dst FROM dg)),
+             reach(v, r) AS (
+               SELECT v, v FROM verts
+               UNION
+               SELECT r0.v, e.dst FROM reach r0 JOIN dg e ON e.src = r0.r)
+             SELECT f.v AS node, MAX(f.r) AS scc
+             FROM reach f JOIN reach b ON b.v = f.r AND b.r = f.v
+             GROUP BY f.v ORDER BY node"""))
+
   /** The integer fixed-point PageRank CTE chain (WITH ... r$iters), shared
     * with GraphXQueries' agreement cross-check. */
   private[rel] def pagerankCtes(iters: Int): String = {
@@ -775,6 +820,6 @@ object GraphQueries {
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphAssortativity,
       graphReciprocity, graphPagerankExact, graphPpr,
-      graphSssp, graphCc, graphClustering, graphJaccard, graphClosenessApprox,
-      graphDiameter)
+      graphSssp, graphCc, graphScc, graphClustering, graphJaccard,
+      graphClosenessApprox, graphDiameter)
 }

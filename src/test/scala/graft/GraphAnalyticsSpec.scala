@@ -393,4 +393,33 @@ class GraphAnalyticsSpec extends SparkSpec {
       .as[(Long, String, Int)].collect().toSet
     assert(mis.toSet == misRep, "MIS must be partition-independent")
   }
+
+  test("stronglyConnectedComponents: cycles, bridges, singleton chains") {
+    // cycle {1,2,3} —bridge→ cycle {4,5}; 6 feeds 1; isolated pair 7→8;
+    // id-DECREASING singleton chain 30→20→10 forces multi-round peeling
+    // (each node extracts only once every higher remaining id upstream
+    // or downstream is gone — the documented worst case for round count)
+    val g = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 4L), (3L, 4L),
+      (6L, 1L), (7L, 8L),
+      (30L, 20L), (20L, 10L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.stronglyConnectedComponents(g)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L,        // SCC labeled by max member
+      4L -> 5L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L,
+      10L -> 10L, 20L -> 20L, 30L -> 30L), s"$got")
+    // partition-independence: the fixpoint is a pure function of the graph
+    val rep = GraphAnalytics.stronglyConnectedComponents(g.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(rep == got, "SCC must be partition-independent")
+    // self-loops and duplicate edges must be inert
+    val noisy = g.unionByName(Seq((1L, 1L), (3L, 1L), (7L, 8L)).toDF("src", "dst"))
+    val gotNoisy = GraphAnalytics.stronglyConnectedComponents(noisy)
+      .as[(Long, Long)].collect().toMap
+    assert(gotNoisy == got, "self-loops/dup edges must not change SCCs")
+  }
 }
