@@ -719,24 +719,60 @@ object GraphAnalytics {
     * label propagations (two equi-join shuffles per step) + one
     * node-keyed join — no transitive closure is ever materialized,
     * which is what makes SCC viable on a 100 TB edge list where the
-    * closure is quadratic. Returns (node, scc = max member id). */
-  def stronglyConnectedComponents(edges: DataFrame, propSteps: Int = 8,
-                                  maxRounds: Int = 40): DataFrame = {
-    def propagate(ee: DataFrame, nodes: DataFrame, out: String): DataFrame = {
-      var lab = nodes.select(col("node"), col("node").as("lab"))
-      for (_ <- 1 to propSteps) {
-        val nb = ee.join(lab, ee("a") === lab("node"))
-          .select(ee("b").as("node"), col("lab"))
+    * closure is quadratic. Returns (node, scc = max member id).
+    *
+    * The finish is size-GATED like [[boruvkaMst]]'s contraction: once
+    * the remaining edge count drops to `localEdgeLimit` the tail is
+    * collected and solved with one driver-side iterative Tarjan pass —
+    * after the giant SCC peels off, the remainder of a real graph is a
+    * long straggler tail whose per-round frontier is tiny, exactly
+    * where scheduling round-trips dominate (the trim-then-local-finish
+    * design production SCC implementations use). Both paths label an
+    * SCC with its maximum member id, so the mutual-reachability oracle
+    * checks whichever combination ran. */
+  def stronglyConnectedComponents(edges: DataFrame, propSteps: Int = 32,
+                                  maxRounds: Int = 40,
+                                  localEdgeLimit: Long = 1L << 22): DataFrame = {
+    // the forward and backward propagations are the SAME fixpoint over
+    // mirrored edges, so both run as ONE keyed computation with a `dir`
+    // column in every join key — half the scheduling round-trips, which
+    // dominate once the remaining frontier is small
+    def propagate(e2: DataFrame, nodes: DataFrame): DataFrame = {
+      var lab = nodes
+        .select(col("node"), explode(array(lit(0), lit(1))).as("dir"))
+        .withColumn("lab", col("node"))
+      // labels only ever INCREASE, so the label sum is strictly monotone
+      // until the fixpoint: an unchanged sum IS convergence. Detecting it
+      // beats a worst-case fixed step count because real rounds converge
+      // in O(log diam) ≪ cap steps (a dense graph converges in 2-3), and
+      // the fixpoint property — lab(v) ≥ lab(u) on every edge u→v —
+      // guarantees lab(v) = max reaching id EXACTLY, independent of the
+      // step budget
+      var prev: java.math.BigDecimal = null
+      var converged = false
+      var step = 0
+      while (!converged && step < propSteps) {
+        step += 1
+        val nb = e2.join(lab,
+            e2("a") === lab("node") && e2("dir") === lab("dir"))
+          .select(e2("b").as("node"), e2("dir").as("dir"), col("lab"))
         val stepped = lab.unionByName(nb)
-          .groupBy("node").agg(max(col("lab")).as("lab"))
+          .groupBy("node", "dir").agg(max(col("lab")).as("lab"))
         // labels are remaining-node ids, so lab(lab) resolves in `stepped`
         lab = stepped.join(
-            stepped.select(col("node").as("lab"), col("lab").as("plab")),
-            Seq("lab"))
-          .select(col("node"), greatest(col("lab"), col("plab")).as("lab"))
+            stepped.select(col("node").as("lab"), col("dir"),
+              col("lab").as("plab")),
+            Seq("lab", "dir"))
+          .select(col("node"), col("dir"),
+            greatest(col("lab"), col("plab")).as("lab"))
           .localCheckpoint()
+        val s = lab.agg(sum(col("lab"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"))
+          .head.getDecimal(0)
+        if (s == prev) converged = true else prev = s
       }
-      lab.withColumnRenamed("lab", out)
+      require(converged, s"SCC propagation did not converge in $propSteps steps")
+      lab
     }
     var rem = edges.select(col("src"), col("dst")).distinct()
       .filter(col("src") =!= col("dst")).localCheckpoint()
@@ -745,12 +781,29 @@ object GraphAnalytics {
       .distinct().localCheckpoint()
     var acc = nodes.select(col("node"), col("node").as("scc")).limit(0)
     var round = 0
-    while (round < maxRounds && !nodes.isEmpty) {
-      val fwd = propagate(
-        rem.select(col("src").as("a"), col("dst").as("b")), nodes, "fwd")
-      val bwd = propagate(
-        rem.select(col("dst").as("a"), col("src").as("b")), nodes, "bwd")
-      val both = fwd.join(bwd, "node").localCheckpoint()
+    var finished = false
+    while (round < maxRounds && !finished) {
+      if (nodes.isEmpty) { finished = true }
+      else if (rem.count() <= localEdgeLimit) {
+        val es = rem.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ns = nodes.collect().map(_.getLong(0))
+        val comp = tarjanScc(ns, es)
+        val spark = rem.sparkSession
+        import spark.implicits._
+        val local = ns.toSeq.map(n => (n, comp.getOrElse(n, n)))
+          .toDF("node", "scc")
+        acc = acc.unionByName(local).localCheckpoint()
+        finished = true
+      } else {
+      val e2 = rem
+        .select(col("src").as("a"), col("dst").as("b"), lit(0).as("dir"))
+        .unionByName(rem
+          .select(col("dst").as("a"), col("src").as("b"), lit(1).as("dir")))
+      val both = propagate(e2, nodes)
+        .groupBy("node")
+        .agg(max(when(col("dir") === 0, col("lab"))).as("fwd"),
+          max(when(col("dir") === 1, col("lab"))).as("bwd"))
+        .localCheckpoint()
       acc = acc.unionByName(
           both.filter(col("fwd") === col("bwd"))
             .select(col("node"), col("fwd").as("scc")))
@@ -762,10 +815,161 @@ object GraphAnalytics {
         .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint()
       round += 1
+      }
     }
-    require(nodes.isEmpty,
+    require(finished,
       s"SCC peeling did not converge within $maxRounds rounds")
     acc
+  }
+
+  /** Iterative (explicit-stack) Tarjan SCC for the local finish of
+    * [[stronglyConnectedComponents]]; labels each SCC with its maximum
+    * member id to match the distributed path. */
+  private def tarjanScc(ns: Array[Long],
+                        es: Array[(Long, Long)]): Map[Long, Long] = {
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    val empty = Array.empty[Long]
+    for (root <- ns if !index.contains(root)) {
+      val work = scala.collection.mutable.Stack.empty[(Long, Iterator[Long])]
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      work.push((root, adj.getOrElse(root, empty).iterator))
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            work.push((w, adj.getOrElse(w, empty).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            var members = List.empty[Long]
+            var done = false
+            while (!done) {
+              val w = stack.remove(stack.length - 1); onStack -= w
+              members ::= w
+              if (w == v) done = true
+            }
+            val mx = members.max
+            members.foreach(m => comp(m) = mx)
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  /** Borůvka minimum spanning forest (Borůvka 1926 — THE parallel MST:
+    * O(log n) rounds, every step a keyed join/agg, no priority queue and
+    * no union-find, which is why it is the algorithm that survives a
+    * 100 TB edge list where Kruskal's global sort + sequential
+    * union-find and Prim's frontier heap cannot run). Per round every
+    * component selects its minimum incident cross-component edge under
+    * the STRICT total order (w, u, v) — ties broken by endpoint ids, so
+    * the selected structure in the component graph is a pseudo-forest
+    * whose only cycles are 2-cycles (mutual minima, deduped on the edge
+    * key) and the computed forest is the unique MSF under that order,
+    * replayable edge-for-edge by a sequential oracle. Contraction
+    * relabels via [[connectedComponentsDf]] on the chosen component
+    * links (min-flood + pointer jumping, O(log n) steps cover ANY chosen
+    * tree shape); components without a cross edge are finished and keep
+    * their label. Components at least halve per round, so
+    * ⌈log₂ n⌉ rounds suffice; the loop exits on the first round with no
+    * cross-component edge and throws if the cap is hit un-converged.
+    * Input edges are canonicalized (least/greatest, self-loops dropped,
+    * parallel edges keep min w). Returns the forest rows (u, v, w).
+    *
+    * Contraction is size-GATED: the chosen-link table holds one row per
+    * active component — geometrically shrinking and orders of magnitude
+    * smaller than the edge list — so below `localLinkLimit` rows it is
+    * collected and solved with a driver-side union-find whose min-label
+    * mapping broadcasts back (the same local-solve-below-threshold gate
+    * production MST/CC implementations use; a billion-component first
+    * round on a 100 TB edge list takes the distributed
+    * [[connectedComponentsDf]] path instead). Both paths produce the
+    * identical min-label mapping — the recursive-closure oracle checks
+    * whichever ran. */
+  def boruvkaMst(edges: DataFrame, maxRounds: Int = 24,
+                 localLinkLimit: Long = 1L << 22): DataFrame = {
+    val e = edges
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var comp = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+      .distinct().select(col("n"), col("n").as("c")).localCheckpoint()
+    // O(log k) pointer-jump steps relabel ANY chosen-tree shape over k
+    // links exactly; k at least halves per round, so later rounds get
+    // geometrically cheaper contractions
+    def jsteps(k: Long): Int =
+      math.max(4, 65 - java.lang.Long.numberOfLeadingZeros(math.max(1L, k)))
+    var mst = e.limit(0)
+    var round = 0
+    var active = true
+    while (round < maxRounds && active) {
+      val cu = comp.select(col("n").as("u"), col("c").as("cu"))
+      val cv = comp.select(col("n").as("v"), col("c").as("cv"))
+      val x = e.join(cu, "u").join(cv, "v")
+        .filter(col("cu") =!= col("cv")).localCheckpoint()
+      if (x.isEmpty) { active = false }
+      else {
+        val inc = x.select(col("cu").as("cc"), col("w"), col("u"), col("v"),
+            col("cu"), col("cv"))
+          .unionByName(x.select(col("cv").as("cc"), col("w"), col("u"),
+            col("v"), col("cu"), col("cv")))
+        val chosen = inc.groupBy("cc")
+          .agg(min(struct(col("w"), col("u"), col("v"), col("cu"),
+            col("cv"))).as("me"))
+          .select(col("me.u").as("u"), col("me.v").as("v"),
+            col("me.w").as("w"), col("me.cu").as("cu"), col("me.cv").as("cv"))
+          .distinct()
+          .localCheckpoint()
+        mst = mst.unionByName(chosen.select("u", "v", "w")).localCheckpoint()
+        val links = chosen.select(col("cu").as("src"), col("cv").as("dst"))
+          .localCheckpoint()
+        val nLinks = links.count()
+        val merged =
+          if (nLinks <= localLinkLimit) {
+            val pairs = links.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(x: Long): Long = {
+              val p = parent.getOrElseUpdate(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+            }
+            val byRoot = parent.keys.toSeq.groupBy(find)
+            val mapping = byRoot.iterator.flatMap { case (_, members) =>
+              val m = members.min; members.iterator.map(c => (c, m))
+            }.toSeq
+            import links.sparkSession.implicits._
+            broadcast(mapping.toDF("c", "newc"))
+          } else
+            connectedComponentsDf(links, iters = jsteps(nLinks))
+              .select(col("node").as("c"), col("component").as("newc"))
+        comp = comp.join(merged, Seq("c"), "left")
+          .select(col("n"), coalesce(col("newc"), col("c")).as("c"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    require(!active, s"Boruvka did not converge within $maxRounds rounds")
+    mst
   }
 
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {

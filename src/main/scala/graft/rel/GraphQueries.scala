@@ -772,7 +772,11 @@ object GraphQueries {
         .select($"src", $"dst")
         .distinct()
         .localCheckpoint()
-      graft.graph.GraphAnalytics.stronglyConnectedComponents(dg)
+      // 1000-edge local-finish gate: at the sf0.01 correctness gate the
+      // first (giant-SCC) round runs the distributed path and the
+      // straggler tail finishes locally — the oracle checks the combo
+      graft.graph.GraphAnalytics
+        .stronglyConnectedComponents(dg, localEdgeLimit = 1000L)
         .orderBy($"node")
     },
     Some("""WITH RECURSIVE

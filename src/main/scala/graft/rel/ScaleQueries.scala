@@ -389,6 +389,72 @@ object ScaleQueries {
             FROM ee JOIN l${i - 1} ON ee.u = l${i - 1}.node) GROUP BY node)"""
     }
 
+  /** Borůvka minimum spanning forest over the sparse bipartite graph with
+    * md5-derived edge weights (GraphAnalytics.boruvkaMst — O(log n)
+    * min-incident-edge rounds + pointer-jump contraction, the MST shape
+    * that runs where Kruskal's global sort and sequential union-find
+    * cannot). Weight range 100000 over thousands of edges guarantees
+    * ties, so the query exercises the strict (w, u, v) total order both
+    * engines share; the oracle replays the rounds as a generated CTE
+    * chain whose contraction step is a TRUE recursive-CTE closure over
+    * each round's chosen links — a hash match proves the Spark side's
+    * bounded pointer-jumping converged, not that both sides made the
+    * same mistake. Extra oracle rounds past the fixpoint are no-ops
+    * (empty cross-edge sets), so one fixed 18-round chain covers every
+    * fixture SF. */
+  val graphMst = QueryDef(
+    "q_graph_mst",
+    (s, dir) => {
+      import s.implicits._
+      val ew = sparseEdges(s, dir)
+        .select($"src".as("u"), $"dst".as("v"),
+          (TextOps.strHash(concat(lit("w:"), $"src".cast("string"), lit(":"),
+            $"dst".cast("string"))) % 100000).as("w"))
+      GraphAnalytics.boruvkaMst(ew).orderBy($"u", $"v")
+    },
+    Some {
+      val rounds = 18
+      val head =
+        s"""WITH RECURSIVE $eeCte,
+           |ew AS MATERIALIZED (
+           |  SELECT u, v,
+           |         (CAST(('0x'||substr(md5('w:' || CAST(u AS VARCHAR) || ':' ||
+           |            CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647)
+           |         % 100000 AS w
+           |  FROM e0),
+           |comp0 AS MATERIALIZED (
+           |  SELECT u AS n, u AS c FROM ew UNION SELECT v, v FROM ew)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""x$r AS MATERIALIZED (
+           |  SELECT ew.u, ew.v, ew.w, a.c AS cu, b.c AS cv
+           |  FROM ew JOIN comp${r - 1} a ON a.n = ew.u
+           |          JOIN comp${r - 1} b ON b.n = ew.v
+           |  WHERE a.c <> b.c),
+           |m$r AS MATERIALIZED (
+           |  SELECT DISTINCT u, v, w, cu, cv FROM (
+           |    SELECT u, v, w, cu, cv,
+           |           ROW_NUMBER() OVER (PARTITION BY cc ORDER BY w, u, v) AS rn
+           |    FROM (SELECT u, v, w, cu, cv, cu AS cc FROM x$r
+           |          UNION ALL SELECT u, v, w, cu, cv, cv AS cc FROM x$r))
+           |  WHERE rn = 1),
+           |l$r AS MATERIALIZED (
+           |  SELECT cu AS a, cv AS b FROM m$r UNION SELECT cv, cu FROM m$r),
+           |cl$r(c, r2) AS (
+           |  SELECT c, c FROM (SELECT DISTINCT c FROM comp${r - 1})
+           |  UNION
+           |  SELECT cl.c, l.b FROM cl$r cl JOIN l$r l ON l.a = cl.r2),
+           |nc$r AS MATERIALIZED (SELECT c, MIN(r2) AS newc FROM cl$r GROUP BY c),
+           |comp$r AS MATERIALIZED (
+           |  SELECT p.n, nc.newc AS c FROM comp${r - 1} p JOIN nc$r nc ON nc.c = p.c)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unions = (1 to rounds).map(r => s"SELECT u, v, w FROM m$r")
+        .mkString(" UNION ALL ")
+      s"""$head,
+         |$steps
+         |SELECT u, v, w FROM ($unions) ORDER BY u, v""".stripMargin
+    })
+
   /** 3-round synchronous min-label propagation over the sparse graph —
     * bounded-radius community labels (15/26/30 distinct labels at the three
     * fixture SFs: structure, not the vacuous 1-label fixpoint). */
@@ -1533,7 +1599,7 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     eventsMarkov, aggMode, eventsDecay,
-    sinkZorder, graphLpa, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
+    sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,

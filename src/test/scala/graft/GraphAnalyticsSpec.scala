@@ -394,6 +394,46 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(mis.toSet == misRep, "MIS must be partition-independent")
   }
 
+  test("boruvkaMst: equals sequential Kruskal under the (w,u,v) order") {
+    // deterministic pseudo-random sparse graph, incl. weight ties
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val raw = (1 to 240).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (a, b, rnd.nextInt(12).toLong) // small weight range → many ties
+    }.filter(t => t._1 != t._2)
+    val got = GraphAnalytics.boruvkaMst(raw.toDF("u", "v", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    // sequential Kruskal with union-find, same canonicalization + order
+    val canon = raw.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .groupBy(t => (t._1, t._2)).map { case ((u, v), g) => (u, v, g.map(_._3).min) }
+      .toSeq.sortBy(t => (t._3, t._1, t._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val expect = canon.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+
+    // forest invariant: |MST| = |V| − #components, and repartitioning is inert
+    val verts = canon.flatMap(t => Seq(t._1, t._2)).toSet
+    val comps = {
+      parent.clear()
+      canon.foreach { case (u, v, _) => val (a, b) = (find(u), find(v))
+        if (a != b) parent(a) = b }
+      verts.map(find).size
+    }
+    assert(got.size == verts.size - comps)
+    val rep = GraphAnalytics.boruvkaMst(raw.toDF("u", "v", "w").repartition(11))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == got, "MSF must be partition-independent")
+  }
+
   test("stronglyConnectedComponents: cycles, bridges, singleton chains") {
     // cycle {1,2,3} —bridge→ cycle {4,5}; 6 feeds 1; isolated pair 7→8;
     // id-DECREASING singleton chain 30→20→10 forces multi-round peeling
@@ -421,5 +461,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     val gotNoisy = GraphAnalytics.stronglyConnectedComponents(noisy)
       .as[(Long, Long)].collect().toMap
     assert(gotNoisy == got, "self-loops/dup edges must not change SCCs")
+
+    // the local-finish (driver Tarjan) and pure-distributed paths agree,
+    // on the hand graph and on a random digraph with nontrivial cycles
+    val dist = GraphAnalytics
+      .stronglyConnectedComponents(g, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got, "distributed-only path must agree with gated path")
+    val rnd = new scala.util.Random(11)
+    val rg = (1 to 150).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val rgLocal = GraphAnalytics
+      .stronglyConnectedComponents(rg, localEdgeLimit = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val rgDist = GraphAnalytics
+      .stronglyConnectedComponents(rg, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(rgLocal == rgDist, "Tarjan and peeling must agree on random digraph")
   }
 }
