@@ -1066,4 +1066,40 @@ object Similarity {
         round(col("dcgd").cast("double") / idcgAt(k), roundTo).as("ndcg"))
       .orderBy(col("qid"))
   }
+
+  /** MRR@k and MAP@k of an approximate ranking against a relevant set —
+    * the other two standard retrieval-eval numbers beside [[ndcgAt]].
+    * `approx` = (qid, cid, pos), `relevant` = (qid, cid). MRR = 1/pos of
+    * the first relevant hit (0 when none); AP = Σ_{rel hits} P@pos /
+    * min(|relevant|, k). Every term is a small rational a/b with b ≤ k;
+    * terms are rounded before a DECIMAL sum, so the per-qid results are
+    * order-independent and hash-match a sequential oracle (for b ≤ 10
+    * the terminating decimal expansions stop within 3 digits, so the
+    * 8-digit round is exact — no half-boundary divergence). One join +
+    * one qid-partitioned window + one agg: at cluster scale all three
+    * shuffles key on qid. */
+  def rankEvalAt(approx: DataFrame, relevant: DataFrame, k: Int,
+                 roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    val j = approx.filter(col("pos") <= k)
+      .join(relevant.select(col("qid"), col("cid"), lit(1).as("rel")),
+        Seq("qid", "cid"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pos"))
+    val cum = j.withColumn("cumrel", sum(col("rel")).over(w))
+    val nrel = relevant.groupBy(col("qid")).agg(count(lit(1)).as("nrel"))
+    cum.groupBy(col("qid"))
+      .agg(
+        coalesce(max(when(col("rel") === 1,
+          round(lit(1.0) / col("pos"), roundTo))), lit(0.0)).as("mrr"),
+        sum(when(col("rel") === 1,
+          round(col("cumrel").cast("double") / col("pos"), 8))
+          .otherwise(lit(0.0)).cast(DecimalType(20, 12))).as("apn"))
+      .join(nrel, "qid")
+      .select(col("qid"), col("mrr"),
+        round(col("apn").cast("double") /
+          least(col("nrel"), lit(k.toLong)), roundTo).as("ap"))
+      .orderBy(col("qid"))
+  }
 }

@@ -2770,6 +2770,74 @@ object PipelineQueries {
          |FROM rk WHERE rn = 1
          |ORDER BY ood DESC, vec_id LIMIT 20""".stripMargin))
 
+  /** MRR@10 + MAP@10 of the multi-probe LSH ranking against the exact
+    * top-10 relevant set (Similarity.rankEvalAt) — the two retrieval-eval
+    * numbers beside q_rank_ndcg's graded gain: MRR scores how soon the
+    * FIRST true neighbor appears, MAP the precision at every true-hit
+    * position. Shares q_rank_ndcg's approx/exact derivations; all terms
+    * are small rationals rounded before DECIMAL sums (b ≤ 10 ⇒ the
+    * terminating expansions stop within 3 digits — no half-boundary). */
+  val rankMrr = QueryDef(
+    "q_rank_mrr",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val approx = Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id",
+          "embedding", k = 10, probeRadius = 1)
+        .select($"qid", $"cid", $"rn".as("pos"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = TextOps.spread(e).select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val relevant = c.join(broadcast(q))
+        .withColumn("cos", round(graft.functions.vec.cosine($"cv", $"qv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+        .select($"qid", $"cid")
+      Similarity.rankEvalAt(approx, relevant, k = 10)
+    },
+    Some {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+        val pl = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product($v, $pl) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |qp AS (SELECT qid, qv,
+         |              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                      xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |       FROM q),
+         |sa AS (SELECT qp.qid, c.vec_id AS cid, round(${cosSql("c.v", "qp.qv")}, 6) AS cos
+         |       FROM b c JOIN qp ON c.bucket = qp.bucket),
+         |approx AS (SELECT qid, cid, rn AS pos FROM (
+         |             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cos DESC, cid) AS rn FROM sa) WHERE rn <= 10),
+         |se AS (SELECT q.qid, c.vec_id AS cid, round(${cosSql("c.v", "q.qv")}, 6) AS cos
+         |       FROM e c CROSS JOIN q),
+         |rel AS (SELECT qid, cid FROM (
+         |          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |            ORDER BY cos DESC, cid) AS rn FROM se) WHERE rn <= 10),
+         |j AS (SELECT a.qid, a.pos,
+         |             CASE WHEN r.cid IS NULL THEN 0 ELSE 1 END AS rel
+         |      FROM approx a LEFT JOIN rel r ON r.qid = a.qid AND r.cid = a.cid),
+         |c2 AS (SELECT qid, pos, rel,
+         |              SUM(rel) OVER (PARTITION BY qid ORDER BY pos) AS cumrel
+         |       FROM j),
+         |n AS (SELECT qid, COUNT(*) AS nrel FROM rel GROUP BY qid),
+         |g AS (SELECT qid,
+         |             COALESCE(MAX(CASE WHEN rel = 1
+         |                          THEN round(1.0 / pos, 6) END), 0.0) AS mrr,
+         |             CAST(SUM(CAST(CASE WHEN rel = 1
+         |                    THEN round(CAST(cumrel AS DOUBLE) / pos, 8)
+         |                    ELSE 0.0 END AS DECIMAL(20,12))) AS DOUBLE) AS apn
+         |      FROM c2 GROUP BY qid)
+         |SELECT g.qid, g.mrr,
+         |       round(g.apn / LEAST(n.nrel, 10), 6) AS ap
+         |FROM g JOIN n USING (qid) ORDER BY qid""".stripMargin
+    })
+
   /** nDCG@10 of the multi-probe LSH ranking against the exact cosine
     * ranking (Similarity.ndcgAt) — the graded ranking-quality eval that
     * complements q_ann_recall's set-overlap recall: recall@k treats all
@@ -2846,6 +2914,6 @@ object PipelineQueries {
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
     vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,
-    textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg,
+    textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg, rankMrr,
     pipelineE2e, pipelineFunnel)
 }
