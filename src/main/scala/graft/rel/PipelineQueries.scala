@@ -2165,6 +2165,92 @@ object PipelineQueries {
     * the number codebook training exists to reduce, measured in-engine.
     * Lloyd's objective is non-increasing, so trained ≤ spaced (spec
     * asserts it; this query publishes both, hash-checked). */
+  /** Shared RQ replay CTEs: sp/e/cb1/a1e (argmin level 1)/r1 (exact
+    * zip_with residuals)/cb2/a2 (argmin level 2 with both error terms).
+    * Consumed by q_ann_rq and q_ann_rq_err. */
+  private val rqCtes: String =
+    s"""sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb1 AS (SELECT vec_id AS cid1, v AS c1 FROM e
+       |        WHERE vec_id % (SELECT sp FROM sp) = 0),
+       |a1e AS (SELECT vec_id, v, cid1, c1, d2 FROM (
+       |         SELECT e.vec_id, e.v, cb1.cid1, cb1.c1,
+       |                round(list_dot_product(e.v, e.v)
+       |                      - 2.0*list_dot_product(e.v, cb1.c1)
+       |                      + list_dot_product(cb1.c1, cb1.c1), 6) AS d2,
+       |                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |                  round(list_dot_product(e.v, e.v)
+       |                        - 2.0*list_dot_product(e.v, cb1.c1)
+       |                        + list_dot_product(cb1.c1, cb1.c1), 6),
+       |                  cb1.cid1) AS rn
+       |         FROM e CROSS JOIN cb1) WHERE rn = 1),
+       |r1 AS (SELECT vec_id, cid1, d2,
+       |              list_transform(range(len(v)), i -> v[i+1] - c1[i+1]) AS r
+       |       FROM a1e),
+       |cb2 AS (SELECT vec_id AS cid2, r AS c2 FROM r1
+       |        WHERE vec_id % (SELECT sp FROM sp) = 1
+       |        UNION ALL
+       |        SELECT -1 AS cid2, list_transform(v, x -> 0.0::DOUBLE) AS c2
+       |        FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+       |a2 AS (SELECT vec_id, cid1, cid2, d2, d2r FROM (
+       |        SELECT r1.vec_id, r1.cid1, cb2.cid2, r1.d2,
+       |               round(list_dot_product(r1.r, r1.r)
+       |                     - 2.0*list_dot_product(r1.r, cb2.c2)
+       |                     + list_dot_product(cb2.c2, cb2.c2), 6) AS d2r,
+       |               ROW_NUMBER() OVER (PARTITION BY r1.vec_id ORDER BY
+       |                 round(list_dot_product(r1.r, r1.r)
+       |                       - 2.0*list_dot_product(r1.r, cb2.c2)
+       |                       + list_dot_product(cb2.c2, cb2.c2), 6),
+       |                 cb2.cid2) AS rn
+       |        FROM r1 CROSS JOIN cb2) WHERE rn = 1)""".stripMargin
+
+  /** Two-level residual quantization ADC top-10 (Similarity.rqTopK) —
+    * the RQ family beside PQ/SQ8: full-dim spaced level-1 codebook,
+    * offset-stratum residual level-2 codebook, score = q·(c1+c2) as two
+    * DECIMAL-added round-6 lookups. The oracle replays both assignment
+    * levels (argmin windows over cross joins) and the exact zip_with
+    * residual arithmetic. */
+  val annRq = QueryDef(
+    "q_ann_rq",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.rqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          VectorQueries.queryVec, k = 10,
+          corpusN = Tables.rowCount(s, dir, "embeddings"))
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH ${rqCtes},
+         |t1 AS (SELECT cid1, round(list_dot_product($qv, c1), 6) AS t1 FROM cb1),
+         |t2 AS (SELECT cid2, round(list_dot_product($qv, c2), 6) AS t2 FROM cb2),
+         |sc AS (SELECT a2.vec_id,
+         |              round(CAST(CAST(t1.t1 AS DECIMAL(20,10))
+         |                         + CAST(t2.t2 AS DECIMAL(20,10)) AS DOUBLE), 6) AS score
+         |       FROM a2 JOIN t1 USING (cid1) JOIN t2 USING (cid2))
+         |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    })
+
+  /** Per-level RQ mean squared error (Similarity.rqMse) — the number
+    * that justifies the second level: mse(level 2) < mse(level 1) on the
+    * fixture, measured, not argued (the spec also pins the inequality). */
+  val annRqErr = QueryDef(
+    "q_ann_rq_err",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.rqMse(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        corpusN = Tables.rowCount(s, dir, "embeddings"))
+    },
+    Some(s"""WITH ${rqCtes}
+         |SELECT 1 AS level,
+         |       round(CAST(SUM(CAST(d2 AS DECIMAL(20,10))) AS DOUBLE)
+         |             / COUNT(*), 6) AS mse FROM a2
+         |UNION ALL
+         |SELECT 2 AS level,
+         |       round(CAST(SUM(CAST(d2r AS DECIMAL(20,10))) AS DOUBLE)
+         |             / COUNT(*), 6) AS mse FROM a2
+         |ORDER BY level""".stripMargin))
+
   val annPqErr = QueryDef(
     "q_ann_pq_err",
     (s, dir) => {
@@ -2909,7 +2995,7 @@ object PipelineQueries {
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
-    annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, vecDiverse,
+    annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,

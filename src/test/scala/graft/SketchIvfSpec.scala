@@ -511,4 +511,38 @@ class SketchIvfSpec extends SparkSpec {
       assert(slice == single, s"batch slice for qid $qid must equal single-query")
     }
   }
+
+  test("rqParts: zero codeword makes level-2 error <= level-1 pointwise; " +
+      "spacing-1 RQ reproduces the exact ranking") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val (_, cb2, a2) = Similarity.rqParts(emb, "vec_id", "embedding",
+      corpusN = n)
+    // cid2 = -1 zero codeword present exactly once, full dim
+    val zeros = cb2.filter($"cid2" === -1L)
+      .select($"c2".cast("array<double>")).as[Seq[Double]].collect()
+    assert(zeros.length == 1 && zeros.head.forall(_ == 0.0))
+    // pointwise: choosing the zero codeword is always available, so the
+    // level-2 assignment can never be worse than keeping the residual
+    val bad = a2.filter($"d2r" > $"d2" + 1e-9).count()
+    assert(bad == 0, s"$bad vectors got WORSE at level 2")
+    // and it must strictly help for a nontrivial fraction on the fixture
+    val better = a2.filter($"d2r" < $"d2" - 1e-9).count()
+    assert(better > 0, "level 2 never improved anything - vacuous")
+
+    // spacing 1: every vector is its own level-1 codeword, residuals are
+    // exactly zero, so RQ ADC reduces to the exact dot-product ranking
+    val qv = emb.orderBy($"vec_id").limit(1)
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val rq = Similarity.rqTopK(emb, "vec_id", "embedding", qv, k = 8,
+        codewordEvery = 1L, corpusN = n)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Tables(spark, sf, "embeddings")
+      .select($"vec_id", round(graft.functions.vec.dot(
+        $"embedding".cast("array<double>"), typedlit(qv)), 6).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(8)
+      .as[(Long, Double)].collect().toSeq
+    assert(rq == exact, s"spacing-1 RQ must equal exact ranking: $rq vs $exact")
+  }
 }
