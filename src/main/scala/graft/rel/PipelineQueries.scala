@@ -1901,6 +1901,42 @@ object PipelineQueries {
                       AS resample_rate
              FROM bs, t ORDER BY source"""))
 
+  /** Deterministic weighted source interleave — the executable training
+    * ORDER the mixture weights feed (stride scheduling / weighted
+    * round-robin): each doc's virtual time is rank-within-source divided
+    * by the source's temperature-0.5 weight √n_s, and the schedule is
+    * the global (vt, source, doc_id) sort — big sources get
+    * proportionally more slots but sublinearly (√), small sources
+    * surface early and evenly instead of clumping at epoch boundaries.
+    * Per-source ranks are a source-partitioned window; the final total
+    * order is a distributed range sort, NOT a window — the schedule of a
+    * 100 TB corpus materializes without any single-partition stage.
+    * Cross-engine floats: rn/√n is either a ≤2-digit exact rational
+    * (perfect-square n) or irrational — no decimal-midpoint rounding
+    * divergence exists. */
+  val mixSchedule = QueryDef(
+    "q_mix_schedule",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", $"source")
+      val cnt = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), "source")
+        .select($"doc_id", $"source",
+          round($"rn" / sqrt($"n"), 6).as("vt"))
+        .orderBy($"vt", $"source", $"doc_id")
+    },
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+           d AS (SELECT doc_id, source,
+                        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                 FROM documents)
+           SELECT d.doc_id, d.source, round(d.rn / sqrt(c.n), 6) AS vt
+           FROM d JOIN c USING (source)
+           ORDER BY vt, source, doc_id"""))
+
   // ------------------------------------------------------------------ BPE
   /** Shared DuckDB replay of BPE training (mirrors Bpe.train exactly):
     * v0 = per-character piece states over the distinct-word vocabulary,
@@ -2994,7 +3030,7 @@ object PipelineQueries {
     textLangId, textQuality, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
-    textPack, vecQuantize, textPerplexity, mixWeights, vecCentroids,
+    textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
     annRecallTrained, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,

@@ -340,6 +340,53 @@ object ScaleQueries {
             SELECT user_id, n_events, round(CAST(sc AS DOUBLE), 6) AS score
             FROM g ORDER BY score DESC, user_id LIMIT 20"""))
 
+  // ---------------------------------------------------- compaction planner
+  /** Small-file compaction planning — the OPTIMIZE/rewrite step every
+    * 100 TB lake runs continuously: per table partition (order priority),
+    * "files" (month slices with row-count sizes) are packed
+    * largest-first by a sequential next-fit rule — bin = exclusive
+    * running total DIV target — so every bin lands within one file of
+    * the target and oversized files isolate into their own bin
+    * naturally. All-integer arithmetic (cum DIV 200, no float
+    * boundaries); the only windows partition by (pri) and (pri, bin) —
+    * never global — and the planning input is |partitions|×|months|
+    * rows regardless of table size: the plan is metadata-sized, exactly
+    * why compaction planning scales. */
+  val sinkCompaction = QueryDef(
+    "q_sink_compaction",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority".as("pri"),
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+        .agg(count(lit(1)).as("fsize"))
+      val w = Window.partitionBy($"pri").orderBy($"fsize".desc, $"ym")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binned = f
+        .withColumn("cum", coalesce(sum($"fsize").over(w), lit(0L)))
+        .withColumn("bin", expr("cum div 200"))
+      val wb = Window.partitionBy($"pri", $"bin")
+      binned
+        .select($"pri", $"ym", $"fsize", $"bin",
+          sum($"fsize").over(wb).as("bin_rows"))
+        .orderBy($"pri", $"bin", $"ym")
+    },
+    Some("""WITH f AS (SELECT o_orderpriority AS pri,
+                    CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym,
+                    COUNT(*) AS fsize
+             FROM orders GROUP BY 1, 2),
+           b AS (SELECT pri, ym, fsize,
+                        COALESCE(SUM(fsize) OVER (PARTITION BY pri
+                          ORDER BY fsize DESC, ym
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum
+                 FROM f),
+           g AS (SELECT pri, ym, fsize, CAST(cum // 200 AS BIGINT) AS bin FROM b)
+           SELECT pri, ym, fsize, bin,
+                  CAST(SUM(fsize) OVER (PARTITION BY pri, bin) AS BIGINT) AS bin_rows
+           FROM g ORDER BY pri, bin, ym"""))
+
   // ------------------------------------------------------- Z-order layout
   /** Z-order clustered sink: Morton-interleave (l_orderkey%1024,
     * l_partkey%1024), range-partition + sort by the key, write parquet,
@@ -1599,7 +1646,7 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     eventsMarkov, aggMode, eventsDecay,
-    sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
+    sinkCompaction, sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,
