@@ -247,6 +247,55 @@ object GraphAnalytics {
     rank.select(col("n").as("node"), col("r").as("rank_fp"))
   }
 
+  /** Fixed-point scale for eigenvector centrality: after every rescale
+    * the rank vector sums to ~10^6 (parts-per-million shares). The small
+    * scale is what makes the arithmetic overflow-proof: pre-rescale mass
+    * is ≤ max_outdeg·10^6 and the rescale numerator ≤ 10^12·10^6 = 10^18
+    * < Long.MaxValue for any out-degree up to 10^6. */
+  val EigScale = 1000000L
+
+  /** Eigenvector centrality by power iteration with an INTEGER L1
+    * renormalization each round — the centrality family member PageRank's
+    * teleport deliberately hides (a hub's score here is exactly the sum
+    * of its in-neighbours' scores, no damping floor). x_{i+1} =
+    * normalize(Aᵀ x_i), where normalize rescales to Σx = [[EigScale]]
+    * via truncating integer division (x·EigScale DIV Σ) — the rescale is
+    * what doubles-based power iteration does with a norm divide, but
+    * exact: every iterate is a pure integer function of the graph, so the
+    * result is bit-identical at any partitioning and the unrolled-CTE
+    * oracle replays every round. Mass parked on sink nodes drains (no
+    * teleport); if the whole vector drains to zero the rescale guard
+    * keeps zeros instead of dividing by it. Per iteration: one
+    * contribution shuffle + one rank re-join, lineage cut per round —
+    * the identical scale shape as [[pageRankFixedPoint]].
+    *
+    * Returns (node, eig_fp) — parts-per-million of the L1-normalized
+    * principal eigenvector direction after `iters` rounds. */
+  def eigenvectorCentrality(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("n").as("node"), lit(0L).as("eig_fp"))
+    var rank = nodes.select(col("n"), lit(EigScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("n"))
+        .select(col("dst").as("n"), col("r"))
+        .groupBy("n").agg(sum(col("r")).as("c"))
+      val tot = contrib.agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, Seq("n"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("n"),
+          when(col("s").isNull || col("s") === 0L, lit(0L))
+            .otherwise(expr(
+              s"(coalesce(c, CAST(0 AS BIGINT)) * $EigScale) DIV s"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("n").as("node"), col("r").as("eig_fp"))
+  }
+
   /** Both directions of the undirected simple edge set — the adjacency
     * relation the per-node iterative algorithms below join against. */
   private def bothWays(edges: DataFrame): DataFrame = {

@@ -138,6 +138,51 @@ object TextAnalysis {
         col("top_bigram_frac") > 0.18 || col("distinct_ratio") < 0.2)
   }
 
+  /** Gopher-style rule-battery document filter (Rae et al. 2021 §A1.1 —
+    * the published pre-training keep/drop gate, distinct from the
+    * soft [[qualityScore]]): per document, the word-statistics rules
+    *   r_wc   minWords ≤ n_words ≤ maxWords
+    *   r_mwl  mean word length within [mwlLo10, mwlHi10]/10 characters
+    *   r_rep  distinct-word ratio ≥ repNum/repDen (templated/degenerate
+    *          text fails here)
+    *   r_stop ≥ minStop distinct stopwords present (Gopher's "contains
+    *          required words" rule)
+    * and keep = all four. Thresholds are corpus-tuned constants exactly
+    * as Gopher's were; defaults discriminate on the synthetic fixture.
+    *
+    * EVERY comparison is all-integer (mean word length as
+    * 10·Σlen ≥ lo·n rather than a float divide; the ratio as
+    * den·distinct ≥ num·n), so flags are bit-identical cross-engine —
+    * no rounded-double threshold can straddle an ulp. One narrow
+    * projection pass, no joins, no shuffle: the filter runs at scan
+    * speed on any corpus size. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 30, maxWords: Int = 80,
+                   mwlLo10: Int = 40, mwlHi10: Int = 50,
+                   repNum: Int = 9, repDen: Int = 20,
+                   minStop: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val allStop = typedlit(stopwords.flatMap(_._2))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).as("n_words"),
+      size(array_distinct(toks)).as("n_distinct"),
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
+      size(array_intersect(array_distinct(toks), allStop)).as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("sum_wlen"), col("n_stop"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int").as("r_wc"),
+        (lit(10L) * col("sum_wlen") >= lit(mwlLo10.toLong) * col("n_words") &&
+          lit(10L) * col("sum_wlen") <= lit(mwlHi10.toLong) * col("n_words"))
+          .cast("int").as("r_mwl"),
+        (lit(repDen.toLong) * col("n_distinct") >=
+          lit(repNum.toLong) * col("n_words")).cast("int").as("r_rep"),
+        (col("n_stop") >= minStop).cast("int").as("r_stop"))
+      .withColumn("keep",
+        (col("r_wc") * col("r_mwl") * col("r_rep") * col("r_stop")).cast("int"))
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary: least-squares
     * slope/intercept of ln(freq) against ln(rank) for the `topN` most
     * frequent tokens — the one-row corpus health stat (natural text slopes

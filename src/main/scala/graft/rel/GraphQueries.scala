@@ -447,6 +447,47 @@ object GraphQueries {
     },
     Some(pagerankSql(5)))
 
+  /** Eigenvector centrality (GraphAnalytics.eigenvectorCentrality): power
+    * iteration with an exact integer L1 rescale per round, so unlike
+    * double-precision power iteration every iterate — including the
+    * truncating renormalization divide — is replayed bit-for-bit by the
+    * unrolled-CTE oracle. The un-damped counterpart of
+    * q_graph_pagerank_exact on the same derived edge table: a node's
+    * score is purely the sum of its in-neighbours' scores, which is the
+    * statistic PageRank's 15% teleport floor deliberately blurs. */
+  val graphEigen = QueryDef(
+    "q_graph_eigen",
+    (s, dir) => {
+      import s.implicits._
+      graft.graph.GraphAnalytics
+        .eigenvectorCentrality(eventEdges(s, dir), iters = 5)
+        .orderBy($"node")
+    },
+    Some {
+      val iters = 5
+      val sc = graft.graph.GraphAnalytics.EigScale
+      val head =
+        s"""WITH $edgesCte, $edCte,
+           |nodes AS (SELECT DISTINCT n
+           |          FROM (SELECT src AS n FROM ed UNION ALL SELECT dst AS n FROM ed)),
+           |p AS (SELECT COUNT(*) AS n FROM nodes),
+           |r0 AS (SELECT nodes.n, $sc // p.n AS r FROM nodes CROSS JOIN p)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS n, SUM(r.r) AS c
+           |        FROM ed e JOIN r${i - 1} r ON r.n = e.src
+           |        GROUP BY e.dst),
+           |s$i AS (SELECT SUM(c) AS s FROM c$i),
+           |r$i AS (SELECT nodes.n,
+           |               CASE WHEN s$i.s IS NULL OR s$i.s = 0 THEN 0
+           |                    ELSE (COALESCE(c$i.c, 0) * $sc) // s$i.s
+           |               END AS r
+           |        FROM nodes CROSS JOIN s$i LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT n AS node, CAST(r AS BIGINT) AS eig_fp FROM r$iters ORDER BY node""".stripMargin
+    })
+
   /** Bounded-hop weighted shortest paths from node 0 (min-plus semiring —
     * GraphAnalytics.shortestPaths). The multigraph collapses to min-weight
     * simple edges first (same min-plus result, and it keeps the oracle's
@@ -823,7 +864,7 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphAssortativity,
-      graphReciprocity, graphPagerankExact, graphPpr,
+      graphReciprocity, graphPagerankExact, graphEigen, graphPpr,
       graphSssp, graphCc, graphScc, graphClustering, graphJaccard,
       graphClosenessApprox, graphDiameter)
 }

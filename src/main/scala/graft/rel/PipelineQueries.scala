@@ -1138,6 +1138,44 @@ object PipelineQueries {
          |FROM r ORDER BY doc_id""".stripMargin
     })
 
+  /** Gopher rule-battery keep/drop gate (TextAnalysis.gopherFilter): the
+    * published word-statistics rules as ALL-INTEGER comparisons — mean
+    * word length via 10·Σlen vs lo·n, the distinct ratio via
+    * den·distinct vs num·n — so every flag is bit-identical cross-engine
+    * with zero float traffic. Each of the four rules fails on at least
+    * one fixture doc (spec-asserted), so none of the flags is vacuous. */
+  val textGopher = QueryDef(
+    "q_text_gopher",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.gopherFilter(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val allStop = TextAnalysis.stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         CAST(len($toksSql) AS INT) AS n_words,
+         |         CAST(len(list_distinct($toksSql)) AS INT) AS n_distinct,
+         |         CAST(COALESCE(list_sum(list_transform($toksSql,
+         |                w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS sum_wlen,
+         |         CAST(len(list_intersect(list_distinct($toksSql), $allStop)) AS INT) AS n_stop
+         |  FROM documents),
+         |f AS (SELECT *,
+         |        CASE WHEN n_words BETWEEN 30 AND 80 THEN 1 ELSE 0 END AS r_wc,
+         |        CASE WHEN 10 * sum_wlen >= 40 * n_words
+         |              AND 10 * sum_wlen <= 50 * n_words THEN 1 ELSE 0 END AS r_mwl,
+         |        CASE WHEN 20 * n_distinct >= 9 * n_words THEN 1 ELSE 0 END AS r_rep,
+         |        CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+         |      FROM b)
+         |SELECT doc_id, n_words, n_distinct, sum_wlen, n_stop,
+         |       CAST(r_wc AS INT) AS r_wc, CAST(r_mwl AS INT) AS r_mwl,
+         |       CAST(r_rep AS INT) AS r_rep, CAST(r_stop AS INT) AS r_stop,
+         |       CAST(r_wc * r_mwl * r_rep * r_stop AS INT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    })
+
   val textTokens = QueryDef(
     "q_text_tokens",
     (s, dir) => {
@@ -3027,7 +3065,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
     dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
-    textLangId, textQuality, textTokens, textFingerprint, multimodal,
+    textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, vecCentroids,

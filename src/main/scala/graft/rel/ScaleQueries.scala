@@ -387,6 +387,57 @@ object ScaleQueries {
                   CAST(SUM(fsize) OVER (PARTITION BY pri, bin) AS BIGINT) AS bin_rows
            FROM g ORDER BY pri, bin, ym"""))
 
+  // -------------------------------------------------------- zone-map audit
+  /** Zone-map (min/max file-statistics) pruning audit — the data-skipping
+    * planner every parquet/Iceberg/Delta reader runs before touching a
+    * row: per "file" (month slice — the layout q_sink_partitioned
+    * writes), the column min/max + row count classify the file against a
+    * predicate as pruned (no overlap — never read), full (contained —
+    * read without filtering), or partial (boundary — read + filter).
+    * TWO predicates are classified side by side: a ship-date range, where
+    * the layout is clustered and most zones prune; and a price range,
+    * where every zone's [min,max] straddles the predicate — the honest
+    * demonstration that zone maps only skip on columns the layout
+    * clusters (the reason q_sink_sorted / q_sink_zorder exist). The audit
+    * input is |zones| metadata rows regardless of table size; min/max
+    * land directly from the scan's partial aggregates. */
+  val sinkZonemap = QueryDef(
+    "q_sink_zonemap",
+    (s, dir) => {
+      import s.implicits._
+      val lo = lit("1997-03-10 00:00:00").cast("timestamp")
+      val hi = lit("1998-07-20 00:00:00").cast("timestamp")
+      val z = Tables(s, dir, "lineitem")
+        .groupBy((year($"l_shipdate") * 100 + month($"l_shipdate"))
+          .cast("int").as("zid"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_shipdate").as("d_mn"), max($"l_shipdate").as("d_mx"),
+          min($"l_extendedprice").as("p_mn"), max($"l_extendedprice").as("p_mx"))
+      z.select($"zid", $"n_rows", $"d_mn", $"d_mx",
+          when($"d_mx" < lo || $"d_mn" >= hi, "pruned")
+            .when($"d_mn" >= lo && $"d_mx" < hi, "full")
+            .otherwise("partial").as("date_cls"),
+          when($"p_mx" < 30000.0 || $"p_mn" >= 60000.0, "pruned")
+            .when($"p_mn" >= 30000.0 && $"p_mx" < 60000.0, "full")
+            .otherwise("partial").as("price_cls"))
+        .orderBy($"zid")
+    },
+    Some("""WITH z AS (SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS INT) AS zid,
+                   COUNT(*) AS n_rows,
+                   MIN(l_shipdate) AS d_mn, MAX(l_shipdate) AS d_mx,
+                   MIN(l_extendedprice) AS p_mn, MAX(l_extendedprice) AS p_mx
+             FROM lineitem GROUP BY 1)
+           SELECT zid, n_rows, d_mn, d_mx,
+                  CASE WHEN d_mx < TIMESTAMP '1997-03-10 00:00:00'
+                         OR d_mn >= TIMESTAMP '1998-07-20 00:00:00' THEN 'pruned'
+                       WHEN d_mn >= TIMESTAMP '1997-03-10 00:00:00'
+                        AND d_mx < TIMESTAMP '1998-07-20 00:00:00' THEN 'full'
+                       ELSE 'partial' END AS date_cls,
+                  CASE WHEN p_mx < 30000.0 OR p_mn >= 60000.0 THEN 'pruned'
+                       WHEN p_mn >= 30000.0 AND p_mx < 60000.0 THEN 'full'
+                       ELSE 'partial' END AS price_cls
+           FROM z ORDER BY zid"""))
+
   // ------------------------------------------------------- Z-order layout
   /** Z-order clustered sink: Morton-interleave (l_orderkey%1024,
     * l_partkey%1024), range-partition + sort by the key, write parquet,
@@ -1646,7 +1697,7 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
     eventsMarkov, aggMode, eventsDecay,
-    sinkCompaction, sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
+    sinkCompaction, sinkZonemap, sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
     dedupIncremental, profileCorr, sampleWeighted, dedupSubstring, textDupfrac,
     textWinnow, graphModularity, graphLouvain, graphCoarsen, graphLouvain2,

@@ -479,4 +479,35 @@ class GraphAnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rgLocal == rgDist, "Tarjan and peeling must agree on random digraph")
   }
+
+  test("eigenvectorCentrality: cycle is stationary, star drains, partition-proof") {
+    import GraphAnalytics.EigScale
+    // directed 4-cycle: uniform is the exact eigenvector — every iterate
+    // reproduces it bit-for-bit (rotation preserves the vector, rescale
+    // is then the identity on an exact quarter share)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val gotCyc = GraphAnalytics.eigenvectorCentrality(cyc, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(gotCyc == (0L to 3L).map(_ -> EigScale / 4).toMap, s"$gotCyc")
+    // in-star 1..4 → 0: round 1 puts ALL mass on the sink hub; round 2
+    // drains it (the hub has no out-edge) and the zero-sum guard must
+    // yield all-zeros instead of dividing by zero
+    val star = (1L to 4L).map(_ -> 0L).toDF("src", "dst")
+    val oneIter = GraphAnalytics.eigenvectorCentrality(star, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneIter == Map(0L -> EigScale, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val drained = GraphAnalytics.eigenvectorCentrality(star, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(drained.values.forall(_ == 0L), s"drained star must be all-zero: $drained")
+    // hub vs chain: the node with two in-neighbours outranks degree-1 nodes
+    val g = Seq((1L, 0L), (2L, 0L), (0L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val sc = GraphAnalytics.eigenvectorCentrality(g, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sc(0L) > 0L && sc.values.sum <= EigScale &&
+      sc.values.sum >= EigScale - 10, s"L1 mass must stay ~EigScale: $sc")
+    // exact integer arithmetic ⇒ bit-identical at any partitioning
+    val sc7 = GraphAnalytics.eigenvectorCentrality(g.repartition(7), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sc7 == sc, "power iteration must be partition-independent")
+  }
 }

@@ -17,6 +17,32 @@ class PipelineSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Long]("n") == 2))
   }
 
+  test("gopherFilter: every rule discriminates; flags are pure integer recomputes") {
+    val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select($"doc_id", $"n_words", $"n_distinct", $"sum_wlen", $"n_stop",
+        $"r_wc", $"r_mwl", $"r_rep", $"r_stop", $"keep")
+      .as[(Long, Int, Int, Long, Int, Int, Int, Int, Int, Int)].collect()
+    assert(g.length == docs.count())
+    // no rule is vacuous on the fixture: each passes some docs, fails others
+    for ((name, f) <- Seq[(String, ((Long, Int, Int, Long, Int, Int, Int, Int, Int, Int)) => Int)](
+        "r_wc" -> (_._6), "r_mwl" -> (_._7), "r_rep" -> (_._8), "r_stop" -> (_._9))) {
+      val passed = g.count(f(_) == 1)
+      assert(passed > 0 && passed < g.length,
+        s"$name must discriminate on the fixture: $passed/${g.length}")
+    }
+    // keep is exactly the conjunction, and strictly between 0 and all
+    assert(g.forall(r => r._10 == r._6 * r._7 * r._8 * r._9))
+    val kept = g.count(_._10 == 1)
+    assert(kept > 0 && kept < g.length, s"keep must mix: $kept/${g.length}")
+    // flags are deterministic integer functions of the counted stats
+    g.foreach { r =>
+      assert(r._6 == (if (r._2 >= 30 && r._2 <= 80) 1 else 0))
+      assert(r._7 == (if (10L * r._4 >= 40L * r._2 && 10L * r._4 <= 50L * r._2) 1 else 0))
+      assert(r._8 == (if (20L * r._3 >= 9L * r._2) 1 else 0))
+      assert(r._9 == (if (r._5 >= 2) 1 else 0))
+    }
+  }
+
   test("minhash-LSH finds every planted near-copy pair with high est-jaccard") {
     val corpus = docs.select($"doc_id", $"text").unionByName(
       docs.filter($"doc_id" < 20)
