@@ -1089,6 +1089,136 @@ object PipelineQueries {
              |FROM exact JOIN approx USING (qid, cid)
              |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin))
 
+  /** The nprobe tuning curve — the recall/latency dial every IVF
+    * deployment turns, measured as ONE plan: corpus assignment and
+    * candidate scoring run ONCE against the top-4 probes, then each
+    * sweep setting nprobe ∈ {1, 2, 4} re-ranks the candidate subset with
+    * probe rank ≤ nprobe ((setting, query)-partitioned windows — a
+    * per-setting re-run would repeat the assignment pass, the cost that
+    * dominates at scale). Aggregated recall@5 over the 5-query set must
+    * be non-decreasing in nprobe by construction (candidate sets nest) —
+    * spec-asserted, and the left join from the settings table keeps a
+    * zero-recall setting present rather than silently absent. */
+  val annNprobeCurve = QueryDef(
+    "q_ann_nprobe_curve",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val vec = graft.functions.vec
+      val e = Tables(s, dir, "embeddings")
+      val cent = trainedCentroids(s, dir)
+      val c = TextOps.spread(e).select($"vec_id".as("vid"), $"embedding".as("v"))
+      val wA = Window.partitionBy($"vid").orderBy($"ccos".desc, $"cid")
+      val af = c.join(broadcast(cent))
+        .withColumn("ccos", round(vec.cosine($"v", $"cv"), 6))
+        .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+        .select($"vid", $"v", $"cid")
+      val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val wP = Window.partitionBy($"qid").orderBy($"qcos".desc, $"cid")
+      val pr = q.crossJoin(broadcast(cent))
+        .withColumn("qcos", round(vec.cosine($"qv", $"cv"), 6))
+        .withColumn("prn", row_number().over(wP)).filter($"prn" <= 4)
+        .select($"qid", $"qv", $"cid", $"prn")
+      val cand = af.join(broadcast(pr), "cid")
+        .select($"qid", $"vid",
+          round(vec.cosine($"v", $"qv"), 6).as("score"), $"prn")
+      val settings = Seq(1, 2, 4).toDF("nprobe")
+      val wS = Window.partitionBy($"nprobe", $"qid").orderBy($"score".desc, $"vid")
+      val approx = cand.join(broadcast(settings), $"prn" <= $"nprobe")
+        .withColumn("rn", row_number().over(wS)).filter($"rn" <= 5)
+        .select($"nprobe", $"qid", $"vid")
+      val wE = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+      val exact = c.join(broadcast(q))
+        .withColumn("cos", round(vec.cosine($"v", $"qv"), 6))
+        .withColumn("rn", row_number().over(wE)).filter($"rn" <= 5)
+        .select($"qid", $"vid")
+      val hits = approx.join(exact, Seq("qid", "vid"))
+        .groupBy($"nprobe").agg(count(lit(1)).as("h"))
+      settings.join(hits, Seq("nprobe"), "left")
+        .select($"nprobe",
+          coalesce($"h", lit(0L)).as("n_hit"),
+          round(coalesce($"h", lit(0L)) / lit(25.0), 6).as("recall_at_5"))
+        .orderBy($"nprobe")
+    },
+    Some(s"""WITH ${kmeansCtes(2)},
+             |af AS (SELECT vid, v, cid FROM (
+             |         SELECT e.vid, e.v, c.cid,
+             |                ROW_NUMBER() OVER (PARTITION BY e.vid
+             |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+             |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+             |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 5),
+             |pr AS (SELECT qid, qv, cid, rn AS prn FROM (
+             |         SELECT q.qid, q.qv, c.cid,
+             |                ROW_NUMBER() OVER (PARTITION BY q.qid
+             |                  ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid) AS rn
+             |         FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+             |cand AS (SELECT pr.qid, af.vid,
+             |                round(${cosSql("af.v", "pr.qv")}, 6) AS score, pr.prn
+             |         FROM af JOIN pr USING (cid)),
+             |st AS (SELECT unnest([1, 2, 4]) AS nprobe),
+             |ap AS (SELECT nprobe, qid, vid FROM (
+             |         SELECT st.nprobe, c.qid, c.vid,
+             |                ROW_NUMBER() OVER (PARTITION BY st.nprobe, c.qid
+             |                  ORDER BY c.score DESC, c.vid) AS rn
+             |         FROM cand c JOIN st ON c.prn <= st.nprobe) WHERE rn <= 5),
+             |se AS (SELECT q.qid, e.vid, round(${cosSql("e.v", "q.qv")}, 6) AS cos
+             |       FROM e CROSS JOIN q),
+             |exact AS (SELECT qid, vid FROM (
+             |            SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+             |              ORDER BY cos DESC, vid) AS rn
+             |            FROM se) WHERE rn <= 5),
+             |hits AS (SELECT ap.nprobe, COUNT(*) AS h
+             |         FROM ap JOIN exact USING (qid, vid) GROUP BY ap.nprobe)
+             |SELECT st.nprobe, CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hit,
+             |       round(COALESCE(hits.h, 0) / 25.0::DOUBLE, 6) AS recall_at_5
+             |FROM st LEFT JOIN hits ON hits.nprobe = st.nprobe
+             |ORDER BY st.nprobe""".stripMargin))
+
+  /** Hubness audit (Radovanović et al. JMLR 2010) — the k-occurrence
+    * distribution that diagnoses whether an embedding space is skewed
+    * toward hub points (a few vectors appearing in everyone's top-k,
+    * the classic high-dimensional ANN failure mode). Runs on the spaced
+    * audit sample (vec_id % 5 — the bounded-sample convention of
+    * q_dedup_lsh_pr): exact top-5 within the sample, count how often
+    * each point occurs in others' lists (N_5), emit the N_5 histogram
+    * with antihubs (N_5 = 0) preserved via the left join from the
+    * sample. At 100 TB the sample stays fixed-size, so the audit cost
+    * is constant while the statistic tracks the full space's geometry. */
+  val vecHubness = QueryDef(
+    "q_vec_hubness",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val vec = graft.functions.vec
+      val sDf = Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("vid"), $"embedding".as("v"))
+      val nb = sDf.select($"vid".as("nid"), $"v".as("nv"))
+      val w = Window.partitionBy($"vid").orderBy($"cos".desc, $"nid")
+      val knn = TextOps.spread(sDf).join(broadcast(nb), $"vid" =!= $"nid")
+        .withColumn("cos", round(vec.cosine($"v", $"nv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"nid")
+      val occ = knn.groupBy($"nid").agg(count(lit(1)).as("o"))
+      sDf.select($"vid").join(occ, $"vid" === $"nid", "left")
+        .select(coalesce($"o", lit(0L)).as("occ"))
+        .groupBy($"occ").agg(count(lit(1)).as("n_points"))
+        .orderBy($"occ")
+    },
+    Some(s"""WITH s AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id % 5 = 0),
+             |pa AS (SELECT a.vid, b.vid AS nid,
+             |              round(${cosSql("a.v", "b.v")}, 6) AS cos
+             |       FROM s a JOIN s b ON a.vid <> b.vid),
+             |knn AS (SELECT nid FROM (
+             |          SELECT vid, nid, ROW_NUMBER() OVER (PARTITION BY vid
+             |            ORDER BY cos DESC, nid) AS rn
+             |          FROM pa) WHERE rn <= 5),
+             |oc AS (SELECT nid, COUNT(*) AS o FROM knn GROUP BY nid)
+             |SELECT CAST(COALESCE(oc.o, 0) AS BIGINT) AS occ,
+             |       CAST(COUNT(*) AS BIGINT) AS n_points
+             |FROM s LEFT JOIN oc ON oc.nid = s.vid
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // --------------------------------------------------------- text analysis
   val textLangId = QueryDef(
     "q_text_langid",
@@ -3070,7 +3200,7 @@ object PipelineQueries {
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
-    annRecallTrained, textBpeMerges, textBpe,
+    annRecallTrained, annNprobeCurve, vecHubness, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
     vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,

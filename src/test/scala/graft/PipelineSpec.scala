@@ -43,6 +43,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nprobe curve is monotone non-decreasing; hubness histogram conserves votes") {
+    // nested candidate sets ⇒ recall@5 can only grow with nprobe
+    val curve = rel.PipelineQueries.annNprobeCurve.run(spark, sf)
+      .select($"nprobe", $"n_hit").as[(Int, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall must be non-decreasing in nprobe: ${curve.toSeq}")
+    // each sample point casts exactly 5 neighbour votes: Σ occ·n = 5·|S|,
+    // Σ n = |S| (antihubs included via the left join)
+    val hist = rel.PipelineQueries.vecHubness.run(spark, sf)
+      .select($"occ", $"n_points").as[(Long, Long)].collect()
+    val nSample = Tables(spark, sf, "embeddings")
+      .filter($"vec_id" % 5 === 0).count()
+    assert(hist.map(_._2).sum == nSample)
+    assert(hist.map(r => r._1 * r._2).sum == 5L * nSample,
+      s"vote conservation: ${hist.toSeq}")
+  }
+
   test("minhash-LSH finds every planted near-copy pair with high est-jaccard") {
     val corpus = docs.select($"doc_id", $"text").unionByName(
       docs.filter($"doc_id" < 20)
