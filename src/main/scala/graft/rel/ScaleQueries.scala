@@ -236,6 +236,68 @@ object ScaleQueries {
             SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
 
+  /** First/last-touch conversion attribution — the marketing-analytics
+    * join every event warehouse serves: each purchase is attributed to
+    * the earliest and latest view/click touchpoint by the same user in
+    * a 7-day lookback window. Shape: one user-keyed equi-join carrying
+    * the window predicate (the touch table never self-joins or sorts
+    * globally), then a per-purchase aggregate where first/last are
+    * null-skipping min/max over (ts, event_id, channel) STRUCTS — the
+    * lexicographic struct order IS the deterministic tie-break, no
+    * window needed, and map-side partial min/max keeps the shuffle
+    * metadata-thin. Touchless purchases survive the left join and
+    * credit '(none)' rather than vanishing. */
+  val eventsAttribution = QueryDef(
+    "q_events_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val conv = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", $"ts".as("pts"))
+      val touch = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("tuid"), $"event_id".as("tid"),
+          $"event_type".as("ch"), $"ts".as("tts"))
+      conv.join(touch,
+          $"user_id" === $"tuid" && $"tts" < $"pts" &&
+            $"tts" >= $"pts" - expr("INTERVAL 7 DAYS"), "left")
+        .groupBy($"pid", $"user_id", $"pts")
+        .agg(count($"tid").as("n_touches"),
+          min(when($"tid".isNotNull, struct($"tts", $"tid", $"ch"))).as("f"),
+          max(when($"tid".isNotNull, struct($"tts", $"tid", $"ch"))).as("l"))
+        .select($"pid", $"user_id", $"pts", $"n_touches",
+          coalesce($"f.ch", lit("(none)")).as("first_ch"),
+          coalesce($"f.tid", lit(-1L)).as("first_id"),
+          coalesce($"l.ch", lit("(none)")).as("last_ch"),
+          coalesce($"l.tid", lit(-1L)).as("last_id"))
+        .orderBy($"pid")
+    },
+    Some("""WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+                  FROM events WHERE event_type = 'purchase'),
+           t AS (SELECT user_id AS tuid, event_id AS tid,
+                        event_type AS ch, ts AS tts
+                 FROM events WHERE event_type IN ('view', 'click')),
+           j AS (SELECT p.pid, p.user_id, p.pts, t.tid, t.ch, t.tts
+                 FROM p LEFT JOIN t ON t.tuid = p.user_id
+                   AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+           r AS (SELECT *,
+                        ROW_NUMBER() OVER (PARTITION BY pid
+                          ORDER BY tts, tid) AS rf,
+                        ROW_NUMBER() OVER (PARTITION BY pid
+                          ORDER BY tts DESC, tid DESC) AS rl
+                 FROM j),
+           n AS (SELECT pid, user_id, pts, COUNT(tid) AS n_touches
+                 FROM j GROUP BY 1, 2, 3)
+           SELECT n.pid, n.user_id, n.pts,
+                  CAST(n.n_touches AS BIGINT) AS n_touches,
+                  COALESCE(f.ch, '(none)') AS first_ch,
+                  COALESCE(f.tid, -1) AS first_id,
+                  COALESCE(l.ch, '(none)') AS last_ch,
+                  COALESCE(l.tid, -1) AS last_id
+           FROM n
+           JOIN (SELECT pid, ch, tid FROM r WHERE rf = 1) f USING (pid)
+           JOIN (SELECT pid, ch, tid FROM r WHERE rl = 1) l USING (pid)
+           ORDER BY n.pid"""))
+
   /** First-order Markov transition estimation over per-user event
     * sequences: lag window per user (ts, event_id order — never global),
     * transition counts per (prev, cur) type pair, and the row-normalized
@@ -1695,7 +1757,7 @@ object ScaleQueries {
             |ORDER BY event_type, day""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention,
+    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention, eventsAttribution,
     eventsMarkov, aggMode, eventsDecay,
     sinkCompaction, sinkZonemap, sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,

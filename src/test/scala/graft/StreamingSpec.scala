@@ -262,6 +262,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: shard-merged sketch equals batch; heavy-hitter reads agree") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CmsIngest
+    import graft.pipeline.Sketches
+    implicit val sql = spark.sqlContext
+    val keys = Tables(spark, sf, "events")
+      .select($"event_type").as[String].collect()
+    val stream = MemoryStream[String]
+    val index = CmsIngest.emptyIndex(spark)
+    val q = CmsIngest.start(
+      stream.toDS().toDF("event_type"), "event_type", 4, 64, index)
+    try {
+      keys.grouped(700).foreach { shard =>
+        stream.addData(shard.toSeq: _*); q.processAllAvailable()
+      }
+      // integer counters under addition: streamed == batch, exactly
+      val streamed = index.sketch.as[(Int, Long, Long)].collect().toSet
+      val batch = Sketches.cmsBuild(
+          keys.toSeq.toDF("event_type"), "event_type", 4, 64)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      // point estimates from the MAINTAINED sketch: overcount-bounded
+      // above the true counts and identical to the batch sketch's reads
+      val universe = keys.distinct.toSeq.toDF("event_type")
+      val est = Sketches.cmsEstimate(index.sketch, universe,
+          "event_type", 4, 64)
+        .as[(String, Long)].collect().toMap
+      val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(truth.forall { case (k, c) => est(k) >= c },
+        s"CMS must never undercount: $est vs $truth")
+      val estBatch = Sketches.cmsEstimate(
+          Sketches.cmsBuild(keys.toSeq.toDF("event_type"), "event_type", 4, 64),
+          universe, "event_type", 4, 64)
+        .as[(String, Long)].collect().toMap
+      assert(est == estBatch, "maintained and batch sketches must read alike")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest: LSH index drops copies, greedy chain semantics hold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.NearDupIngest
