@@ -296,6 +296,36 @@ object GraphAnalytics {
     rank.select(col("n").as("node"), col("r").as("eig_fp"))
   }
 
+  /** Earliest-arrival temporal reachability: `rounds` synchronous
+    * label-correcting rounds of
+    * arr(v) ← min(arr(v), min{ts : (u,v,ts) ∈ E, ts ≥ arr(u)}) from
+    * `start` (arrival = epoch). Time-respecting paths only — an edge that
+    * fired before you arrived at its source is unusable, so the reachable
+    * set is a strict subset of static BFS's. Earliest arrival has optimal
+    * substructure (an earlier arrival only unlocks MORE outgoing edges),
+    * so bounded rounds give exact earliest arrival over ≤`rounds`-edge
+    * temporal paths; the min semiring keeps every round
+    * order-independent and bit-identical at any partitioning. Expects
+    * the RAW multi-edge stream (src, dst, ts) — per-edge timestamps are
+    * the traversed information. Per round: one src-keyed equi-join with
+    * the time guard as a join predicate + one min agg. */
+  def temporalReachability(edges: DataFrame, start: Long,
+                           rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("ts")).localCheckpoint()
+    var arr = e.sparkSession.range(1)
+      .select(lit(start).as("node"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("arr"))
+    for (_ <- 1 to rounds) {
+      val cand = e.join(arr, e("src") === arr("node") && e("ts") >= arr("arr"))
+        .groupBy(e("dst")).agg(min(e("ts")).as("arr"))
+        .select(col("dst").as("node"), col("arr"))
+      arr = arr.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint()
+    }
+    arr
+  }
+
   /** Both directions of the undirected simple edge set — the adjacency
     * relation the per-node iterative algorithms below join against. */
   private def bothWays(edges: DataFrame): DataFrame = {

@@ -488,6 +488,56 @@ object GraphQueries {
          |SELECT n AS node, CAST(r AS BIGINT) AS eig_fp FROM r$iters ORDER BY node""".stripMargin
     })
 
+  /** Temporal (time-respecting) reachability from node 0: earliest
+    * arrival over paths whose edge timestamps never decrease — the
+    * contact-tracing / information-flow primitive static BFS cannot
+    * express (an edge that fired BEFORE you arrived at its source is not
+    * usable, so the reachable set is a strict subset of the static one).
+    * Uses the RAW multi-edge stream with per-edge timestamps — the
+    * (src, dst, etype) collapse every other graph query rides would
+    * destroy exactly the information this query traverses. Four
+    * synchronous label-correcting rounds of
+    * arr(v) ← min(arr(v), min{ts : (u,v,ts), ts ≥ arr(u)}) — the min
+    * semiring over MICROS instants, so every round is order-independent
+    * and the unrolled oracle replays it exactly; earliest arrival has
+    * optimal substructure (an earlier arrival only ever unlocks MORE
+    * outgoing edges), so bounded rounds = exact earliest arrival over
+    * ≤4-edge temporal paths. Per round: one src-keyed equi-join with the
+    * time guard riding as a join predicate + one min agg — the
+    * pageRankFixedPoint shuffle shape at any scale. */
+  val graphTemporal = QueryDef(
+    "q_graph_temporal",
+    (s, dir) => {
+      import s.implicits._
+      val ed = Tables(s, dir, "events")
+        .select($"user_id".as("src"),
+          (get_json_object($"props", "$.k").cast("long") % 15).as("dst"),
+          $"ts")
+      graft.graph.GraphAnalytics.temporalReachability(ed, start = 0L, rounds = 4)
+        .orderBy($"node")
+    },
+    Some {
+      val head =
+        s"""WITH tedges AS (SELECT user_id AS src,
+           |         CAST(json_extract_string(props, '$$.k') AS BIGINT) % 15 AS dst,
+           |         ts
+           |       FROM events),
+           |a0 AS (SELECT CAST(0 AS BIGINT) AS node,
+           |              TIMESTAMP '1970-01-01 00:00:00' AS arr)""".stripMargin
+      val steps = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, MIN(e.ts) AS arr
+           |        FROM tedges e JOIN a${i - 1} a
+           |          ON e.src = a.node AND e.ts >= a.arr
+           |        GROUP BY e.dst),
+           |a$i AS (SELECT node, MIN(arr) AS arr FROM
+           |          (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM c$i)
+           |        GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT node, arr FROM a4 ORDER BY node""".stripMargin
+    })
+
   /** Bounded-hop weighted shortest paths from node 0 (min-plus semiring —
     * GraphAnalytics.shortestPaths). The multigraph collapses to min-weight
     * simple edges first (same min-plus result, and it keeps the oracle's
@@ -865,6 +915,6 @@ object GraphQueries {
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphAssortativity,
       graphReciprocity, graphPagerankExact, graphEigen, graphPpr,
-      graphSssp, graphCc, graphScc, graphClustering, graphJaccard,
+      graphSssp, graphTemporal, graphCc, graphScc, graphClustering, graphJaccard,
       graphClosenessApprox, graphDiameter)
 }

@@ -2105,6 +2105,98 @@ object PipelineQueries {
            FROM d JOIN c USING (source)
            ORDER BY vt, source, doc_id"""))
 
+  /** Water-filling quota sampler — balanced sampling under per-group
+    * caps, the mixture-rebalancing step after [[mixWeights]] decides the
+    * targets: with budget B over language groups, find the cap c where
+    * Σ min(n_g, c) = B (groups under the cap contribute everything,
+    * surplus redistributes upward), then SELECT the docs: per group the
+    * md5-hash-ranked first `alloc` documents (deterministic "random"
+    * without an RNG). The allocation solve runs entirely on the
+    * |groups|-row aggregate table with ALL-INTEGER arithmetic — rank and
+    * cumulative via a tiny self-join (never a partition-less window), the
+    * split point k* = the largest rank whose group still fits fully
+    * (n·(K−k+1) + cum_{k−1} ≤ B, monotone so max is sound), cap and
+    * remainder by integer DIV/MOD with the +1s going to the largest
+    * groups first. Selection is one lang-partitioned window over the
+    * corpus + a broadcast of the K-row allocation — the only data-sized
+    * work, linear at any corpus size. Output proves the contract:
+    * n_picked ≡ alloc per group and Σ alloc = B (spec-pinned). */
+  val mixWaterfill = QueryDef(
+    "q_mix_waterfill",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 400L
+      val d = Tables(s, dir, "documents").select($"doc_id", $"lang")
+      val g = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val g2 = g.select($"lang".as("l2"), $"n".as("n2"))
+      val ranked = g.join(broadcast(g2),
+          struct($"n2", $"l2") <= struct($"n", $"lang"))
+        .groupBy($"lang", $"n")
+        .agg(count(lit(1)).as("rk"), sum($"n2").as("cum"))
+      val kRow = g.agg(count(lit(1)).as("kk"))
+      val fitted = ranked.crossJoin(broadcast(kRow))
+        .withColumn("fit",
+          ($"n" * ($"kk" - $"rk" + 1) + ($"cum" - $"n") <= B).cast("int"))
+      val star = fitted.agg(
+        coalesce(max(when($"fit" === 1, $"rk")), lit(0L)).as("kstar"),
+        coalesce(max(when($"fit" === 1, $"cum")), lit(0L)).as("cumstar"))
+      val alloc = fitted.crossJoin(broadcast(star))
+        .withColumn("cap", when($"kk" === $"kstar", lit(0L))
+          .otherwise(expr(s"(${B}L - cumstar) DIV (kk - kstar)")))
+        .withColumn("rem", when($"kk" === $"kstar", lit(0L))
+          .otherwise(expr(s"(${B}L - cumstar) % (kk - kstar)")))
+        .withColumn("alloc", when($"fit" === 1, $"n")
+          .otherwise($"cap" +
+            when($"kk" - $"rk" + 1 <= $"rem", 1L).otherwise(0L)))
+        .select($"lang", $"n", $"fit", $"alloc")
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val picked = d.withColumn("rn", row_number().over(w))
+        .join(broadcast(alloc.select($"lang", $"alloc")), "lang")
+        .filter($"rn" <= $"alloc")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("np"), sum($"doc_id").as("ps"))
+      alloc.join(picked, Seq("lang"), "left")
+        .select($"lang", $"n".as("n_docs"), $"fit".as("is_full"), $"alloc",
+          coalesce($"np", lit(0L)).as("n_picked"),
+          coalesce($"ps", lit(0L)).as("picked_sum"))
+        .orderBy($"lang")
+    },
+    Some("""WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           rk AS (SELECT g.lang, g.n, COUNT(*) AS rk, SUM(g2.n) AS cum
+                  FROM g JOIN g g2 ON (g2.n, g2.lang) <= (g.n, g.lang)
+                  GROUP BY g.lang, g.n),
+           kr AS (SELECT COUNT(*) AS kk FROM g),
+           ft AS (SELECT rk.*, kr.kk,
+                         CASE WHEN n * (kk - rk + 1) + (cum - n) <= 400
+                              THEN 1 ELSE 0 END AS fit
+                  FROM rk CROSS JOIN kr),
+           st AS (SELECT COALESCE(MAX(CASE WHEN fit = 1 THEN rk END), 0) AS kstar,
+                         COALESCE(MAX(CASE WHEN fit = 1 THEN cum END), 0) AS cumstar
+                  FROM ft),
+           al AS (SELECT ft.lang, ft.n, ft.fit,
+                         CASE WHEN ft.fit = 1 THEN ft.n
+                              ELSE ((400 - st.cumstar) // (ft.kk - st.kstar)) +
+                                   (CASE WHEN ft.kk - ft.rk + 1 <=
+                                          (400 - st.cumstar) % (ft.kk - st.kstar)
+                                         THEN 1 ELSE 0 END)
+                         END AS alloc
+                  FROM ft CROSS JOIN st),
+           dr AS (SELECT doc_id, lang,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                  FROM documents),
+           pk AS (SELECT dr.lang, COUNT(*) AS np, SUM(dr.doc_id) AS ps
+                  FROM dr JOIN al ON al.lang = dr.lang AND dr.rn <= al.alloc
+                  GROUP BY dr.lang)
+           SELECT al.lang, al.n AS n_docs, CAST(al.fit AS INT) AS is_full,
+                  CAST(al.alloc AS BIGINT) AS alloc,
+                  CAST(COALESCE(pk.np, 0) AS BIGINT) AS n_picked,
+                  CAST(COALESCE(pk.ps, 0) AS BIGINT) AS picked_sum
+           FROM al LEFT JOIN pk ON pk.lang = al.lang
+           ORDER BY al.lang"""))
+
   // ------------------------------------------------------------------ BPE
   /** Shared DuckDB replay of BPE training (mirrors Bpe.train exactly):
     * v0 = per-character piece states over the distinct-word vocabulary,
@@ -3198,7 +3290,7 @@ object PipelineQueries {
     textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
-    textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, vecCentroids,
+    textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,

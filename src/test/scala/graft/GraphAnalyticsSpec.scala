@@ -480,6 +480,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rgLocal == rgDist, "Tarjan and peeling must agree on random digraph")
   }
 
+  test("temporalReachability: time-respecting only, earliest arrival, partition-proof") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // a(0)→b at t=5; b→c fires at t=3 (BEFORE arrival at b — unusable)
+    // and again at t=9 (usable); direct a→c only at t=20; b→d fired at
+    // t=2 only, so d is STATICALLY reachable but temporally not.
+    val g = Seq((0L, 1L, t(5)), (1L, 2L, t(3)), (1L, 2L, t(9)),
+      (0L, 2L, t(20)), (1L, 3L, t(2))).toDF("src", "dst", "ts")
+    val got = GraphAnalytics.temporalReachability(g, start = 0L, rounds = 4)
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"d must be temporally unreachable: $got")
+    assert(got(1L) == t(5))
+    assert(got(2L) == t(9), s"2-hop t=9 beats direct t=20: ${got(2L)}")
+    // partition independence (min semiring)
+    val got7 = GraphAnalytics.temporalReachability(g.repartition(7), 0L, 4)
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(got7 == got)
+  }
+
   test("eigenvectorCentrality: cycle is stationary, star drains, partition-proof") {
     import GraphAnalytics.EigScale
     // directed 4-cycle: uniform is the exact eigenvector — every iterate

@@ -43,6 +43,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("water-filling quota: budget exact, under-quota groups full, picks match") {
+    val rows = rel.PipelineQueries.mixWaterfill.run(spark, sf)
+      .select($"lang", $"n_docs", $"is_full", $"alloc", $"n_picked")
+      .as[(String, Long, Int, Long, Long)].collect()
+    assert(rows.map(_._4).sum == 400L, s"Σ alloc must equal the budget: ${rows.toSeq}")
+    rows.foreach { r =>
+      if (r._3 == 1) assert(r._4 == r._2, s"under-quota group must keep all: $r")
+      else assert(r._4 < r._2, s"over-quota group must be capped: $r")
+      assert(r._5 == r._4, s"selection must deliver exactly the allocation: $r")
+    }
+    assert(rows.exists(_._3 == 0) && rows.exists(_._3 == 1),
+      "fixture must exercise both sides of the cap")
+  }
+
   test("nprobe curve is monotone non-decreasing; hubness histogram conserves votes") {
     // nested candidate sets ⇒ recall@5 can only grow with nprobe
     val curve = rel.PipelineQueries.annNprobeCurve.run(spark, sf)
