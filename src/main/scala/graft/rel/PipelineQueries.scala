@@ -1219,6 +1219,112 @@ object PipelineQueries {
              |FROM s LEFT JOIN oc ON oc.nid = s.vid
              |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Semi-supervised label propagation over the sample kNN graph (Zhu &
+    * Ghahramani 2002) — the label-spreading audit a curation pipeline
+    * runs to extend a small labeled set: on the spaced audit sample,
+    * build the symmetrized exact 5-NN graph, clamp every 3rd sample
+    * point to its true label, and run 2 synchronous COSINE-WEIGHTED vote
+    * rounds (per-(node, label) DECIMAL(18,6) sums of the round-6 edge
+    * cosines — order-independent exact, score desc + label asc
+    * tie-break, no RNG anywhere). Seeds stay clamped; points no labeled
+    * vote reaches report -1 rather than a guess.
+    *
+    * The fixture's raw-cosine 5-NN carries NO label signal (measured
+    * 0.114 same-label edge rate at k=5 ≈ the 10-class chance rate; the
+    * class structure lives in the means, which is q_vec_ncm's territory)
+    * — so, per this module's planting convention, each seed gets one
+    * EXACT unlabeled copy (vec_id + 100000): the copy's cos-1.0 edge to
+    * its original dominates every noise vote, every planted copy must
+    * adopt its original's label in round 1 (spec-pinned 100%), and the
+    * unplanted points honestly measure the no-signal floor the audit
+    * exists to expose. Same constant-size audit economics as
+    * q_vec_hubness. */
+  val vecLabelprop = QueryDef(
+    "q_vec_labelprop",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val vec = graft.functions.vec
+      val base = Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("vid"), $"embedding".as("v"), $"label")
+      val sm = base.unionByName(
+          base.filter($"vid" % 15 === 0)
+            .select(($"vid" + 100000).as("vid"), $"v", $"label"))
+        .localCheckpoint()
+      val nb = sm.select($"vid".as("nid"), $"v".as("nv"))
+      val w = Window.partitionBy($"vid").orderBy($"cos".desc, $"nid")
+      val knn = TextOps.spread(sm).join(broadcast(nb), $"vid" =!= $"nid")
+        .withColumn("cos", round(vec.cosine($"v", $"nv"), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"vid", $"nid", $"cos")
+      val und = knn.unionByName(
+          knn.select($"nid".as("vid"), $"vid".as("nid"), $"cos"))
+        .groupBy($"vid", $"nid").agg(max($"cos").as("cos"))
+        .localCheckpoint()
+      val seeds = sm.filter($"vid" % 15 === 0 && $"vid" < 100000)
+        .select($"vid", $"label")
+      var lab = seeds
+      for (_ <- 1 to 2) {
+        val wm = Window.partitionBy($"vid").orderBy($"sc".desc, $"label")
+        val prop = und.join(lab.select($"vid".as("nid"), $"label"), "nid")
+          .groupBy($"vid", $"label")
+          .agg(sum($"cos".cast(DecimalType(18, 6))).as("sc"))
+          .withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
+          .join(seeds.select($"vid"), Seq("vid"), "left_anti")
+          .select($"vid", $"label")
+        lab = seeds.unionByName(prop).localCheckpoint()
+      }
+      sm.select($"vid", $"label".as("truth"),
+          ($"vid" % 15 === 0 && $"vid" < 100000).cast("int").as("is_seed"),
+          ($"vid" >= 100000).cast("int").as("is_copy"))
+        .join(lab.select($"vid", $"label".as("pred")), Seq("vid"), "left")
+        .select($"vid".as("vec_id"), $"is_seed", $"is_copy",
+          coalesce($"pred", lit(-1)).as("pred"), $"truth",
+          ($"pred".isNotNull && $"pred" === $"truth").cast("int").as("correct"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      val rounds = (1 to 2).map { i =>
+        s"""m$i AS (SELECT e.vid, l.label,
+           |               SUM(CAST(e.cos AS DECIMAL(18,6))) AS sc
+           |        FROM und e JOIN l${i - 1} l ON l.vid = e.nid
+           |        GROUP BY e.vid, l.label),
+           |p$i AS (SELECT vid, label FROM (
+           |          SELECT vid, label, ROW_NUMBER() OVER (PARTITION BY vid
+           |            ORDER BY sc DESC, label) AS rn FROM m$i) WHERE rn = 1),
+           |l$i AS (SELECT * FROM l0 UNION ALL
+           |        SELECT p$i.vid, p$i.label FROM p$i
+           |        WHERE p$i.vid NOT IN (SELECT vid FROM l0))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sb AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v, label
+         |          FROM embeddings WHERE vec_id % 5 = 0),
+         |s AS (SELECT * FROM sb
+         |      UNION ALL SELECT vid + 100000, v, label FROM sb WHERE vid % 15 = 0),
+         |pa AS (SELECT a.vid, b.vid AS nid,
+         |              round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |       FROM s a JOIN s b ON a.vid <> b.vid),
+         |knn AS (SELECT vid, nid, cos FROM (
+         |          SELECT vid, nid, cos, ROW_NUMBER() OVER (PARTITION BY vid
+         |            ORDER BY cos DESC, nid) AS rn
+         |          FROM pa) WHERE rn <= 5),
+         |und AS (SELECT vid, nid, MAX(cos) AS cos FROM
+         |          (SELECT vid, nid, cos FROM knn
+         |           UNION ALL SELECT nid, vid, cos FROM knn)
+         |        GROUP BY vid, nid),
+         |l0 AS (SELECT vid, label FROM s WHERE vid % 15 = 0 AND vid < 100000),
+         |$rounds
+         |SELECT s.vid AS vec_id,
+         |       CAST(CASE WHEN s.vid % 15 = 0 AND s.vid < 100000
+         |                 THEN 1 ELSE 0 END AS INT) AS is_seed,
+         |       CAST(CASE WHEN s.vid >= 100000 THEN 1 ELSE 0 END AS INT) AS is_copy,
+         |       CAST(COALESCE(l2.label, -1) AS INT) AS pred,
+         |       s.label AS truth,
+         |       CAST(CASE WHEN l2.label = s.label THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM s LEFT JOIN l2 ON l2.vid = s.vid
+         |ORDER BY vec_id""".stripMargin
+    })
+
   // --------------------------------------------------------- text analysis
   val textLangId = QueryDef(
     "q_text_langid",
@@ -3292,7 +3398,7 @@ object PipelineQueries {
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
-    annRecallTrained, annNprobeCurve, vecHubness, textBpeMerges, textBpe,
+    annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
     vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,

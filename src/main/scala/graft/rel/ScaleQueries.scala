@@ -236,6 +236,64 @@ object ScaleQueries {
             SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
 
+  /** Item co-visitation with lift — the "users who touched X also touched
+    * Y" matrix behind every co-occurrence recommender: baskets =
+    * DISTINCT (user, day, item) triples, pair counts from ONE
+    * basket-keyed self-equi-join (a < b), and
+    * lift = n_ab · |baskets| / (n_a · n_b) telling association from
+    * popularity. Pair volume is Σ_basket |basket|² — bounded by the
+    * per-user-per-day distinct item count, never corpus²; the join key
+    * (user, day) hash-partitions, so a hot user-day is one AQE-splittable
+    * key, not a plan problem. All counts integer; lift is integer
+    * products into one IEEE divide rounded to 6 (exact ≤ 2^53, so both
+    * engines agree bit-for-bit). */
+  val eventsCovisit = QueryDef(
+    "q_events_covisit",
+    (s, dir) => {
+      import s.implicits._
+      val bk = Tables(s, dir, "events")
+        .select($"user_id",
+          date_trunc("day", $"ts").cast("date").as("d"),
+          (get_json_object($"props", "$.k").cast("long") % 15).as("item"))
+        .distinct().localCheckpoint()
+      val ni = bk.groupBy($"item").agg(count(lit(1)).as("n"))
+      val nb = bk.select($"user_id", $"d").distinct()
+        .agg(count(lit(1)).as("nt"))
+      val pairs = bk.join(
+          bk.select($"user_id", $"d", $"item".as("item_b")),
+          Seq("user_id", "d"))
+        .filter($"item" < $"item_b")
+        .groupBy($"item".as("ia"), $"item_b".as("ib"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(ni.select($"item".as("ia"), $"n".as("n_a"))), "ia")
+        .join(broadcast(ni.select($"item".as("ib"), $"n".as("n_b"))), "ib")
+        .crossJoin(broadcast(nb))
+        .select($"ia", $"ib", $"n_ab", $"n_a", $"n_b",
+          round(($"n_ab" * $"nt").cast("double") / ($"n_a" * $"n_b"), 6)
+            .as("lift"))
+        .orderBy($"ia", $"ib")
+    },
+    Some("""WITH bk AS (SELECT DISTINCT user_id,
+                    CAST(date_trunc('day', ts) AS DATE) AS d,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) % 15 AS item
+             FROM events),
+           ni AS (SELECT item, COUNT(*) AS n FROM bk GROUP BY item),
+           nb AS (SELECT COUNT(*) AS nt FROM
+                    (SELECT DISTINCT user_id, d FROM bk)),
+           pr AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS n_ab
+                  FROM bk a JOIN bk b
+                    ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+                  GROUP BY 1, 2)
+           SELECT pr.ia, pr.ib, pr.n_ab, na.n AS n_a, nb2.n AS n_b,
+                  round(CAST(pr.n_ab * nb.nt AS DOUBLE) / (na.n * nb2.n), 6)
+                    AS lift
+           FROM pr
+           JOIN ni na ON na.item = pr.ia
+           JOIN ni nb2 ON nb2.item = pr.ib
+           CROSS JOIN nb
+           ORDER BY pr.ia, pr.ib"""))
+
   /** First/last-touch conversion attribution — the marketing-analytics
     * join every event warehouse serves: each purchase is attributed to
     * the earliest and latest view/click touchpoint by the same user in
@@ -1757,7 +1815,7 @@ object ScaleQueries {
             |ORDER BY event_type, day""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention, eventsAttribution,
+    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention, eventsAttribution, eventsCovisit,
     eventsMarkov, aggMode, eventsDecay,
     sinkCompaction, sinkZonemap, sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,

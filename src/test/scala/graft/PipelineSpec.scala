@@ -57,6 +57,21 @@ class PipelineSpec extends SparkSpec {
       "fixture must exercise both sides of the cap")
   }
 
+  test("label propagation: planted copies adopt originals, seeds clamped") {
+    val rows = rel.PipelineQueries.vecLabelprop.run(spark, sf)
+      .select($"is_seed", $"is_copy", $"pred", $"truth", $"correct")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    // seeds are clamped to their own labels, trivially correct
+    assert(rows.filter(_._1 == 1).forall(r => r._3 == r._4 && r._5 == 1))
+    // EVERY planted exact copy adopts its original's label in round 1 —
+    // the cos-1.0 edge must dominate any noise vote (weighted LP's point)
+    val copies = rows.filter(_._2 == 1)
+    assert(copies.nonEmpty && copies.forall(_._5 == 1),
+      s"copies must follow originals: ${copies.count(_._5 == 1)}/${copies.length}")
+    // the symmetrized 5-NN graph reaches everything in 2 rounds here
+    assert(rows.forall(_._3 != -1))
+  }
+
   test("nprobe curve is monotone non-decreasing; hubness histogram conserves votes") {
     // nested candidate sets ⇒ recall@5 can only grow with nprobe
     val curve = rel.PipelineQueries.annNprobeCurve.run(spark, sf)
