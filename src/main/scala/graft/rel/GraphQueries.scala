@@ -564,6 +564,55 @@ object GraphQueries {
              SELECT node, round(MIN(pw), 6) AS dist
              FROM walk GROUP BY node ORDER BY node"""))
 
+  /** Pivot-sampled harmonic centrality — closeness's robust sibling
+    * (Boldi–Vigna 2014: Σ 1/d instead of 1/Σd, so disconnection costs a
+    * term instead of special-casing): same K = 5 pivot multi-source BFS
+    * as q_graph_closeness_approx, but the statistic is EXACT-RATIONAL —
+    * hop distances are ≤ 4, so Σ 1/d = (Σ 12/d)/12 with every 12/d an
+    * exact integer (lcm trick), the sum an order-independent BIGINT, and
+    * the single final division the only float op. Unreached pivots
+    * contribute 0 naturally — no reachability cap needed at all. */
+  val graphHarmonic = QueryDef(
+    "q_graph_harmonic",
+    (s, dir) => {
+      import s.implicits._
+      val ed = eventEdges(s, dir)
+      val und = graft.graph.GraphAnalytics.undirected(ed.select($"src", $"dst"))
+      val nodes = und.select($"u".as("n"))
+        .unionByName(und.select($"v".as("n"))).distinct()
+      val pivots = nodes.orderBy($"n").limit(5).select($"n".as("p"))
+      val d = graft.graph.GraphAnalytics.multiSourceHopDistances(
+        und, pivots, hops = 4)
+      nodes.join(d.filter($"d" > 0)
+            .select($"node".as("n"), expr("12 DIV d").as("q")),
+          Seq("n"), "left")
+        .groupBy($"n")
+        .agg(coalesce(sum($"q"), lit(0L)).as("sum_q"))
+        .select($"n".as("node"), $"sum_q",
+          round($"sum_q" / lit(12.0), 6).as("harmonic"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE $edgesCte,
+             und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                     FROM edges WHERE src <> dst),
+             bi AS (SELECT u AS src, v AS dst FROM und
+                    UNION ALL SELECT v, u FROM und),
+             nodes AS (SELECT DISTINCT n FROM
+                         (SELECT u AS n FROM und UNION ALL SELECT v FROM und)),
+             piv AS (SELECT n AS p FROM nodes ORDER BY n LIMIT 5),
+             walk(p, node, d) AS (
+               SELECT p, p, 0 FROM piv
+               UNION ALL
+               SELECT w.p, e.dst, w.d + 1
+               FROM walk w JOIN bi e ON e.src = w.node WHERE w.d < 4),
+             md AS (SELECT p, node, MIN(d) AS d FROM walk GROUP BY p, node),
+             hq AS (SELECT node, 12 // d AS q FROM md WHERE d > 0)
+             SELECT nodes.n AS node,
+                    CAST(COALESCE(SUM(hq.q), 0) AS BIGINT) AS sum_q,
+                    round(COALESCE(SUM(hq.q), 0) / 12.0::DOUBLE, 6) AS harmonic
+             FROM nodes LEFT JOIN hq ON hq.node = nodes.n
+             GROUP BY nodes.n ORDER BY node"""))
+
   /** Pivot-sampled approximate closeness centrality (Eppstein–Wang):
     * hop distances from K = 5 deterministic pivots (the smallest node
     * ids) to every node in ONE shared multi-source BFS, distance capped
@@ -914,7 +963,7 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphAssortativity,
-      graphReciprocity, graphPagerankExact, graphEigen, graphPpr,
+      graphReciprocity, graphPagerankExact, graphEigen, graphHarmonic, graphPpr,
       graphSssp, graphTemporal, graphCc, graphScc, graphClustering, graphJaccard,
       graphClosenessApprox, graphDiameter)
 }

@@ -236,6 +236,71 @@ object ScaleQueries {
             SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
 
+  /** RFM segmentation — the recency/frequency/monetary customer report
+    * every commerce warehouse publishes: one orders groupBy computes each
+    * customer's days-since-last-order (vs the global max date, a 1-row
+    * broadcast), order count, and DECIMAL(18,2)-exact lifetime cents;
+    * fixed business cutoffs (fixture-calibrated like the Gopher rules)
+    * classify each measure into tiers 1–5 with ALL-INTEGER comparisons;
+    * the report rolls up customers per (r, f, m) cell with exact total
+    * cents. Two aggregation shuffles total — per-customer then per-cell,
+    * both map-side partial — and the cell table is ≤125 rows regardless
+    * of customer count. */
+  val rfmSegments = QueryDef(
+    "q_rfm_segments",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables(s, dir, "orders")
+      val gmax = o.agg(max($"o_orderdate").as("gm"))
+      val per = o.groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("lastd"),
+          count(lit(1)).as("f"),
+          (sum($"o_totalprice".cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"))
+        .crossJoin(broadcast(gmax))
+        .select($"o_custkey",
+          datediff($"gm", $"lastd").as("rec"), $"f", $"cents")
+      per.select(
+          when($"rec" <= 60, 5).when($"rec" <= 120, 4)
+            .when($"rec" <= 240, 3).when($"rec" <= 400, 2)
+            .otherwise(1).as("r_seg"),
+          when($"f" >= 13, 5).when($"f" >= 11, 4).when($"f" >= 9, 3)
+            .when($"f" >= 7, 2).otherwise(1).as("f_seg"),
+          when($"cents" >= 325000000L, 5).when($"cents" >= 270000000L, 4)
+            .when($"cents" >= 220000000L, 3).when($"cents" >= 170000000L, 2)
+            .otherwise(1).as("m_seg"),
+          $"cents")
+        .groupBy($"r_seg", $"f_seg", $"m_seg")
+        .agg(count(lit(1)).as("n_customers"), sum($"cents").as("total_cents"))
+        .orderBy($"r_seg", $"f_seg", $"m_seg")
+    },
+    Some("""WITH gm AS (SELECT MAX(o_orderdate) AS gm FROM orders),
+           per AS (SELECT o_custkey,
+                          date_diff('day', MAX(o_orderdate), (SELECT gm FROM gm)) AS rec,
+                          COUNT(*) AS f,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS cents
+                   FROM orders GROUP BY o_custkey),
+           seg AS (SELECT CASE WHEN rec <= 60 THEN 5 WHEN rec <= 120 THEN 4
+                               WHEN rec <= 240 THEN 3 WHEN rec <= 400 THEN 2
+                               ELSE 1 END AS r_seg,
+                          CASE WHEN f >= 13 THEN 5 WHEN f >= 11 THEN 4
+                               WHEN f >= 9 THEN 3 WHEN f >= 7 THEN 2
+                               ELSE 1 END AS f_seg,
+                          CASE WHEN cents >= 325000000 THEN 5
+                               WHEN cents >= 270000000 THEN 4
+                               WHEN cents >= 220000000 THEN 3
+                               WHEN cents >= 170000000 THEN 2
+                               ELSE 1 END AS m_seg,
+                          cents
+                   FROM per)
+           SELECT CAST(r_seg AS INT) AS r_seg, CAST(f_seg AS INT) AS f_seg,
+                  CAST(m_seg AS INT) AS m_seg,
+                  CAST(COUNT(*) AS BIGINT) AS n_customers,
+                  CAST(SUM(cents) AS BIGINT) AS total_cents
+           FROM seg GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg"""))
+
   /** Item co-visitation with lift — the "users who touched X also touched
     * Y" matrix behind every co-occurrence recommender: baskets =
     * DISTINCT (user, day, item) triples, pair counts from ONE
@@ -1815,7 +1880,7 @@ object ScaleQueries {
             |ORDER BY event_type, day""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention, eventsAttribution, eventsCovisit,
+    fnUrl, dedupUrl, textRepetition, textNgramTopk, eventsRetention, eventsAttribution, eventsCovisit, rfmSegments,
     eventsMarkov, aggMode, eventsDecay,
     sinkCompaction, sinkZonemap, sinkZorder, graphLpa, graphMst, graphKcore, graphMis, graphCoproj, vecPrefixRerank,
     dedupSegments, graphHits, graphAdamic, joinBloom, vecRange, textZipf,
