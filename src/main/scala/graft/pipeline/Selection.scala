@@ -54,4 +54,45 @@ object Selection {
       .agg(sum(col("lr")).as("w_dec"))
       .select(col(idCol), col("w_dec").cast("double").as("weight"))
   }
+
+  /** Water-filling quota allocation: given per-group sizes (keyCol, n)
+    * and a total `budget`, find the cap c with Σ min(n_g, c) = budget —
+    * groups under the cap keep everything (fit = 1), the surplus spreads
+    * evenly over the over-cap groups with the integer remainder going to
+    * the largest groups first. Returns (keyCol, n, fit, alloc) with
+    * Σ alloc = min(budget, Σ n) exactly.
+    *
+    * Everything runs on the |groups|-row aggregate table in ALL-INTEGER
+    * arithmetic: rank and cumulative via a tiny self-join (never a
+    * partition-less window), the split point k* = the largest rank whose
+    * group still fits fully (n·(K−k+1) + cum_{k−1} ≤ B — monotone in k,
+    * so max is sound), cap and remainder by DIV/MOD. When every group
+    * fits (budget ≥ Σ n) the k* = K guard keeps cap/rem at 0 and every
+    * alloc = n. */
+  def waterfillAlloc(groups: DataFrame, keyCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    val g2 = groups.select(col(keyCol).as("k2"), col("n").as("n2"))
+    val ranked = groups.join(broadcast(g2),
+        struct(col("n2"), col("k2")) <= struct(col("n"), col(keyCol)))
+      .groupBy(col(keyCol), col("n"))
+      .agg(count(lit(1)).as("rk"), sum(col("n2")).as("cum"))
+    val kRow = groups.agg(count(lit(1)).as("kk"))
+    val fitted = ranked.crossJoin(broadcast(kRow))
+      .withColumn("fit",
+        (col("n") * (col("kk") - col("rk") + 1) + (col("cum") - col("n"))
+          <= budget).cast("int"))
+    val star = fitted.agg(
+      coalesce(max(when(col("fit") === 1, col("rk"))), lit(0L)).as("kstar"),
+      coalesce(max(when(col("fit") === 1, col("cum"))), lit(0L)).as("cumstar"))
+    fitted.crossJoin(broadcast(star))
+      .withColumn("cap", when(col("kk") === col("kstar"), lit(0L))
+        .otherwise(expr(s"(${budget}L - cumstar) DIV (kk - kstar)")))
+      .withColumn("rem", when(col("kk") === col("kstar"), lit(0L))
+        .otherwise(expr(s"(${budget}L - cumstar) % (kk - kstar)")))
+      .withColumn("alloc", when(col("fit") === 1, col("n"))
+        .otherwise(col("cap") +
+          when(col("kk") - col("rk") + 1 <= col("rem"), 1L).otherwise(0L)))
+      .select(col(keyCol), col("n"), col("fit"), col("alloc"))
+  }
 }
