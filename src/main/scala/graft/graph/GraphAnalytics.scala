@@ -278,7 +278,12 @@ object GraphAnalytics {
     val n = nodes.count()
     if (n == 0)
       return nodes.select(col("n").as("node"), lit(0L).as("eig_fp"))
-    var rank = nodes.select(col("n"), lit(EigScale / n).as("r"))
+    // seed = max(share, 1): for n ≤ EigScale this IS the exact 10^6/n
+    // share; past 10^6 nodes the integer share truncates to 0 and would
+    // silently zero the whole iteration, so floor at 1 — the first
+    // rescale renormalizes to ΣEigScale regardless of the seed's scale
+    // (round-1 rescale numerator ≤ indeg·10^6, still < Long.MaxValue).
+    var rank = nodes.select(col("n"), lit(math.max(EigScale / n, 1L)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(rank, e("src") === rank("n"))
         .select(col("dst").as("n"), col("r"))
@@ -809,6 +814,26 @@ object GraphAnalytics {
     * design production SCC implementations use). Both paths label an
     * SCC with its maximum member id, so the mutual-reachability oracle
     * checks whichever combination ran. */
+  /** Conservative per-collected-edge driver heap cost: a boxed (Long,
+    * Long) tuple + array slot + union-find map entry. */
+  val LocalFinishRowBytes = 96L
+
+  /** Guard for the size-gated driver-side local finishes ([[boruvkaMst]],
+    * [[stronglyConnectedComponents]]): refuse the collect when the
+    * bytes estimate exceeds a quarter of the heap currently available to
+    * the driver JVM — a fat edge list fails LOUDLY with a actionable
+    * message instead of OOMing the driver mid-job. */
+  def requireDriverFits(rows: Long, what: String,
+                        rowBytes: Long = LocalFinishRowBytes): Unit = {
+    val rt = Runtime.getRuntime
+    val avail = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+    val need = rows * rowBytes
+    require(need <= avail / 4,
+      s"$what local finish would collect $rows rows (~$need bytes) but only " +
+        s"$avail heap bytes are free on the driver; raise driver memory or " +
+        s"lower the local-finish limit so the tail stays distributed")
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, propSteps: Int = 32,
                                   maxRounds: Int = 40,
                                   localEdgeLimit: Long = 1L << 22): DataFrame = {
@@ -864,6 +889,7 @@ object GraphAnalytics {
     while (round < maxRounds && !finished) {
       if (nodes.isEmpty) { finished = true }
       else if (rem.count() <= localEdgeLimit) {
+        requireDriverFits(rem.count() + nodes.count(), "SCC Tarjan")
         val es = rem.collect().map(r => (r.getLong(0), r.getLong(1)))
         val ns = nodes.collect().map(_.getLong(0))
         val comp = tarjanScc(ns, es)
@@ -1023,11 +1049,19 @@ object GraphAnalytics {
         val nLinks = links.count()
         val merged =
           if (nLinks <= localLinkLimit) {
+            requireDriverFits(nLinks, "Boruvka union-find")
             val pairs = links.collect().map(r => (r.getLong(0), r.getLong(1)))
             val parent = scala.collection.mutable.Map.empty[Long, Long]
+            // iterative find (walk to root, then compress): a chain-shaped
+            // link set near localLinkLimit would overflow the JVM stack
+            // under naive recursion
             def find(x: Long): Long = {
-              val p = parent.getOrElseUpdate(x, x)
-              if (p == x) x else { val r = find(p); parent(x) = r; r }
+              parent.getOrElseUpdate(x, x)
+              var r = x
+              while (parent(r) != r) r = parent(r)
+              var c = x
+              while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+              r
             }
             pairs.foreach { case (a, b) =>
               val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb

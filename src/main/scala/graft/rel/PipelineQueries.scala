@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Absolute size of the deterministic [[Audit.sample]] the quadratic
+    * vector audits (q_vec_hubness, q_vec_labelprop) run over — a fixed
+    * SIZE, not a fixed fraction, so pair volume is constant at 100 TB. */
+  val AuditN = 120
+
   // ---- shared DuckDB fragments (mirror graft.pipeline.TextOps exactly) ----
   private val P = TextOps.P
   private def hvSql(x: String) =
@@ -1177,20 +1182,22 @@ object PipelineQueries {
   /** Hubness audit (Radovanović et al. JMLR 2010) — the k-occurrence
     * distribution that diagnoses whether an embedding space is skewed
     * toward hub points (a few vectors appearing in everyone's top-k,
-    * the classic high-dimensional ANN failure mode). Runs on the spaced
-    * audit sample (vec_id % 5 — the bounded-sample convention of
-    * q_dedup_lsh_pr): exact top-5 within the sample, count how often
+    * the classic high-dimensional ANN failure mode). Runs on the
+    * [[Audit.sample]] — a deterministic ABSOLUTE-size sample
+    * (first [[AuditN]] rows by (md5(vec_id), vec_id)), so the all-pairs
+    * kNN inside the audit is genuinely constant-cost at 100 TB (the
+    * sample is a fixed SIZE, not a fixed fraction; AuditSpec pins
+    * size-invariance): exact top-5 within the sample, count how often
     * each point occurs in others' lists (N_5), emit the N_5 histogram
     * with antihubs (N_5 = 0) preserved via the left join from the
-    * sample. At 100 TB the sample stays fixed-size, so the audit cost
-    * is constant while the statistic tracks the full space's geometry. */
+    * sample. */
   val vecHubness = QueryDef(
     "q_vec_hubness",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val vec = graft.functions.vec
-      val sDf = Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+      val sDf = Audit.sample(Tables(s, dir, "embeddings"), "vec_id", AuditN)
         .select($"vec_id".as("vid"), $"embedding".as("v"))
       val nb = sDf.select($"vid".as("nid"), $"v".as("nv"))
       val w = Window.partitionBy($"vid").orderBy($"cos".desc, $"nid")
@@ -1205,7 +1212,7 @@ object PipelineQueries {
         .orderBy($"occ")
     },
     Some(s"""WITH s AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
-             |          FROM embeddings WHERE vec_id % 5 = 0),
+             |          FROM embeddings ${Audit.sampleSql("vec_id", AuditN)}),
              |pa AS (SELECT a.vid, b.vid AS nid,
              |              round(${cosSql("a.v", "b.v")}, 6) AS cos
              |       FROM s a JOIN s b ON a.vid <> b.vid),
@@ -1221,24 +1228,33 @@ object PipelineQueries {
 
   /** Semi-supervised label propagation over the sample kNN graph (Zhu &
     * Ghahramani 2002) — the label-spreading audit a curation pipeline
-    * runs to extend a small labeled set: on the spaced audit sample,
-    * build the symmetrized exact 5-NN graph, clamp every 3rd sample
-    * point to its true label, and run 2 synchronous COSINE-WEIGHTED vote
-    * rounds (per-(node, label) DECIMAL(18,6) sums of the round-6 edge
-    * cosines — order-independent exact, score desc + label asc
-    * tie-break, no RNG anywhere). Seeds stay clamped; points no labeled
-    * vote reaches report -1 rather than a guess.
+    * runs to extend a small labeled set: on the [[Audit.sample]]
+    * (absolute size [[AuditN]] — constant pair volume at 100 TB, same
+    * economics as q_vec_hubness; AuditSpec pins size-invariance),
+    * build the symmetrized exact 5-NN graph, clamp every vid % 3 == 0
+    * sample point to its true label, and run 2 synchronous
+    * cosine-CUBED-weighted vote rounds: each edge votes cm³ where
+    * cm = round(cos·10^6) — EXACT integer micro-units (cm³ ≤ 10^18
+    * fits int64 per edge; sums go through DECIMAL(38,0)/HUGEINT), so
+    * the vote is order-independent and bit-identical in both engines.
+    * Cubing sharpens the kernel (a standard heat-kernel-style weight):
+    * an exact-duplicate edge (cos = 1 → 10^18) outvotes any plausible
+    * same-label noise coalition (fixture max noise cos 0.479 → cube
+    * ≈ 0.11·10^18 — ten same-label noise edges still lose), which is
+    * what makes the planted-copy pin provable rather than lucky.
+    * Score desc + label asc tie-break, no RNG anywhere. Seeds stay
+    * clamped; points no labeled vote reaches report -1, not a guess.
     *
     * The fixture's raw-cosine 5-NN carries NO label signal (measured
     * 0.114 same-label edge rate at k=5 ≈ the 10-class chance rate; the
     * class structure lives in the means, which is q_vec_ncm's territory)
     * — so, per this module's planting convention, each seed gets one
-    * EXACT unlabeled copy (vec_id + 100000): the copy's cos-1.0 edge to
-    * its original dominates every noise vote, every planted copy must
-    * adopt its original's label in round 1 (spec-pinned 100%), and the
-    * unplanted points honestly measure the no-signal floor the audit
-    * exists to expose. Same constant-size audit economics as
-    * q_vec_hubness. */
+    * EXACT unlabeled copy at vec_id + (max(vec_id) + 1) — the offset is
+    * DERIVED from the corpus, so no real vec_id can collide with a
+    * planted copy: the copy's cos-1.0 edge to its original dominates
+    * every noise vote, every planted copy must adopt its original's
+    * label in round 1 (spec-pinned 100%), and the unplanted points
+    * honestly measure the no-signal floor the audit exists to expose. */
   val vecLabelprop = QueryDef(
     "q_vec_labelprop",
     (s, dir) => {
@@ -1246,11 +1262,14 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val vec = graft.functions.vec
-      val base = Tables(s, dir, "embeddings").filter($"vec_id" % 5 === 0)
+      val emb = Tables(s, dir, "embeddings")
+      val off = emb.agg((max($"vec_id") + 1).as("off"))
+      val base = Audit.sample(emb, "vec_id", AuditN)
         .select($"vec_id".as("vid"), $"embedding".as("v"), $"label")
+        .crossJoin(broadcast(off))
       val sm = base.unionByName(
-          base.filter($"vid" % 15 === 0)
-            .select(($"vid" + 100000).as("vid"), $"v", $"label"))
+          base.filter($"vid" % 3 === 0)
+            .select(($"vid" + $"off").as("vid"), $"v", $"label", $"off"))
         .localCheckpoint()
       val nb = sm.select($"vid".as("nid"), $"v".as("nv"))
       val w = Window.partitionBy($"vid").orderBy($"cos".desc, $"nid")
@@ -1261,23 +1280,24 @@ object PipelineQueries {
       val und = knn.unionByName(
           knn.select($"nid".as("vid"), $"vid".as("nid"), $"cos"))
         .groupBy($"vid", $"nid").agg(max($"cos").as("cos"))
+        .withColumn("cm", round($"cos" * 1000000, 0).cast("long"))
         .localCheckpoint()
-      val seeds = sm.filter($"vid" % 15 === 0 && $"vid" < 100000)
+      val seeds = sm.filter($"vid" % 3 === 0 && $"vid" < $"off")
         .select($"vid", $"label")
       var lab = seeds
       for (_ <- 1 to 2) {
         val wm = Window.partitionBy($"vid").orderBy($"sc".desc, $"label")
         val prop = und.join(lab.select($"vid".as("nid"), $"label"), "nid")
           .groupBy($"vid", $"label")
-          .agg(sum($"cos".cast(DecimalType(18, 6))).as("sc"))
+          .agg(sum(($"cm" * $"cm" * $"cm").cast(DecimalType(38, 0))).as("sc"))
           .withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
           .join(seeds.select($"vid"), Seq("vid"), "left_anti")
           .select($"vid", $"label")
         lab = seeds.unionByName(prop).localCheckpoint()
       }
       sm.select($"vid", $"label".as("truth"),
-          ($"vid" % 15 === 0 && $"vid" < 100000).cast("int").as("is_seed"),
-          ($"vid" >= 100000).cast("int").as("is_copy"))
+          ($"vid" % 3 === 0 && $"vid" < $"off").cast("int").as("is_seed"),
+          ($"vid" >= $"off").cast("int").as("is_copy"))
         .join(lab.select($"vid", $"label".as("pred")), Seq("vid"), "left")
         .select($"vid".as("vec_id"), $"is_seed", $"is_copy",
           coalesce($"pred", lit(-1)).as("pred"), $"truth",
@@ -1287,7 +1307,7 @@ object PipelineQueries {
     Some {
       val rounds = (1 to 2).map { i =>
         s"""m$i AS (SELECT e.vid, l.label,
-           |               SUM(CAST(e.cos AS DECIMAL(18,6))) AS sc
+           |               SUM(e.cm * e.cm * e.cm) AS sc
            |        FROM und e JOIN l${i - 1} l ON l.vid = e.nid
            |        GROUP BY e.vid, l.label),
            |p$i AS (SELECT vid, label FROM (
@@ -1297,10 +1317,12 @@ object PipelineQueries {
            |        SELECT p$i.vid, p$i.label FROM p$i
            |        WHERE p$i.vid NOT IN (SELECT vid FROM l0))""".stripMargin
       }.mkString(",\n")
-      s"""WITH sb AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v, label
-         |          FROM embeddings WHERE vec_id % 5 = 0),
-         |s AS (SELECT * FROM sb
-         |      UNION ALL SELECT vid + 100000, v, label FROM sb WHERE vid % 15 = 0),
+      s"""WITH mx AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+         |sb AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v, label
+         |          FROM embeddings ${Audit.sampleSql("vec_id", AuditN)}),
+         |s AS (SELECT vid, v, label, off FROM sb CROSS JOIN mx
+         |      UNION ALL SELECT vid + off, v, label, off
+         |      FROM sb CROSS JOIN mx WHERE vid % 3 = 0),
          |pa AS (SELECT a.vid, b.vid AS nid,
          |              round(${cosSql("a.v", "b.v")}, 6) AS cos
          |       FROM s a JOIN s b ON a.vid <> b.vid),
@@ -1308,16 +1330,17 @@ object PipelineQueries {
          |          SELECT vid, nid, cos, ROW_NUMBER() OVER (PARTITION BY vid
          |            ORDER BY cos DESC, nid) AS rn
          |          FROM pa) WHERE rn <= 5),
-         |und AS (SELECT vid, nid, MAX(cos) AS cos FROM
+         |und AS (SELECT vid, nid,
+         |               CAST(round(MAX(cos) * 1000000, 0) AS BIGINT) AS cm FROM
          |          (SELECT vid, nid, cos FROM knn
          |           UNION ALL SELECT nid, vid, cos FROM knn)
          |        GROUP BY vid, nid),
-         |l0 AS (SELECT vid, label FROM s WHERE vid % 15 = 0 AND vid < 100000),
+         |l0 AS (SELECT vid, label FROM s WHERE vid % 3 = 0 AND vid < off),
          |$rounds
          |SELECT s.vid AS vec_id,
-         |       CAST(CASE WHEN s.vid % 15 = 0 AND s.vid < 100000
+         |       CAST(CASE WHEN s.vid % 3 = 0 AND s.vid < s.off
          |                 THEN 1 ELSE 0 END AS INT) AS is_seed,
-         |       CAST(CASE WHEN s.vid >= 100000 THEN 1 ELSE 0 END AS INT) AS is_copy,
+         |       CAST(CASE WHEN s.vid >= s.off THEN 1 ELSE 0 END AS INT) AS is_copy,
          |       CAST(COALESCE(l2.label, -1) AS INT) AS pred,
          |       s.label AS truth,
          |       CAST(CASE WHEN l2.label = s.label THEN 1 ELSE 0 END AS INT) AS correct
@@ -2235,27 +2258,7 @@ object PipelineQueries {
       val B = 400L
       val d = Tables(s, dir, "documents").select($"doc_id", $"lang")
       val g = d.groupBy($"lang").agg(count(lit(1)).as("n"))
-      val g2 = g.select($"lang".as("l2"), $"n".as("n2"))
-      val ranked = g.join(broadcast(g2),
-          struct($"n2", $"l2") <= struct($"n", $"lang"))
-        .groupBy($"lang", $"n")
-        .agg(count(lit(1)).as("rk"), sum($"n2").as("cum"))
-      val kRow = g.agg(count(lit(1)).as("kk"))
-      val fitted = ranked.crossJoin(broadcast(kRow))
-        .withColumn("fit",
-          ($"n" * ($"kk" - $"rk" + 1) + ($"cum" - $"n") <= B).cast("int"))
-      val star = fitted.agg(
-        coalesce(max(when($"fit" === 1, $"rk")), lit(0L)).as("kstar"),
-        coalesce(max(when($"fit" === 1, $"cum")), lit(0L)).as("cumstar"))
-      val alloc = fitted.crossJoin(broadcast(star))
-        .withColumn("cap", when($"kk" === $"kstar", lit(0L))
-          .otherwise(expr(s"(${B}L - cumstar) DIV (kk - kstar)")))
-        .withColumn("rem", when($"kk" === $"kstar", lit(0L))
-          .otherwise(expr(s"(${B}L - cumstar) % (kk - kstar)")))
-        .withColumn("alloc", when($"fit" === 1, $"n")
-          .otherwise($"cap" +
-            when($"kk" - $"rk" + 1 <= $"rem", 1L).otherwise(0L)))
-        .select($"lang", $"n", $"fit", $"alloc")
+      val alloc = Selection.waterfillAlloc(g, "lang", B)
       val w = Window.partitionBy($"lang")
         .orderBy(md5($"doc_id".cast("string")), $"doc_id")
       val picked = d.withColumn("rn", row_number().over(w))

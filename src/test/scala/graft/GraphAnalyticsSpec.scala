@@ -528,4 +528,21 @@ class GraphAnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sc7 == sc, "power iteration must be partition-independent")
   }
+
+  test("requireDriverFits: refuses a collect that cannot fit driver heap") {
+    // the refusal path: a row count whose bytes estimate dwarfs any heap
+    val big = Long.MaxValue / GraphAnalytics.LocalFinishRowBytes / 2
+    val e = intercept[IllegalArgumentException] {
+      GraphAnalytics.requireDriverFits(big, "test")
+    }
+    assert(e.getMessage.contains("local finish would collect"))
+    // ...and the pass path: tiny tails (the fixture scale) sail through
+    GraphAnalytics.requireDriverFits(1000L, "test")
+    // the guarded algorithms still work end-to-end under the guard
+    val tri = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (0L, 2L, 3.0))
+      .toDF("u", "v", "w")
+    val mst = GraphAnalytics.boruvkaMst(tri).as[(Long, Long, Double)]
+      .collect().toSet
+    assert(mst.map(_._3) == Set(1.0, 2.0))
+  }
 }

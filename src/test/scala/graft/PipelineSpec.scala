@@ -57,6 +57,23 @@ class PipelineSpec extends SparkSpec {
       "fixture must exercise both sides of the cap")
   }
 
+  test("Audit.sample is ABSOLUTE-size: constant as the corpus grows") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = rel.PipelineQueries.AuditN
+    val small = Audit.sample(emb, "vec_id", n)
+    // 4x the corpus (disjoint ids) — the sample size must NOT move
+    val big = emb.select($"vec_id", $"embedding", $"label").unionByName(
+      (1 to 3).map(i => emb.select(($"vec_id" + i * 1000000).as("vec_id"),
+        $"embedding", $"label")).reduce(_ unionByName _))
+    assert(small.count() == n.toLong)
+    assert(Audit.sample(big, "vec_id", n).count() == n.toLong,
+      "fixed-fraction samples scale with the corpus; Audit.sample must not")
+    // deterministic: same rows in the same order on re-evaluation
+    val ids = small.select($"vec_id").as[Long].collect().toSeq
+    assert(ids == Audit.sample(emb, "vec_id", n)
+      .select($"vec_id").as[Long].collect().toSeq)
+  }
+
   test("label propagation: planted copies adopt originals, seeds clamped") {
     val rows = rel.PipelineQueries.vecLabelprop.run(spark, sf)
       .select($"is_seed", $"is_copy", $"pred", $"truth", $"correct")
@@ -83,8 +100,8 @@ class PipelineSpec extends SparkSpec {
     // Σ n = |S| (antihubs included via the left join)
     val hist = rel.PipelineQueries.vecHubness.run(spark, sf)
       .select($"occ", $"n_points").as[(Long, Long)].collect()
-    val nSample = Tables(spark, sf, "embeddings")
-      .filter($"vec_id" % 5 === 0).count()
+    val nSample = math.min(rel.PipelineQueries.AuditN.toLong,
+      Tables(spark, sf, "embeddings").count())
     assert(hist.map(_._2).sum == nSample)
     assert(hist.map(r => r._1 * r._2).sum == 5L * nSample,
       s"vote conservation: ${hist.toSeq}")
