@@ -23,6 +23,28 @@ object PipelineQueries {
     * SIZE, not a fixed fraction, so pair volume is constant at 100 TB. */
   val AuditN = 120
 
+  /** Session-memoized TOKENIZED documents table — the text family's
+    * shared intermediate (the SURVEY §13 materialize-once pattern applied
+    * ACROSS queries): documents plus a precomputed `toks` column, spread
+    * and localCheckpointed once per (session, dir). The
+    * q_text_{tokens,vocab,tfidf,oov,langid,quality,fingerprint} family
+    * all consume it, so the corpus regex tokenization — their dominant
+    * cost — is paid once per session instead of once per query. At
+    * cluster scale this is the tokenized staging table a curation DAG
+    * materializes before its analysis fan-out; bounded like the Tables
+    * cache (same immutable-fixture contract). */
+  private val tokDocsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  def tokenizedDocs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    if (tokDocsCache.size > 64) tokDocsCache.clear()
+    tokDocsCache.computeIfAbsent((s, dir), { _ =>
+      TextOps.spread(Tables(s, dir, "documents"))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .localCheckpoint()
+    })
+  }
+
   // ---- shared DuckDB fragments (mirror graft.pipeline.TextOps exactly) ----
   private val P = TextOps.P
   private def hvSql(x: String) =
@@ -1353,7 +1375,7 @@ object PipelineQueries {
     "q_text_langid",
     (s, dir) => {
       import s.implicits._
-      TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.languageIdFrom(tokenizedDocs(s, dir), "doc_id", $"toks")
         .orderBy($"doc_id")
     },
     Some {
@@ -1374,7 +1396,8 @@ object PipelineQueries {
     "q_text_quality",
     (s, dir) => {
       import s.implicits._
-      TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.qualityScoreFrom(tokenizedDocs(s, dir), "doc_id",
+          $"toks", $"text")
         .orderBy($"doc_id")
     },
     Some {
@@ -1439,7 +1462,8 @@ object PipelineQueries {
     "q_text_tokens",
     (s, dir) => {
       import s.implicits._
-      TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.tokenCountsFrom(tokenizedDocs(s, dir), "doc_id",
+          $"toks", $"text")
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id,
@@ -1452,7 +1476,7 @@ object PipelineQueries {
     "q_text_fingerprint",
     (s, dir) => {
       import s.implicits._
-      TextAnalysis.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.fingerprintFrom(tokenizedDocs(s, dir), "doc_id", $"toks")
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id,
@@ -1505,6 +1529,37 @@ object PipelineQueries {
                    CAST(4 + doc_id % 3 AS INT) AS height
             FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
 
+  /** REAL audio decode, declared form (properties oracle, the
+    * q_multimodal_image pattern): synthesize deterministic WAV payloads
+    * (16-bit PCM, 8 kHz, parameterized frames/channels per doc_id),
+    * decode them with the pure-JDK `javax.sound.sampled` parser inside
+    * a partition-batched map, and check every decoded stream property —
+    * sample rate, channel count, frame count, integer duration —
+    * against the generation parameters the oracle recomputes. Frame
+    * counts are multiples of 8 so duration_ms = frames/8 is exact
+    * integer math in both engines. */
+  val multimodalAudio = QueryDef(
+    "q_multimodal_audio",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .filter($"doc_id" < 40).select($"doc_id").as[Long]
+        .map(id => MediaRow(id,
+          Multimodal.wavPayload(8000, (800 + (id % 5) * 80).toInt,
+            (1 + id % 2).toInt),
+          "audio/wav", "synthetic"))
+      Multimodal.extractAudioFeatures(media)
+        .toDF()
+        .select($"doc_id", $"sample_rate", $"channels", $"n_frames",
+          $"duration_ms")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS n_frames,
+                   CAST((800 + (doc_id % 5) * 80) // 8 AS BIGINT) AS duration_ms
+            FROM documents WHERE doc_id < 40 ORDER BY doc_id"""))
+
   /** Frame sampling, declared form: fixed-size chunking of the payload.
     * DuckDB 1.0 cannot slice BLOBs, so the oracle chunks the TEXT (the
     * fixture is ASCII ⇒ char chunks == byte chunks); the byte-level
@@ -1540,8 +1595,8 @@ object PipelineQueries {
     "q_text_vocab",
     (s, dir) => {
       import s.implicits._
-      TextOps.spread(Tables(s, dir, "documents"))
-        .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      tokenizedDocs(s, dir)
+        .select($"doc_id", explode(array_distinct($"toks")).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("df"))
         .orderBy($"df".desc, $"token")
         .limit(20)
@@ -1562,8 +1617,8 @@ object PipelineQueries {
     "q_text_oov",
     (s, dir) => {
       import s.implicits._
-      val toks = TextOps.spread(Tables(s, dir, "documents"))
-        .select($"source", explode(TextOps.tokens($"text")).as("token"))
+      val toks = tokenizedDocs(s, dir)
+        .select($"source", explode($"toks").as("token"))
       val vocab = toks.groupBy($"token").agg(count(lit(1)).as("tf"))
         .orderBy($"tf".desc, $"token").limit(100)
         .select($"token", lit(1).as("inv"))
@@ -1736,8 +1791,8 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val terms = VectorQueries.bm25Terms
-      val docs = TextOps.spread(Tables(s, dir, "documents"))
-      val toks = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+      val docs = tokenizedDocs(s, dir)
+      val toks = docs.select($"doc_id", explode($"toks").as("token"))
         .filter($"token".isin(terms: _*))
       val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
@@ -3397,7 +3452,7 @@ object PipelineQueries {
     dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
-    multimodalImage, multimodalFrames, textVocab, textTfidf, sampleHash,
+    multimodalImage, multimodalAudio, multimodalFrames, textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,

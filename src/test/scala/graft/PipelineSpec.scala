@@ -496,6 +496,22 @@ class PipelineSpec extends SparkSpec {
     assert(f.values.forall(_.digest.length == 32), "byte features always present")
   }
 
+  test("audio decode: real javax.sound round-trip; corrupt payload -1, not a crash") {
+    val media = Seq(
+      MediaRow(1L, Multimodal.wavPayload(8000, 1600, 1), "audio/wav", "t"),
+      MediaRow(2L, Multimodal.wavPayload(44100, 441, 2), "audio/wav", "t"),
+      MediaRow(3L, "definitely not audio".getBytes("UTF-8"), "audio/wav", "t")).toDS()
+    val f = Multimodal.extractAudioFeatures(media).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(f(1L).sample_rate == 8000 && f(1L).channels == 1 &&
+      f(1L).n_frames == 1600L && f(1L).duration_ms == 200L, s"${f(1L)}")
+    assert(f(2L).sample_rate == 44100 && f(2L).channels == 2 &&
+      f(2L).n_frames == 441L && f(2L).duration_ms == 10L, s"${f(2L)}")
+    assert(f(3L).sample_rate == -1 && f(3L).duration_ms == -1L,
+      "corrupt audio degrades to sentinels, not a crash")
+    assert(f.values.forall(_.digest.length == 32), "byte features always present")
+  }
+
   test("frame sampling: byte chunks reassemble to the payload; resize truncates") {
     val media = Multimodal.mediaFromDocuments(docs.limit(5)).as[MediaRow]
     val frames = Multimodal.frameSample(media, frameSize = 64).collect()
