@@ -12,6 +12,30 @@ import graft.store.TableCatalog
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Opt-in serving mode for [[Engine.vectorSearch]].
+  *
+  * [[AnnMode.BruteForce]] is the reference contract (app.py:394-444,
+  * full-scan exact top-k) and the default — its results are bit-identical
+  * to the reference and must never change. The approximate modes make the
+  * engine's trained-index serving paths (the ones the declared q_ann_*
+  * queries exercise) reachable through the same facade: they generate a
+  * candidate set from the index, then score the SURVIVORS with the exact
+  * reference scoring (dot product + dim filter + metadata post-filter), so
+  * an approximate hit always carries the same `vectorScore` the reference
+  * would report for it. */
+sealed trait AnnMode
+object AnnMode {
+  /** Reference-faithful exact full scan (the default). */
+  case object BruteForce extends AnnMode
+  /** Trained k-means coarse quantizer (session-cached, invalidated by the
+    * embeddings snapshot version): probe the `nprobe` cells nearest the
+    * query, exact-score only their members. */
+  final case class TrainedIvf(nprobe: Int = 2) extends AnnMode
+  /** SQ8 int8 scalar quantization: integer-dot scan over 8-bit codes,
+    * exact rerank of the `rerank` best candidates. */
+  final case class Sq8(rerank: Int = 64) extends AnnMode
+}
+
 /** The engine facade — the reference's full 14-endpoint capability surface
   * (SURVEY §2.A O21-O23, app.py:753-940) as plain Scala methods over Spark
   * plans. HTTP status contracts map to Option/Boolean returns (404 → None).
@@ -135,10 +159,37 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     * results (truncation happens after filtering either way,
     * app.py:427-442) and lets Catalyst push the predicate down. */
   def vectorSearch(queryText: String, topK: Int = 10,
-                   metadataFilter: Map[String, String] = Map.empty): Seq[VectorHit] = {
+                   metadataFilter: Map[String, String] = Map.empty,
+                   mode: AnnMode = AnnMode.BruteForce): Seq[VectorHit] = {
     val q = HashEmbed.encode(queryText, dim)
-    val scored = catalog.embeddings
-      .filter($"dim" === q.length)
+    val eligible = catalog.embeddings.filter($"dim" === q.length)
+    // approximate modes prune to an index candidate set FIRST; brute force
+    // (the reference contract) scores everything. Either way, survivors
+    // get the exact reference scoring below — same dot product, same
+    // metadata post-filter, same (score desc, id) order.
+    val candidates = mode match {
+      case AnnMode.BruteForce => eligible
+      case approx =>
+        val qd = q.toSeq.map(_.toDouble)
+        // with a metadata filter, over-fetch so post-filtering the
+        // candidate set can still fill topK (the post-filter ANN shape;
+        // Similarity.filteredTopKAuto is the auto-deciding batch form)
+        val budget = if (metadataFilter.isEmpty) topK else topK * 4
+        val cand = approx match {
+          case AnnMode.TrainedIvf(nprobe) =>
+            graft.pipeline.Similarity.ivfTopKWith(
+              eligible, "node_id", "vector", trainedQuantizer(), qd,
+              k = budget, nprobe = nprobe)
+          case AnnMode.Sq8(rerank) =>
+            graft.pipeline.Similarity.sq8TopK(
+              eligible, "node_id", "vector", qd,
+              k = budget, rerank = math.max(rerank, budget))
+          case AnnMode.BruteForce => throw new IllegalStateException
+        }
+        eligible.join(cand.select($"node_id".as("cid")),
+          $"node_id" === $"cid", "left_semi")
+    }
+    val scored = candidates
       .select($"node_id".as("id"),
         vec.dot($"vector", typedlit(q.toSeq.map(_.toDouble))).as("vector_score"))
       .join(catalog.nodes, "id")
@@ -150,6 +201,32 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
       .limit(topK)
       .select($"id", $"text", $"metadata", $"vector_score".as("vectorScore"))
       .as[VectorHit].collect().toSeq
+  }
+
+  /** Session-scoped trained coarse quantizer over the current embeddings
+    * snapshot (2 k-means refinement rounds over a √n-spaced seed —
+    * [[graft.pipeline.Similarity.kmeansCentroids]]), cached by the
+    * embeddings snapshot version exactly like the BM25 index: training is
+    * paid on the first TrainedIvf search after a mutation, not per query
+    * and not per write. */
+  @volatile private var quantizerCache: Option[(Long, DataFrame)] = None
+
+  private def trainedQuantizer(): DataFrame = {
+    val v = catalog.embeddingsVersion
+    quantizerCache match {
+      case Some((ver, cent)) if ver == v => cent
+      case _ =>
+        // node_id is a string; kmeansCentroids spaces seeds by `id % k`,
+        // so key the training view by a dense numeric rank derived from
+        // a hash order (deterministic, no global sort materialized)
+        val keyed = catalog.embeddings.filter($"dim" === dim)
+          .select(xxhash64($"node_id").as("kid"), $"vector")
+        val cent = graft.pipeline.Similarity
+          .kmeansCentroids(keyed, "kid", "vector", iters = 2)
+          .localCheckpoint()
+        quantizerCache = Some((v, cent))
+        cent
+    }
   }
 
   /** BM25 keyword search (O15). Declared capability: built + queryable even
@@ -250,7 +327,7 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
   /** O13: rebuild_index — scan-based vector search needs no index
     * (app.py:390-392, readme.md:181); for BM25 this drops the cached
     * derived index so the next search rebuilds from the current snapshot. */
-  def rebuildIndex(): Unit = { bm25Cache = None }
+  def rebuildIndex(): Unit = { bm25Cache = None; quantizerCache = None }
 
   /** GET / health (O23, app.py:923-926). */
   def health(): Map[String, String] =

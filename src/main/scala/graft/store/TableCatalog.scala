@@ -39,6 +39,12 @@ final class TableCatalog(val spark: SparkSession) {
   @volatile private var nodesVer: Long = 0L
   def nodesVersion: Long = nodesVer
 
+  /** Monotonic embeddings-snapshot version — the invalidation key for
+    * derived vector-index artifacts (the Engine's session-cached trained
+    * coarse quantizer), same contract as [[nodesVersion]]. */
+  @volatile private var embeddingsVer: Long = 0L
+  def embeddingsVersion: Long = embeddingsVer
+
   /** O1/O2: upsert (INSERT OR REPLACE, app.py:131-134). */
   def upsertNode(n: Node): Unit = synchronized {
     nodesSnap = nodesSnap.filter($"id" =!= n.id)
@@ -50,6 +56,7 @@ final class TableCatalog(val spark: SparkSession) {
   def upsertEmbedding(e: EmbeddingRow): Unit = synchronized {
     embeddingsSnap = embeddingsSnap.filter($"node_id" =!= e.node_id)
       .unionByName(Seq(e).toDF).localCheckpoint()
+    embeddingsVer += 1
   }
 
   /** O8: upsert edge. */
@@ -66,6 +73,7 @@ final class TableCatalog(val spark: SparkSession) {
     edgesSnap = edgesSnap.filter($"source" =!= id && $"target" =!= id)
       .localCheckpoint()
     nodesVer += 1
+    embeddingsVer += 1
   }
 
   def deleteEdge(id: String): Unit = synchronized {
@@ -99,6 +107,7 @@ final class TableCatalog(val spark: SparkSession) {
       embeddingsSnap = embeddings.localCheckpoint()
       edgesSnap = edges.localCheckpoint()
       nodesVer += 1
+      embeddingsVer += 1
     }
 
   /** Persist snapshots as parquet (the durable form of the store). */

@@ -93,6 +93,37 @@ class EngineSpec extends SparkSpec {
     assert(hits.forall(_.metadata("type") == "vfilter"))
   }
 
+  test("AnnMode: approximate serving modes agree with the brute-force contract") {
+    import graft.api.AnnMode
+    // brute force IS the default: an explicit BruteForce is the same call
+    val base = engine.vectorSearch("filter target", topK = 5)
+    assert(engine.vectorSearch("filter target", topK = 5,
+      mode = AnnMode.BruteForce) == base, "explicit BruteForce == default")
+    // exhaustive-budget approximate modes must return EXACTLY the
+    // brute-force rows (candidate set covers the corpus, rerank is the
+    // same exact dot) — same ids, same scores, same order
+    val nCells = 64 // >= number of trained cells on the tiny fixture
+    val ivf = engine.vectorSearch("filter target", topK = 5,
+      mode = AnnMode.TrainedIvf(nprobe = nCells))
+    assert(ivf == base, s"TrainedIvf(all cells) must equal brute force:\n$ivf\n$base")
+    val sq8 = engine.vectorSearch("filter target", topK = 5,
+      mode = AnnMode.Sq8(rerank = 100000))
+    assert(sq8 == base, s"Sq8(full rerank) must equal brute force:\n$sq8\n$base")
+    // metadata post-filter works through the approximate path
+    val f = engine.vectorSearch("filter target", topK = 1000,
+      metadataFilter = Map("type" -> "vfilter"),
+      mode = AnnMode.TrainedIvf(nprobe = nCells))
+    assert(f.size == 2 && f.forall(_.metadata("type") == "vfilter"))
+    // quantizer cache invalidates on embedding mutation: a node created
+    // AFTER the first trained search must be findable by the next one
+    val fresh = engine.createNode("freshly added quantizer cache probe")
+    val after = engine.vectorSearch("freshly added quantizer cache probe",
+      topK = 3, mode = AnnMode.TrainedIvf(nprobe = nCells))
+    assert(after.exists(_.id == fresh.id),
+      "stale quantizer: post-mutation node missing from trained search")
+    engine.deleteNode(fresh.id)
+  }
+
   test("TC-GRAPH-01/02/03 through the engine API") {
     // chain A→B→C→D, depth 2
     val Seq(a, b, c, d) = Seq("gA", "gB", "gC", "gD").map(t => engine.createNode(s"graph node $t"))
