@@ -58,7 +58,7 @@ object CdcIngest {
 
   /** Accumulated per-key last-op state. Thread-confined to the streaming
     * query's batch callback (foreachBatch batches run sequentially). */
-  final class ChangeState(spark: SparkSession) {
+  final class ChangeState(spark: SparkSession) extends BatchOnce {
     import spark.implicits._
     @volatile private var st: DataFrame =
       Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
@@ -71,12 +71,21 @@ object CdcIngest {
   }
 
   /** Start the streaming pipeline: a raw event stream → per-batch
-    * changelog reduce → state merge. Read the maintained snapshot at any
-    * time with `applySnapshot(base, state.state)`. */
-  def start(eventStream: DataFrame, state: ChangeState): StreamingQuery =
-    eventStream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        state.merge(lastOps(changelogOf(batch)))
+    * changelog reduce → state merge, [[BatchOnce.applyOnce]]-guarded
+    * (the (ts, event_id) max-merge is idempotent anyway — the guard
+    * makes that explicit and uniform with the counting pipelines). Read
+    * the maintained snapshot any time with
+    * `applySnapshot(base, state.state)`; pass `checkpoint` to make the
+    * query restartable from committed offsets. */
+  def start(eventStream: DataFrame, state: ChangeState,
+            checkpoint: Option[String] = None): StreamingQuery = {
+    val w = eventStream.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        state.applyOnce(batchId) {
+          state.merge(lastOps(changelogOf(batch)))
+        }
       }
       .start()
+  }
 }

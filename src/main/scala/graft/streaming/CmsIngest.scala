@@ -26,7 +26,7 @@ object CmsIngest {
 
   /** The accumulated sketch (d, bucket, c). Thread-confined to the
     * streaming query's batch callback (foreachBatch runs sequentially). */
-  final class CmsIndex(initial: DataFrame) {
+  final class CmsIndex(initial: DataFrame) extends BatchOnce {
     @volatile private var idx: DataFrame = norm(initial)
     private def norm(df: DataFrame): DataFrame =
       df.groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
@@ -41,12 +41,20 @@ object CmsIngest {
   }
 
   /** Start the maintenance query: each arriving micro-batch folds its
-    * CMS increments into `index`. */
+    * CMS increments into `index`. CMS counters are ADDITIVE, so a
+    * replayed batch would double-count — the [[BatchOnce.applyOnce]]
+    * guard is what makes the maintained sketch exactly-once across a
+    * checkpoint restart; pass `checkpoint` to make the query
+    * restartable from committed offsets. */
   def start(stream: DataFrame, keyCol: String, depth: Int, width: Int,
-            index: CmsIndex): StreamingQuery =
-    stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        index.add(graft.pipeline.Sketches.cmsBuild(batch, keyCol, depth, width))
+            index: CmsIndex, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.applyOnce(batchId) {
+          index.add(graft.pipeline.Sketches.cmsBuild(batch, keyCol, depth, width))
+        }
       }
       .start()
+  }
 }

@@ -26,7 +26,7 @@ object HistogramIngest {
 
   /** The accumulated histogram (b, c). Thread-confined to the streaming
     * query's batch callback (foreachBatch batches run sequentially). */
-  final class HistIndex(initial: DataFrame) {
+  final class HistIndex(initial: DataFrame) extends BatchOnce {
     @volatile private var idx: DataFrame = norm(initial)
     private def norm(df: DataFrame): DataFrame =
       df.groupBy(col("b")).agg(sum(col("c")).as("c")).localCheckpoint()
@@ -50,12 +50,20 @@ object HistogramIngest {
   }
 
   /** Start the maintenance query: each arriving micro-batch folds its
-    * bucket counts into `index`. */
+    * bucket counts into `index`. Bucket counts are ADDITIVE, so a
+    * replayed batch would double-count — the [[BatchOnce.applyOnce]]
+    * guard makes the maintained histogram exactly-once across a
+    * checkpoint restart; pass `checkpoint` to make the query
+    * restartable from committed offsets. */
   def start(stream: DataFrame, valCol: String, width: Long,
-            index: HistIndex): StreamingQuery =
-    stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        index.add(bucketCounts(batch, valCol, width))
+            index: HistIndex, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.applyOnce(batchId) {
+          index.add(bucketCounts(batch, valCol, width))
+        }
       }
       .start()
+  }
 }

@@ -29,7 +29,7 @@ object IngestDedup {
   /** The accumulated corpus digest index: one `h` (md5 hex) per accepted
     * document. Thread-confined to the streaming query's batch callback
     * (foreachBatch batches run sequentially). */
-  final class DigestIndex(initial: DataFrame) {
+  final class DigestIndex(initial: DataFrame) extends BatchOnce {
     @volatile private var idx: DataFrame =
       initial.select(col("h")).distinct().localCheckpoint()
     def digests: DataFrame = idx
@@ -55,15 +55,25 @@ object IngestDedup {
     * per-batch dedup → index update → `sink(accepted)`. The index update
     * happens AFTER the sink call succeeds, so a failed batch retries
     * without having poisoned the index (at-least-once sink, exactly-once
-    * index semantics under Spark's foreachBatch retry contract). */
+    * index semantics under Spark's foreachBatch retry contract); the
+    * whole step is [[BatchOnce.applyOnce]]-guarded so a post-restart
+    * REPLAY of an already-applied batch is a no-op. Pass `checkpoint` to
+    * make the query restartable: a new [[start]] against the same
+    * location (and the same index/stream) resumes from the committed
+    * offsets — StreamingRecoverySpec pins kill-and-restart == clean run. */
   def start(docStream: DataFrame, idCol: String, textCol: String,
-            index: DigestIndex)(sink: DataFrame => Unit): StreamingQuery =
-    docStream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val accepted =
-          dedupBatch(batch, idCol, textCol, index).localCheckpoint()
-        sink(accepted)
-        index.addAccepted(accepted)
+            index: DigestIndex, checkpoint: Option[String] = None)(
+            sink: DataFrame => Unit): StreamingQuery = {
+    val w = docStream.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.applyOnce(batchId) {
+          val accepted =
+            dedupBatch(batch, idCol, textCol, index).localCheckpoint()
+          sink(accepted)
+          index.addAccepted(accepted)
+        }
       }
       .start()
+  }
 }

@@ -33,7 +33,7 @@ object NearDupIngest {
     * query's sequential foreachBatch callback. At cluster scale both are
     * lake tables partitioned by bkey prefix / doc bucket; localCheckpoint
     * is the single-JVM stand-in keeping lineage flat across batches. */
-  final class SigIndex(bands0: DataFrame, sigs0: DataFrame) {
+  final class SigIndex(bands0: DataFrame, sigs0: DataFrame) extends BatchOnce {
     @volatile private var b = bands0.localCheckpoint()
     @volatile private var s = sigs0.localCheckpoint()
     def bands: DataFrame = b
@@ -88,16 +88,23 @@ object NearDupIngest {
 
   /** Start the streaming pipeline: per batch dedup → `sink(accepted)` →
     * index append (after sink success, mirroring [[IngestDedup.start]]'s
-    * retry discipline). */
+    * retry discipline), [[BatchOnce.applyOnce]]-guarded so a
+    * post-restart replay is a no-op; pass `checkpoint` to make the query
+    * restartable from committed offsets. */
   def start(docStream: DataFrame, idCol: String, textCol: String,
             index: SigIndex, numHashes: Int = 16, rowsPerBand: Int = 4,
-            threshold: Double = 0.5)(sink: DataFrame => Unit): StreamingQuery =
-    docStream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (accepted, nb, ns) = dedupBatch(batch, idCol, textCol, index,
-          numHashes, rowsPerBand, threshold)
-        sink(accepted)
-        index.add(nb, ns)
+            threshold: Double = 0.5, checkpoint: Option[String] = None)(
+            sink: DataFrame => Unit): StreamingQuery = {
+    val w = docStream.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.applyOnce(batchId) {
+          val (accepted, nb, ns) = dedupBatch(batch, idCol, textCol, index,
+            numHashes, rowsPerBand, threshold)
+          sink(accepted)
+          index.add(nb, ns)
+        }
       }
       .start()
+  }
 }
