@@ -56,13 +56,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Canary: a warm-isolated re-timing of one stable query (min of 3
+    // after an untimed warm pass), embedded in the artifact so a
+    // machine/GC-cadence speed shift between rounds is readable off the
+    // JSON itself instead of re-derived by the next reader (full-bench
+    // totals are machine-noisy; BenchOne-style warm timing is the
+    // regression oracle — this bakes one such number into every run).
+    val canaryName = "q1_agg"
+    val canary = SparkEntry.queries.get(canaryName).map { fn =>
+      System.gc()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }.getOrElse(-1.0)
+    val rt = Runtime.getRuntime
+    val envInfo =
+      s""""gc_every":$gcEvery,"jvm":"${System.getProperty("java.version")}",""" +
+      s""""max_heap_gb":${rt.maxMemory / (1L << 30)},"bench_cpus":$cpus,""" +
+      s""""canary":"$canaryName","canary_warm_sec":$canary"""
     // "queries" first, headline totals last: the driver stores only a
-    // bounded TAIL of this output, and with 149 queries the map is what
+    // bounded TAIL of this output, and with 270 queries the map is what
     // gets truncated — the totals must sit at the end to survive. A
     // compact summary line (valid JSON on its own) follows for parsers
     // that scan line-by-line.
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$envInfo}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$envInfo}""")
     spark.stop()
   }
 }

@@ -19,11 +19,12 @@ object TextAnalysis {
 
   /** Column kernel: argmax language prediction over distinct-stopword hit
     * counts (tie-break: list order en > de > es > fr). Pure expression —
-    * composable into any projection without a join. */
-  def predLangCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = array_distinct(tokens(textCol))
+    * composable into any projection without a join. `dtoks` is the
+    * DISTINCT token array — callers holding a pre-tokenized column pass
+    * it here and skip the regex re-split. */
+  def predLangColFrom(dtoks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val Seq(en, de, es, fr) = stopwords.map { case (_, words) =>
-      size(array_intersect(toks, typedlit(words)))
+      size(array_intersect(dtoks, typedlit(words)))
     }
     when(en >= de && en >= es && en >= fr, "en")
       .when(de >= es && de >= fr, "de")
@@ -31,15 +32,30 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  def predLangCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    predLangColFrom(array_distinct(tokens(textCol)))
+
+  /** Non-punctuation charset of the quality kernel: n_punct counts chars
+    * of the LOWERCASED text outside [a-z0-9 ]. Implemented with
+    * `translate` (delete-these-chars), not `regexp_replace`: identical
+    * values (same charset, lower() preserves string length), but a plain
+    * char-map pass instead of the regex engine — measured 10× on the
+    * punctuation count, the quality family's dominant row kernel. */
+  private val NonPunct = ('a' to 'z').mkString + ('0' to '9').mkString + " "
+
+  /** n_punct from a text column: delete every [a-z0-9 ] char of the
+    * lowercased text — what remains IS the punctuation, count it. */
+  def punctCountCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    length(translate(lower(textCol), NonPunct, ""))
+
   /** Column kernel: the heuristic quality score (stopword / length /
-    * punctuation ratios), rounded to 6dp. */
-  def qualityCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = tokens(textCol)
-    val lower6 = lower(textCol)
+    * punctuation ratios), rounded to 6dp, from a pre-tokenized column. */
+  def qualityColFrom(toks: org.apache.spark.sql.Column,
+                     textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val allStop = typedlit(stopwords.flatMap(_._2))
     val nTokens = size(toks)
     val nChars = length(textCol)
-    val nPunct = length(lower6) - length(regexp_replace(lower6, "[^a-z0-9 ]", ""))
+    val nPunct = punctCountCol(textCol)
     val nStop = size(array_intersect(array_distinct(toks), allStop))
     round(
       lit(0.4) * (nStop / greatest(nTokens, lit(1)).cast("double")) +
@@ -47,56 +63,85 @@ object TextAnalysis {
         lit(0.3) * (lit(1.0) - nPunct / greatest(nChars, lit(1)).cast("double")), 6)
   }
 
+  def qualityCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    qualityColFrom(tokens(textCol), textCol)
+
   /** Distinct-stopword hit counts per language + argmax prediction
-    * (tie-break: list order en > de > es > fr). */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = array_distinct(tokens(col(textCol)))
+    * (tie-break: list order en > de > es > fr), from a pre-tokenized
+    * column — the [[TextOps]] token-table sharing shape. */
+  def languageIdFrom(docs: DataFrame, idCol: String,
+                     toksCol: org.apache.spark.sql.Column): DataFrame = {
+    val dtoks = array_distinct(toksCol)
     docs.select(
       (col(idCol).as("doc_id") +:
         stopwords.map { case (lang, words) =>
-          size(array_intersect(toks, typedlit(words))).as(s"hits_$lang")
-        }) :+ predLangCol(col(textCol)).as("pred_lang"): _*)
+          size(array_intersect(dtoks, typedlit(words))).as(s"hits_$lang")
+        }) :+ predLangColFrom(dtoks).as("pred_lang"): _*)
   }
 
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    languageIdFrom(docs, idCol, tokens(col(textCol)))
+
   /** Heuristic quality score from length / punctuation / stopword ratios
-    * (the usual pre-training corpus filters). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val lower6 = lower(col(textCol))
+    * (the usual pre-training corpus filters), from a pre-tokenized
+    * column. */
+  def qualityScoreFrom(docs: DataFrame, idCol: String,
+                       toksCol: org.apache.spark.sql.Column,
+                       textCol: org.apache.spark.sql.Column): DataFrame = {
     val allStop = typedlit(stopwords.flatMap(_._2))
+    // quality recomputed from the PROJECTED counts, not qualityColFrom:
+    // the punctuation-count pass is the row kernel's dominant cost and
+    // must run once per row, not once per consuming expression
+    // (identical arithmetic — the score is a pure function of the four
+    // counts either way, so hashes are unchanged)
     docs.select(
       col(idCol).as("doc_id"),
-      size(toks).as("n_tokens"),
-      length(col(textCol)).as("n_chars"),
-      (length(lower6) - length(regexp_replace(lower6, "[^a-z0-9 ]", "")))
-        .as("n_punct"),
-      size(array_intersect(array_distinct(toks), allStop)).as("n_stop"),
-      qualityCol(col(textCol)).as("quality"))
+      size(toksCol).as("n_tokens"),
+      length(textCol).as("n_chars"),
+      punctCountCol(textCol).as("n_punct"),
+      size(array_intersect(array_distinct(toksCol), allStop)).as("n_stop"))
+      .withColumn("quality", round(
+        lit(0.4) * (col("n_stop") / greatest(col("n_tokens"), lit(1)).cast("double")) +
+          lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) -
+            col("n_punct") / greatest(col("n_chars"), lit(1)).cast("double")), 6))
       .withColumn("stop_ratio", col("n_stop") / greatest(col("n_tokens"), lit(1)).cast("double"))
       .withColumn("punct_ratio", col("n_punct") / greatest(col("n_chars"), lit(1)).cast("double"))
   }
 
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityScoreFrom(docs, idCol, tokens(col(textCol)), col(textCol))
+
   /** Token counts: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols) — the cheap token-budget
     * estimator for LLM data pipelines. */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def tokenCountsFrom(docs: DataFrame, idCol: String,
+                      toksCol: org.apache.spark.sql.Column,
+                      textCol: org.apache.spark.sql.Column): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      size(tokens(col(textCol))).as("ws_tokens"),
-      size(regexp_extract_all(lower(col(textCol)),
+      size(toksCol).as("ws_tokens"),
+      size(regexp_extract_all(lower(textCol),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
-      length(col(textCol)).as("n_chars"))
+      length(textCol).as("n_chars"))
+
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenCountsFrom(docs, idCol, tokens(col(textCol)), col(textCol))
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token-hash sequence, fp = fold(31·acc + h mod P). Same-token-multiset
     * docs with different order get different fingerprints (unlike MinHash). */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprintFrom(docs: DataFrame, idCol: String,
+                      toksCol: org.apache.spark.sql.Column): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
       aggregate(
-        transform(tokens(col(textCol)), t => strHash(t)),
+        transform(toksCol, t => strHash(t)),
         lit(0L),
         (acc, h) => (acc * 31L + h) % P).as("fp"))
+
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintFrom(docs, idCol, tokens(col(textCol)))
 
   /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
     * quality rules): token count, distinct-token ratio, most-frequent-token
