@@ -278,6 +278,147 @@ object PipelineQueries {
              SELECT a, b, round(ej, 6) AS est_jaccard FROM est
              WHERE ej >= 0.5 ORDER BY a, b"""))
 
+  /** k-anonymity generalization-ladder audit (Sweeney 2002) — the
+    * release gate a training-data pipeline runs before publishing rows
+    * with quasi-identifiers, here over the sensitive slice (customers in
+    * arrears): group by the finest QI (nation, segment); groups with
+    * ≥ k = 5 members release as-is (level 0); smaller groups GENERALIZE
+    * one rung up the ladder to (region, segment) and release if the
+    * coarser group reaches k (level 1); rows still identifiable after
+    * the ladder are SUPPRESSED — k-anonymity's hard floor. Emits the
+    * 3-row audit card (groups + rows per outcome, zero-filled from a
+    * static level table so the shape is SF-independent). Two keyed
+    * aggregations + one semi-join — each level touches only the prior
+    * level's risky rows, so the ladder is linear in the released table
+    * at any scale. */
+  val privacyKanon = QueryDef(
+    "q_privacy_kanon",
+    (s, dir) => {
+      import s.implicits._
+      val K = 5
+      val cust = Tables(s, dir, "customer").filter($"c_acctbal" < 0)
+        .join(broadcast(Tables(s, dir, "nation")
+          .select($"n_nationkey", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+      val g0 = cust.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val risky = cust.join(
+        g0.filter($"n" < K).select($"c_nationkey", $"c_mktsegment"),
+        Seq("c_nationkey", "c_mktsegment"), "left_semi")
+      val g1 = risky.groupBy($"n_regionkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val sums = Seq(
+        ("0:nation+segment", g0.filter($"n" >= K)),
+        ("1:region+segment", g1.filter($"n" >= K)),
+        ("2:suppressed", g1.filter($"n" < K)))
+        .map { case (lvl, df) =>
+          df.agg(count(lit(1)).as("n_groups"),
+            coalesce(sum($"n"), lit(0L)).as("n_rows"))
+            .select(lit(lvl).as("level"), $"n_groups", $"n_rows")
+        }
+      sums.reduce(_ unionByName _).orderBy($"level")
+    },
+    Some("""WITH c AS (SELECT c.c_nationkey, c.c_mktsegment, n.n_regionkey
+                       FROM customer c
+                       JOIN nation n ON n.n_nationkey = c.c_nationkey
+                       WHERE c.c_acctbal < 0),
+             g0 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                    FROM c GROUP BY 1, 2),
+             risky AS (SELECT c.* FROM c
+                       JOIN g0 ON g0.c_nationkey = c.c_nationkey
+                              AND g0.c_mktsegment = c.c_mktsegment
+                       WHERE g0.n < 5),
+             g1 AS (SELECT n_regionkey, c_mktsegment, COUNT(*) AS n
+                    FROM risky GROUP BY 1, 2)
+             SELECT '0:nation+segment' AS level,
+                    CAST(COUNT(*) AS BIGINT) AS n_groups,
+                    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows
+             FROM g0 WHERE n >= 5
+             UNION ALL
+             SELECT '1:region+segment', CAST(COUNT(*) AS BIGINT),
+                    CAST(COALESCE(SUM(n), 0) AS BIGINT)
+             FROM g1 WHERE n >= 5
+             UNION ALL
+             SELECT '2:suppressed', CAST(COUNT(*) AS BIGINT),
+                    CAST(COALESCE(SUM(n), 0) AS BIGINT)
+             FROM g1 WHERE n < 5
+             ORDER BY level"""))
+
+  /** Cluster-level near-dup report — the step AFTER pair generation
+    * every production dedup runs (CCNet / RefinedWeb "duplicate
+    * clusters"): LSH pairs → connected components (pairs are not
+    * transitive; a keep-one-per-PAIR rule over a chain a~b~c either
+    * over- or under-deletes) → per-cluster-size histogram with the
+    * documents-to-remove count (size − 1 per cluster, keep-min-id).
+    * Components run on GraphAnalytics.connectedComponentsDf (min-flood +
+    * pointer jumping, O(log diam) rounds) over the pair edges; the
+    * oracle is a TRUE recursive-CTE transitive closure, so the hash
+    * match proves real convergence (the q_graph_cc stance). Plants
+    * size-3 chains (two mutations of each doc < 12) alongside the
+    * standard size-2 pairs (12 ≤ doc < 20), so both histogram rows carry
+    * real mass and the chain case genuinely exercises transitivity. */
+  val dedupCluster = QueryDef(
+    "q_dedup_cluster",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text")
+        .unionByName(docs.filter($"doc_id" < 12)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+        .unionByName(docs.filter($"doc_id" < 12)
+          .select(($"doc_id" + 200000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88 yy33")).as("text")))
+        .unionByName(docs.filter($"doc_id" >= 12 && $"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+        .select($"a".as("src"), $"b".as("dst"))
+      graft.graph.GraphAnalytics.connectedComponentsDf(pairs, iters = 4)
+        .groupBy($"component").agg(count(lit(1)).as("size"))
+        .groupBy($"size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"size" - 1).as("n_removed"))
+        .select($"size".cast("bigint").as("size"), $"n_clusters",
+          $"n_removed".cast("bigint").as("n_removed"))
+        .orderBy($"size")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 12
+               UNION ALL SELECT doc_id + 200000, text || ' qq17 zz88 yy33'
+               FROM documents WHERE doc_id < 12
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id >= 12 AND doc_id < 20),
+             $shinglesCte,
+             $minhashCte,
+             bands AS (SELECT doc_id, i // 4 AS band,
+                              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+                       FROM mh GROUP BY doc_id, i // 4),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+             est AS (SELECT c.a, c.b,
+                            SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                     FROM cand c
+                     JOIN mh ma ON ma.doc_id = c.a
+                     JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+                     GROUP BY c.a, c.b),
+             und AS (SELECT a AS u, b AS v FROM est WHERE ej >= 0.5
+                     UNION SELECT b, a FROM est WHERE ej >= 0.5),
+             verts AS (SELECT DISTINCT u AS x FROM und),
+             reach(x, r) AS (
+               SELECT x, x FROM verts
+               UNION
+               SELECT r0.x, u.v FROM reach r0 JOIN und u ON u.u = r0.r),
+             comp AS (SELECT x, MIN(r) AS c FROM reach GROUP BY x),
+             cs AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c)
+             SELECT CAST(sz AS BIGINT) AS size,
+                    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                    CAST(SUM(sz - 1) AS BIGINT) AS n_removed
+             FROM cs GROUP BY sz ORDER BY size"""))
+
   /** MinHash estimator quality, self-measured in-engine (the sketch
     * analog of q_ann_recall): for the 20 planted near-dup pairs, the
     * 16-component signature agreement rate vs the exact shingle Jaccard,
@@ -3449,7 +3590,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
-    dedupLshPr, dedupSimhash, dedupNgram,
+    dedupCluster, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, textVocab, textTfidf, sampleHash,
