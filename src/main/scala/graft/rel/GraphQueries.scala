@@ -366,15 +366,20 @@ object GraphQueries {
       val e = both
         .join(deg.select($"n".as("u"), $"deg".as("x")), "u")
         .join(deg.select($"n".as("v"), $"deg".as("y")), "v")
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
       e.agg(count(lit(1)).as("m"),
           sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"),
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
         // zero-variance guard (regular graphs — the sf0.001 graph is one):
-        // r is undefined; emit 0.0 instead of an ANSI divide-by-zero
-        .select($"m",
-          when($"m" * $"sxx" - $"sx" * $"sx" <= 0 ||
-               $"m" * $"syy" - $"sy" * $"sy" <= 0, lit(0.0))
+        // r is undefined; emit 0.0 instead of an ANSI divide-by-zero.
+        // Guard arithmetic in DECIMAL(38,0): m·sxx and sx² overflow
+        // int64 once Σdeg² reaches ~10¹² (hit at the 10× bench scale) —
+        // exact decimals keep the boolean identical at every scale
+      .select($"m",
+          when($"m".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx" <= 0 ||
+               $"m".cast(dec) * $"syy" - $"sy".cast(dec) * $"sy" <= 0, lit(0.0))
             .otherwise(
               round(($"m".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
                 (sqrt($"m".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") *
@@ -397,7 +402,8 @@ object GraphQueries {
                           CAST(SUM(y * y) AS BIGINT) AS syy
                    FROM e)
              SELECT m,
-                    CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+                    CASE WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+                           OR CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <= 0
                          THEN 0.0
                          ELSE round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
                                (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
