@@ -368,10 +368,14 @@ object GraphQueries {
         .join(deg.select($"n".as("v"), $"deg".as("y")), "v")
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
+      // moment accumulators in DECIMAL(38,0): per-row products deg·deg
+      // reach 10¹⁸ at 10⁹-degree hubs and their int64 SUM overflows far
+      // earlier — decimals keep every moment exact at any graph size
       e.agg(count(lit(1)).as("m"),
           sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"y").as("sxy"),
-          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+          sum($"x".cast(dec) * $"y").as("sxy"),
+          sum($"x".cast(dec) * $"x").as("sxx"),
+          sum($"y".cast(dec) * $"y").as("syy"))
         // zero-variance guard (regular graphs — the sf0.001 graph is one):
         // r is undefined; emit 0.0 instead of an ANSI divide-by-zero.
         // Guard arithmetic in DECIMAL(38,0): m·sxx and sx² overflow
@@ -397,9 +401,9 @@ object GraphQueries {
                    JOIN deg du ON du.n = bi.u JOIN deg dv ON dv.n = bi.v),
              s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
                           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                          CAST(SUM(x * y) AS BIGINT) AS sxy,
-                          CAST(SUM(x * x) AS BIGINT) AS sxx,
-                          CAST(SUM(y * y) AS BIGINT) AS syy
+                          SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                          SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                          SUM(CAST(y AS HUGEINT) * y) AS syy
                    FROM e)
              SELECT m,
                     CASE WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
@@ -754,7 +758,11 @@ object GraphQueries {
         .select(deg("n").as("node"), $"deg",
           coalesce($"tri", lit(0L)).as("tri"),
           when($"deg" >= 2,
-            (lit(2.0) * coalesce($"tri", lit(0L))) / ($"deg" * ($"deg" - 1)))
+            // deg cast double BEFORE the product: deg·(deg−1) in int64
+            // overflows past ~3·10⁹ neighbors (same class of cliff the
+            // assortativity guard hit at the 10× bench)
+            (lit(2.0) * coalesce($"tri", lit(0L))) /
+              ($"deg".cast("double") * ($"deg" - 1)))
             .otherwise(lit(0.0)).as("cc"))
         .orderBy($"node")
     },

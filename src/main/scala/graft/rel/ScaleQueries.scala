@@ -1849,11 +1849,17 @@ object ScaleQueries {
       daily
         .withColumn("m", count($"n").over(w))
         .withColumn("sm", sum($"n").over(w))
-        .withColumn("sq", sum($"n" * $"n").over(w))
+        // n cast to DECIMAL(38,0) BEFORE squaring: a day-type bucket past
+        // ~3·10⁹ events would overflow the int64 product (the
+        // assortativity-guard cliff class); the decimal sum stays exact
+        .withColumn("sq",
+          sum(($"n".cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            $"n")).over(w))
         .filter($"m" >= 4)
         .withColumn("mean", $"sm".cast("double") / $"m")
         .withColumn("variance",
-          ($"sq" - $"sm" * $"sm" / $"m".cast("double")) / ($"m" - 1))
+          ($"sq".cast("double") -
+            $"sm".cast("double") * $"sm" / $"m") / ($"m" - 1))
         .filter($"variance" > 0)
         .withColumn("z", round(($"n" - $"mean") / sqrt($"variance"), 6))
         .filter(abs($"z") >= 2)
@@ -1865,13 +1871,14 @@ object ScaleQueries {
             |                  CAST(COUNT(*) AS BIGINT) AS n
             |           FROM events GROUP BY 1, 2),
             |w AS (SELECT *, COUNT(n) OVER win AS m, SUM(n) OVER win AS sm,
-            |             SUM(n * n) OVER win AS sq
+            |             SUM(CAST(n AS HUGEINT) * n) OVER win AS sq
             |      FROM d WINDOW win AS (PARTITION BY event_type ORDER BY
             |        date_diff('day', DATE '1970-01-01', day)
             |        RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)),
             |v AS (SELECT event_type, day, n,
             |             CAST(sm AS DOUBLE) / m AS mean,
-            |             (sq - sm * sm / CAST(m AS DOUBLE)) / (m - 1) AS variance
+            |             (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * sm / m)
+            |               / (m - 1) AS variance
             |      FROM w WHERE m >= 4)
             |SELECT event_type, day, n, round(mean, 6) AS mean,
             |       round((n - mean) / sqrt(variance), 6) AS z
