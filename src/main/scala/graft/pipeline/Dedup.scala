@@ -543,4 +543,73 @@ object Dedup {
       .withColumn("jaccard", col("inter") / col("uni").cast("double"))
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
+
+  /** EXACT containment-similarity join: every ORDERED doc pair (a, b),
+    * a ≠ b, with |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ t — the
+    * ASYMMETRIC cousin of [[allPairsJaccard]] that catches what Jaccard
+    * structurally misses: an excerpt fully contained in a much longer
+    * document (J = |A|/|B| → 0 as B grows, containment stays 1.0). This
+    * is the dedup decision for quote-inclusion / page-within-site /
+    * subset-scrape duplicates (Broder's "containment" from the original
+    * resemblance paper, SEQUENCES'97).
+    *
+    * Prefix filter, containment form: order shingles by global df
+    * (rarest first, then lexicographic — ONE total order for everyone).
+    * If C(a→b) ≥ t then b shares ≥ ⌈t·|A|⌉ of A's shingles, so A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles contain at least one shared shingle
+    * (else all shared sit in a suffix of size ⌈t·|A|⌉ − 1 < ⌈t·|A|⌉).
+    * Unlike the Jaccard join the CONTAINING side cannot be prefix-
+    * truncated (a tiny excerpt inside a huge doc shares only rare-in-A
+    * shingles that may rank anywhere in B), so candidates come from
+    * A-prefix ⋈ B-full-index — still never all-pairs: the join volume is
+    * Σ_{s ∈ prefixes} df(s), and prefixes hold each doc's RAREST
+    * shingles by construction. The positional bound (earliest shared
+    * shingle in the global order at ranks rnA/rnB: inter ≤ 1 +
+    * min(|A|−rnA, |B|−rnB)) and the length bound |B| ≥ ⌈t·|A|⌉ (inter
+    * ≤ |B|) prune candidates before verification; both are exact
+    * rational arithmetic, so zero false negatives (spec-asserted vs the
+    * brute-force cross join in PipelineSpec).
+    *
+    * Returns (a, b, len_a, len_b, inter, containment) — containment =
+    * inter/len_a ≥ t, both directions possible for same-size near-dups. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       thrNum: Int, thrDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thrNum >= 1 && thrNum <= thrDen,
+      s"threshold must be in (0, 1] (got $thrNum/$thrDen)")
+    val sh = spread(docs)
+      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .localCheckpoint()
+    val rows = sh.select(col("doc_id"), size(col("shs")).as("len"),
+      explode(col("shs")).as("s"))
+    val df = rows.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = rows.join(df, "s")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("len"), col("rn"), col("s"))
+    val prefix = ranked.filter(col("rn") <=
+      col("len") - expr(s"(len * $thrNum + $thrDen - 1) DIV $thrDen") + 1)
+    val cand = prefix.as("x").join(ranked.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id") &&
+          // |B| >= ceil(t*|A|): inter <= |B| must reach the overlap bar
+          col("y.len") * thrDen >= col("x.len") * thrNum &&
+          // positional bound at the matched shingle (earliest-match logic
+          // as in allPairsJaccard: testing every match subsumes the first)
+          expr(s"""1 + least(x.len - x.rn, y.len - y.rn) >=
+                   (x.len * $thrNum + $thrDen - 1) DIV $thrDen"""))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val full = sh.select(col("doc_id"), col("shs"))
+    cand
+      .join(full.select(col("doc_id").as("a"), col("shs").as("sha")), "a")
+      .join(full.select(col("doc_id").as("b"), col("shs").as("shb")), "b")
+      .withColumn("len_a", size(col("sha")))
+      .withColumn("len_b", size(col("shb")))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter") * thrDen >= col("len_a") * thrNum)
+      .withColumn("containment", col("inter") / col("len_a").cast("double"))
+      .select(col("a"), col("b"), col("len_a"), col("len_b"), col("inter"),
+        col("containment"))
+  }
 }

@@ -1,0 +1,161 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** Round-8 analytic extensions: the Pareto-skyline custom physical
+  * operator, exact closed-form multivariate OLS, and the asymmetric
+  * containment-similarity dedup join.
+  *
+  * Float discipline per CLAUDE.md: exact integer/decimal aggregation
+  * before any double arithmetic; identical double formula TEXT on both
+  * engines (same IEEE op sequence ⇒ bit-identical results); round(…,6)
+  * before the hash on both sides.
+  */
+object AnalyticQueries {
+
+  // ------------------------------------------------- custom-plan operator
+  /** Pareto skyline of `part` — min price, max size — via the custom
+    * SkylineNode/SkylineStrategy/SkylineExec whole-operator plan
+    * (graft.plans.Skyline): local block-nested-loop skyline per
+    * partition, one merge task over the surviving candidates. The oracle
+    * is the quadratic NOT EXISTS dominance self-join the custom operator
+    * exists to avoid — same semantics, O(n²) vs O(n) + tiny merge. The
+    * output ORDER BY is on the unique key only: comparisons, never
+    * arithmetic, touch the doubles, so cross-engine equality is exact. */
+  val skyline = QueryDef(
+    "q_skyline",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+      graft.plans.Skyline
+        .of(part, minCols = Seq("p_retailprice"), maxCols = Seq("p_size"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part
+                       WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+            SELECT r.p_partkey, r.p_retailprice, r.p_size FROM p r
+            WHERE NOT EXISTS (SELECT 1 FROM p s
+              WHERE s.p_retailprice <= r.p_retailprice
+                AND s.p_size >= r.p_size
+                AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size))
+            ORDER BY r.p_partkey"""))
+
+  // ----------------------------------------------------- exact-stats OLS
+  /** Two-regressor OLS (extendedprice-cents ~ quantity + discount-pct)
+    * solved in closed form from NINE exact sums — the distributed
+    * regression recipe that needs exactly ONE map-side-combinable
+    * aggregation and a 1-row solve, at any scale: project each row to
+    * integer units (cents / whole units — exact), sum products as
+    * DECIMAL(38,0) (exact, associative ⇒ partition-order-independent;
+    * Σy² ≈ 6·10¹⁹ at sf1 overflows int64, the round-8 audit class), then
+    * solve the centered normal equations in DOUBLE on the single sums
+    * row. The formula text is IDENTICAL in both engines, so the IEEE op
+    * sequence — and therefore every output bit — matches; round(…,6) is
+    * belt-and-braces. R² = (b1·S1y + b2·S2y)/Syy (no extra pass). */
+  private val olsSql =
+    """WITH proj AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |         CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+      |         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+      |         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+      |         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+      |         CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+      |         CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+      |         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM proj),
+      |c AS (
+      |  SELECT n, s1, s2, sy,
+      |         s11 - s1 * s1 / n AS c11,
+      |         s22 - s2 * s2 / n AS c22,
+      |         s12 - s1 * s2 / n AS c12,
+      |         s1y - s1 * sy / n AS c1y,
+      |         s2y - s2 * sy / n AS c2y,
+      |         syy - sy * sy / n AS cyy
+      |  FROM sums),
+      |b AS (
+      |  SELECT n, s1, s2, sy, c1y, c2y, cyy,
+      |         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+      |         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       round((sy - b1 * s1 - b2 * s2) / n, 6) AS b0,
+      |       round(b1, 6) AS b1,
+      |       round(b2, 6) AS b2,
+      |       round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+      |FROM b""".stripMargin
+
+  val statsOls = QueryDef.sqlBoth("q_stats_ols", olsSql, olsSql)
+
+  // ------------------------------------------- containment dedup join
+  /** Containment-similarity dedup (Dedup.containmentPairs): ordered pairs
+    * with |A∩B|/|A| ≥ 9/10 over word-3-shingles — catches excerpts
+    * embedded in longer documents, which Jaccard structurally cannot
+    * (J → 0 as the containing doc grows). Plants an excerpt of each
+    * doc_id < 10: the first max(⌊tokens/2⌋, 4) whitespace tokens — a
+    * token-sequence PREFIX, so every excerpt shingle occurs in the
+    * original and true containment is exactly 1.0; natural same-corpus
+    * pairs sit far below t. The oracle is the brute-force all-pairs
+    * cross join (correct by definition); the declared Spark plan is the
+    * prefix-filtered join, so the hash match IS the zero-false-negative
+    * check at fixture scale (and PipelineSpec property-tests it). */
+  val dedupContainment = QueryDef(
+    "q_dedup_containment",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val toks = graft.pipeline.TextOps.tokens($"text")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            array_join(
+              slice(toks, lit(1),
+                greatest((size(toks) / lit(2)).cast("int"), lit(4))),
+              " ").as("text")))
+      Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+        .select($"a", $"b", $"len_a", $"len_b", $"inter",
+          round($"containment", 6).as("containment"))
+        .orderBy($"a", $"b")
+    },
+    Some("""WITH exc AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents WHERE doc_id < 10),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(tk[1:greatest(len(tk) // 2, 4)], ' ')
+              FROM exc),
+            t AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> x <> '') AS toks
+                  FROM corpus),
+            sh AS (SELECT doc_id, list_distinct(
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(len(toks)-2),
+                                 j -> toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3])
+                          ELSE [] END) AS shs
+                   FROM t),
+            f AS (SELECT doc_id, shs FROM sh WHERE len(shs) > 0),
+            pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             len(x.shs) AS len_a, len(y.shs) AS len_b,
+                             len(list_intersect(x.shs, y.shs)) AS inter
+                      FROM f x JOIN f y ON x.doc_id <> y.doc_id)
+            SELECT a, b, CAST(len_a AS INT) AS len_a, CAST(len_b AS INT) AS len_b,
+                   CAST(inter AS INT) AS inter,
+                   round(inter / CAST(len_a AS DOUBLE), 6) AS containment
+            FROM pairs WHERE inter * 10 >= len_a * 9
+            ORDER BY a, b"""))
+
+  val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment)
+}

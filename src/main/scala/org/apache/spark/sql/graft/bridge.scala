@@ -12,4 +12,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Wrap a LogicalPlan as a DataFrame (classic.Dataset.ofRows is
+    * private[sql] in Spark 4) — needed by custom logical operators
+    * (graft.plans.Skyline) to re-enter the public Dataset API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The ANALYZED logical plan of a DataFrame (attributes resolved), for
+    * embedding as the child of a custom logical node. */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
 }

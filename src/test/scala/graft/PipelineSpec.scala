@@ -705,6 +705,50 @@ class PipelineSpec extends SparkSpec {
     assert(got.size >= 20, s"the 20 planted pairs must surface: ${got.size}")
   }
 
+  test("containmentPairs is EXACT: equals the brute-force cross join on the fixture") {
+    // plant excerpts: first half of each doc_id < 10 — true containment 1.0
+    val toks = TextOps.tokens($"text")
+    val corpus = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest((size(toks) / lit(2)).cast("int"), lit(4))), " ").as("text")))
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+      .select($"a", $"b", $"inter")
+      .as[(Long, Long, Int)].collect().toSet
+    val sh = TextOps.spread(corpus)
+      .select($"doc_id", TextOps.shingles(TextOps.tokens($"text")).as("shs"))
+      .filter(size($"shs") > 0)
+    val brute = sh.as("x")
+      .join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.shs"), col("y.shs"))))
+      .filter(col("inter") * 10 >= size(col("x.shs")) * 9)
+      .select(col("x.doc_id"), col("y.doc_id"), col("inter"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // every excerpt is contained in its original with containment exactly 1.0
+    val planted = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+      .filter($"a" >= 100000 && $"b" === $"a" - 100000)
+    assert(planted.count() == 10)
+    assert(planted.filter($"containment" === 1.0).count() == 10,
+      "a token-prefix excerpt's shingles are a subset of the original's")
+  }
+
+  test("containment catches what Jaccard misses: tiny excerpt in a long doc") {
+    // excerpt = 6 tokens of a 60-token doc: containment(e→d) = 1.0 but
+    // J = |E|/|D| = 4/58 ≈ 0.07 — below ANY usable Jaccard threshold
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 6).map(i => s"w$i").mkString(" ")
+    val mini = Seq((1L, long), (2L, excerpt)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(mini, "doc_id", "text", 9, 10)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((2L, 1L)), s"directional: excerpt→original only, got $cont")
+    val jac = Dedup.allPairsJaccard(mini, "doc_id", "text", 1, 2)
+      .count()
+    assert(jac == 0, "Jaccard at t=0.5 cannot see the pair")
+  }
+
   test("allPairsJaccard threshold boundary: J = t kept, J < t dropped, clones J = 1") {
     // t = 1/2 on a tiny set algebra: J(1,2) = 2/4 = t exactly
     val mini = Seq(
