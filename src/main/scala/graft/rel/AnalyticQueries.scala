@@ -103,10 +103,11 @@ object AnalyticQueries {
     * doc_id < 10: the first max(⌊tokens/2⌋, 4) whitespace tokens — a
     * token-sequence PREFIX, so every excerpt shingle occurs in the
     * original and true containment is exactly 1.0; natural same-corpus
-    * pairs sit far below t. The oracle is the brute-force all-pairs
-    * cross join (correct by definition); the declared Spark plan is the
-    * prefix-filtered join, so the hash match IS the zero-false-negative
-    * check at fixture scale (and PipelineSpec property-tests it). */
+    * pairs sit far below t. The oracle mirrors the prefix-filtered join
+    * (the q_dedup_allpairs convention — a brute-force cross-join oracle
+    * spills ~60 GB in DuckDB at sf0.1, killing the "oracle runs at any
+    * fixture scale" property); completeness vs brute force is instead
+    * property-tested in PipelineSpec (Spark prefix == Spark cross join). */
   val dedupContainment = QueryDef(
     "q_dedup_containment",
     (s, dir) => {
@@ -146,15 +147,28 @@ object AnalyticQueries {
                                  j -> toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3])
                           ELSE [] END) AS shs
                    FROM t),
-            f AS (SELECT doc_id, shs FROM sh WHERE len(shs) > 0),
-            pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                             len(x.shs) AS len_a, len(y.shs) AS len_b,
-                             len(list_intersect(x.shs, y.shs)) AS inter
-                      FROM f x JOIN f y ON x.doc_id <> y.doc_id)
+            r AS (SELECT doc_id, len(shs) AS len, unnest(shs) AS s
+                  FROM sh WHERE len(shs) > 0),
+            df AS (SELECT s, COUNT(*) AS df FROM r GROUP BY s),
+            rk AS (SELECT r.doc_id, r.len, r.s,
+                          ROW_NUMBER() OVER (PARTITION BY r.doc_id
+                            ORDER BY df.df, r.s) AS rn
+                   FROM r JOIN df USING (s)),
+            p AS (SELECT * FROM rk WHERE rn <= len - (len * 9 + 9) // 10 + 1),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM p x JOIN rk y ON x.s = y.s AND x.doc_id <> y.doc_id
+                       AND y.len * 10 >= x.len * 9
+                       AND 1 + least(x.len - x.rn, y.len - y.rn)
+                             >= (x.len * 9 + 9) // 10),
+            j AS (SELECT c.a, c.b, len(sa.shs) AS len_a, len(sb.shs) AS len_b,
+                         len(list_intersect(sa.shs, sb.shs)) AS inter
+                  FROM cand c
+                  JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b)
             SELECT a, b, CAST(len_a AS INT) AS len_a, CAST(len_b AS INT) AS len_b,
                    CAST(inter AS INT) AS inter,
                    round(inter / CAST(len_a AS DOUBLE), 6) AS containment
-            FROM pairs WHERE inter * 10 >= len_a * 9
+            FROM j WHERE inter * 10 >= len_a * 9
             ORDER BY a, b"""))
 
   val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment)
