@@ -15,13 +15,14 @@ object SparkEntry {
     rel.RelQueries.all ++ rel.VectorQueries.all ++ rel.GraphQueries.all ++
       rel.GraphXQueries.all ++ rel.PipelineQueries.all ++ rel.StreamQueries.all ++
       rel.ExtQueries.all ++ rel.ScaleQueries.all ++ rel.TpchQueries.all ++
-      rel.SelectionQueries.all ++ rel.AnalyticQueries.all
+      rel.SelectionQueries.all ++ rel.AnalyticQueries.all ++
+      rel.QualityQueries.all
 
   /** THE documented query count — the single source of truth README and
     * SURVEY cite. RegistrySpec asserts it equals `queries.size`, so the
     * docs can never drift from the registry again (they did: 194 was
     * still documented when 196 were declared). */
-  val declaredCount: Int = 275
+  val declaredCount: Int = 279
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hybrid fusion pipeline — the reference's distinguishing operator

@@ -1,0 +1,213 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import graft.pipeline.HeavyHitters
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 3: data-quality and information-theoretic audits plus
+  * the deterministic heavy-hitters summary — four operator classes the
+  * registry did not yet cover (conformance auditing, dependence
+  * profiling, offline changepoint detection, counter-based frequent
+  * items).
+  *
+  * Float discipline per CLAUDE.md: every double expression is written
+  * with IDENTICAL formula text in both engines over exact integer
+  * inputs (same IEEE op sequence ⇒ bit-identical), then round(…,6/12)
+  * before the hash; order-sensitive totals go through DECIMAL sums of
+  * the already-rounded terms (exact, associative).
+  */
+object QualityQueries {
+
+  // -------------------------------------------------------- Benford audit
+  /** First-digit conformance audit (Benford's law) over order totals —
+    * the classic fraud/data-quality screen for multi-magnitude positive
+    * amounts. Exact integer cents → first decimal digit → 9-row digit
+    * histogram joined to the closed-form expectation n·log10(1+1/d),
+    * with the per-digit chi-square contribution. One groupBy over a
+    * 9-key space (map-side partial agg collapses each partition to ≤ 9
+    * rows), one 1-row total broadcast — constant-size intermediate at
+    * any corpus scale. Both engines evaluate the SAME double formula
+    * text over the SAME exact integers, so the statistic matches
+    * bit-for-bit before the belt-and-braces round. */
+  val qualityBenford = QueryDef.sqlBoth(
+    "q_quality_benford",
+    sparkSql = """
+      WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      digits AS (
+        SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS INT) AS d1,
+               COUNT(*) AS obs
+        FROM cents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM digits),
+      e AS (
+        SELECT d1, obs,
+               CAST(n AS DOUBLE) * log10(1.0 + 1.0/d1) AS exp_raw
+        FROM digits CROSS JOIN tot)
+      SELECT d1, obs, round(exp_raw, 6) AS expected,
+             round((obs - exp_raw) * (obs - exp_raw) / exp_raw, 6) AS chi_term
+      FROM e ORDER BY d1""",
+    duckSql = """
+      WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      digits AS (
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS d1,
+               COUNT(*) AS obs
+        FROM cents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM digits),
+      e AS (
+        SELECT d1, obs,
+               CAST(n AS DOUBLE) * log10(1.0 + 1.0/d1) AS exp_raw
+        FROM digits CROSS JOIN tot)
+      SELECT d1, obs, round(exp_raw, 6) AS expected,
+             round((obs - exp_raw) * (obs - exp_raw) / exp_raw, 6) AS chi_term
+      FROM e ORDER BY d1""")
+
+  // ------------------------------------------- mutual-information profile
+  /** Column-dependence profile: exact mutual information between
+    * customer nation and market segment. The contingency table is one
+    * groupBy over |nations|×|segments| cells (tiny at any scale — the
+    * margins derive FROM the cells, so the corpus is scanned exactly
+    * once); each cell's MI term pxy·ln(pxy/(px·py)) is computed from
+    * exact integer counts with identical double formula text in both
+    * engines, rounded to 12 places, and the total is the EXACT
+    * DECIMAL sum of the rounded terms — associative, so
+    * partition-order-independent. The feature-selection / schema-drift
+    * audit a training pipeline runs before trusting a column pair. */
+  val statsMi = QueryDef.sqlBoth(
+    "q_stats_mi",
+    sparkSql = """
+      WITH cells AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg, COUNT(*) AS cxy
+        FROM customer GROUP BY 1, 2),
+      rx AS (SELECT nat, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+      ry AS (SELECT seg, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
+      terms AS (
+        SELECT nat, seg, cxy,
+               round((CAST(cxy AS DOUBLE) / n) *
+                     ln((CAST(cxy AS DOUBLE) * n) /
+                        (CAST(cx AS DOUBLE) * cy)), 12) AS mi_term
+        FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
+      total AS (
+        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(38,12))
+                 AS mi_total
+        FROM terms)
+      SELECT nat, seg, cxy, mi_term, mi_total
+      FROM terms CROSS JOIN total
+      ORDER BY nat, seg""",
+    duckSql = """
+      WITH cells AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg, COUNT(*) AS cxy
+        FROM customer GROUP BY 1, 2),
+      rx AS (SELECT nat, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+      ry AS (SELECT seg, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
+      terms AS (
+        SELECT nat, seg, cxy,
+               round((CAST(cxy AS DOUBLE) / n) *
+                     ln((CAST(cxy AS DOUBLE) * n) /
+                        (CAST(cx AS DOUBLE) * cy)), 12) AS mi_term
+        FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
+      total AS (
+        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(38,12))
+                 AS mi_total
+        FROM terms)
+      SELECT nat, seg, cxy, mi_term, mi_total
+      FROM terms CROSS JOIN total
+      ORDER BY nat, seg""")
+
+  // ------------------------------------------------ changepoint detection
+  /** Offline single-changepoint statistic over the daily event-volume
+    * series: for every prefix t, the scaled CUSUM deviation
+    * |n·S_t − t·S_n| (the max-deviation statistic of binary
+    * segmentation — large where the mean level shifts). ALL-INTEGER:
+    * prefix sums and the cross term run in DECIMAL(38,0)/HUGEINT (at
+    * 100 TB, n·S_t ≈ days·events overflows int64 — the round-8 audit
+    * class), so both engines agree exactly with no float anywhere.
+    * The window runs over the DAILY aggregate (one row per calendar
+    * day — bounded by the time span, not the corpus), which is why the
+    * global ORDER BY d window is safe at any scale; the corpus itself
+    * is touched only by the map-side-combinable daily count. Output:
+    * top-5 candidate split days by deviation. */
+  val statsChangepoint = QueryDef.sqlBoth(
+    "q_stats_changepoint",
+    sparkSql = """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1),
+      seq AS (
+        SELECT d, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS INT) AS t,
+               CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DECIMAL(38,0)) AS st
+        FROM daily),
+      tot AS (SELECT CAST(SUM(x) AS DECIMAL(38,0)) AS sn,
+                     CAST(COUNT(*) AS DECIMAL(38,0)) AS nd
+              FROM daily)
+      SELECT d, t, x,
+             CAST(abs(nd * st - t * sn) AS DECIMAL(38,0)) AS dev
+      FROM seq CROSS JOIN tot
+      ORDER BY dev DESC, d LIMIT 5""",
+    duckSql = """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1),
+      seq AS (
+        SELECT d, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS INT) AS t,
+               CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS HUGEINT) AS st
+        FROM daily),
+      tot AS (SELECT CAST(SUM(x) AS HUGEINT) AS sn,
+                     CAST(COUNT(*) AS HUGEINT) AS nd
+              FROM daily)
+      SELECT d, t, x,
+             CAST(abs(nd * st - t * sn) AS DECIMAL(38,0)) AS dev
+      FROM seq CROSS JOIN tot
+      ORDER BY dev DESC, d LIMIT 5""")
+
+  // ------------------------------------------- deterministic heavy hitters
+  /** Exact heavy hitters via the two-pass Misra–Gries recipe
+    * (pipeline/HeavyHitters.scala): pass 1 reduces the stream to ≤ k−1
+    * guaranteed-complete candidate counters (deterministic, mergeable,
+    * no randomness — the counter-based complement to q_sketch_cms);
+    * pass 2 recounts ONLY the broadcast candidate set exactly and keeps
+    * keys with cnt·k > n (all-integer threshold). The sketch's
+    * candidate set may vary with partition merge order, but the recount
+    * output is always exactly the true heavy hitters — which is what
+    * the oracle (a plain GROUP BY … HAVING over all keys) checks. Key
+    * space: planted skew — 25% of events hash to 3 hot keys (~8.3%
+    * each, above the n/16 = 6.25% bar); the rest are singleton cold
+    * keys the full-groupBy oracle must aggregate but the sketch never
+    * materializes. */
+  val sketchHeavyhit = QueryDef(
+    "q_sketch_heavyhit",
+    (s, dir) => {
+      import s.implicits._
+      val K = 16
+      val keyed = Tables(s, dir, "events").select(
+        when($"event_id" % 4 === 0,
+          concat(lit("hot_"), ($"event_id" % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), $"event_id".cast("string"))).as("k"))
+      val cand = keyed.agg(HeavyHitters.candidates($"k", K).as("cand"))
+        .select(explode($"cand").as("k"))
+      val tot = keyed.agg(count(lit(1)).as("n"))
+      keyed.join(broadcast(cand), "k")
+        .groupBy($"k").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter($"cnt" * K > $"n")
+        .select($"k", $"cnt")
+        .orderBy($"cnt".desc, $"k")
+    },
+    Some("""WITH keyed AS (
+              SELECT CASE WHEN event_id % 4 = 0
+                          THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+                          ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS k
+              FROM events),
+            tot AS (SELECT COUNT(*) AS n FROM keyed),
+            cnts AS (SELECT k, COUNT(*) AS cnt FROM keyed GROUP BY 1)
+            SELECT k, cnt FROM cnts CROSS JOIN tot
+            WHERE cnt * 16 > n
+            ORDER BY cnt DESC, k"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qualityBenford, statsMi, statsChangepoint, sketchHeavyhit)
+}

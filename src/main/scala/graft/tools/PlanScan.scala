@@ -20,7 +20,10 @@ object PlanScan {
   val globalWindowReviewed: Map[String, String] = Map(
     "q_text_classifier_eval" -> ("cumulative negatives over the DISTINCT " +
       "round-8 sigmoid-score table (Classifier.evalSweep), bounded by " +
-      "distinct feature combinations, never corpus rows"))
+      "distinct feature combinations, never corpus rows"),
+    "q_stats_changepoint" -> ("prefix sums over the DAILY count table — " +
+      "one row per calendar day, bounded by the time span, never corpus " +
+      "rows; the corpus is touched only by the map-side daily groupBy"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
