@@ -3588,7 +3588,68 @@ object PipelineQueries {
          |FROM g ORDER BY qid""".stripMargin
     })
 
+  // ------------------------------------------------ edit-distance join
+  /** Edit-distance similarity join (ed ≤ 2) over 24-char document
+    * signatures via PassJoin segment filtering (pipeline/EditDist.scala
+    * — Li et al. ICDE 2011): candidates from an equi-join between each
+    * string's 3 home segments and every string's ±2-shifted
+    * segment-shaped probes (zero false negatives by the pigeonhole
+    * theorem), exact codegen `levenshtein` on candidates only — never
+    * all-pairs. This is the typo/OCR-noise tier of the dedup ladder:
+    * token-set similarity (q_dedup_allpairs) is blind to sub-token
+    * corruption, which is exactly what edit distance measures. Planted
+    * per the module convention: doc_id < 12 get copies at +100000 with
+    * 2 characters substituted (positions 5 and 13 — different
+    * segments), so true pairs at ed ≤ 2 provably exist; natural
+    * same-prefix pairs join them. The DuckDB oracle is an INDEPENDENT
+    * unnest/VALUES formulation of the same filter (its completeness vs
+    * brute force is property-tested in QualitySpec), so the hash match
+    * cross-checks the two candidate generators against each other. */
+  val joinEditdist = QueryDef(
+    "q_join_editdist",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "documents")
+        .select($"doc_id".as("id"), substring($"text", 1, 24).as("sig"))
+      val planted = base.filter($"id" < 12)
+        .select(($"id" + 100000).as("id"),
+          concat(substring($"sig", 1, 4), lit("q"), substring($"sig", 6, 7),
+            lit("z"), substring($"sig", 14, 11)).as("sig"))
+      EditDist.passJoinPairs(base.unionByName(planted), "id", "sig",
+          len = 24, d = 2)
+        .orderBy($"a", $"b")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id AS id, substr(text, 1, 24) AS sig FROM documents),
+            corpus AS (
+              SELECT id, sig FROM base
+              UNION ALL
+              SELECT id + 100000,
+                     substr(sig,1,4) || 'q' || substr(sig,6,7) || 'z' ||
+                     substr(sig,14,11)
+              FROM base WHERE id < 12),
+            segs AS (
+              SELECT id AS g_id, i, substr(sig, 1 + (i-1)*8, 8) AS sub
+              FROM corpus CROSS JOIN (VALUES (1),(2),(3)) AS seg(i)),
+            probes AS (
+              SELECT id AS p_id, i, substr(sig, 1 + (i-1)*8 + sh, 8) AS sub
+              FROM corpus CROSS JOIN (VALUES (1),(2),(3)) AS seg(i)
+                          CROSS JOIN (VALUES (-2),(-1),(0),(1),(2)) AS s(sh)
+              WHERE 1 + (i-1)*8 + sh BETWEEN 1 AND 17),
+            cand AS (
+              SELECT DISTINCT least(p_id, g_id) AS a, greatest(p_id, g_id) AS b
+              FROM probes JOIN segs
+                ON probes.i = segs.i AND probes.sub = segs.sub
+              WHERE p_id <> g_id),
+            v AS (
+              SELECT c.a, c.b, levenshtein(ca.sig, cb.sig) AS ed
+              FROM cand c JOIN corpus ca ON ca.id = c.a
+                          JOIN corpus cb ON cb.id = c.b)
+            SELECT a, b, CAST(ed AS INT) AS ed FROM v
+            WHERE ed <= 2 ORDER BY a, b"""))
+
   val all: Seq[QueryDef] = Seq(
+    joinEditdist,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
     dedupCluster, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,

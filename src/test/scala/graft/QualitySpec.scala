@@ -93,6 +93,69 @@ class QualitySpec extends SparkSpec {
       "a == c → MI = H(a) = ln 4")
   }
 
+  test("PassJoin edit-distance join equals brute force on random strings") {
+    // small alphabet + short strings so ed<=2 pairs occur naturally;
+    // length 12, d=2 -> three segments of 4
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 90).map { i =>
+      (i.toLong, (0 until 12).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "sig")
+    val got = graft.pipeline.EditDist.passJoinPairs(df, "id", "sig", 12, 2)
+      .as[(Long, Long, Int)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(want.nonEmpty, "fixture should contain near pairs")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("edit-distance join finds every planted 2-substitution copy") {
+    val out = SparkEntry.queries("q_join_editdist")(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    val plantedPairs = out.filter { case (a, b, _) => b == a + 100000 }
+    assert(plantedPairs.length == 12, s"12 planted copies, got ${plantedPairs.length}")
+    assert(plantedPairs.forall(_._3 <= 2))
+  }
+
+  test("grid epsilon-join equals brute force on random points") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(2000000).toLong - 1000000L,
+        rnd.nextInt(2000000).toLong - 1000000L))
+    val eps = 150000L
+    val df = pts.toDF("vec_id", "ix", "iy")
+      .withColumn("cx", expr(s"(ix + 1000000) DIV $eps"))
+      .withColumn("cy", expr(s"(iy + 1000000) DIV $eps"))
+    val b = df.select($"vec_id".as("b_id"), $"ix".as("bx"), $"iy".as("by"),
+      $"cx".as("bcx"), $"cy".as("bcy"))
+    val offs = array(Seq(-1L, 0L, 1L).map(lit): _*)
+    val probes = df
+      .withColumn("ox", explode(offs)).withColumn("oy", explode(offs))
+      .select($"vec_id".as("a_id"), $"ix".as("ax"), $"iy".as("ay"),
+        ($"cx" + $"ox").as("bcx"), ($"cy" + $"oy").as("bcy"))
+    val got = probes.join(b, Seq("bcx", "bcy"))
+      .filter($"a_id" < $"b_id")
+      .filter(($"ax" - $"bx") * ($"ax" - $"bx") +
+        ($"ay" - $"by") * ($"ay" - $"by") <= eps * eps)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts if ia < ib
+      if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= eps * eps
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("Benford audit digits cover 1..9 with exact total") {
     val out = SparkEntry.queries("q_quality_benford")(spark, sf)
       .select($"d1", $"obs").as[(Int, Long)].collect().toSeq
