@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 batch 3 (continued): spatial ε-neighborhood operators over a
@@ -11,37 +12,101 @@ import org.apache.spark.sql.functions._
   * Coordinates are EXACT integer micro-units: floor(dim·10⁶) — floor is
   * bit-identical in both engines (no round-half ambiguity), and all
   * distance arithmetic stays in int64 (|Δ| ≤ 2·10⁶ ⇒ Δ² ≤ 4·10¹², sums
-  * well inside int64), so the pair set and distances hash-match with no
+  * well inside int64), so pair sets and distances hash-match with no
   * float anywhere.
   *
   * The 100 TB shape: bucket points into ε-sized grid cells, equi-join
   * each point's 3×3 neighbor-cell probes against the cell index, verify
   * the exact distance on candidates only — never all-pairs; candidate
   * volume is bounded by the densest cell (ε controls the grid, so skew
-  * is a data-density property the cell size tunes). The DuckDB oracle is
-  * an INDEPENDENT formulation — a coordinate range join (BETWEEN ±ε on
-  * both axes, DuckDB's IEJoin) + exact filter — so the hash match checks
-  * the grid logic against a different algorithm, not a mirror of it.
+  * is a data-density property the cell size tunes). The DuckDB oracles
+  * are an INDEPENDENT formulation — a coordinate range join (BETWEEN ±ε
+  * on both axes, DuckDB's IEJoin) + exact filter — so the hash match
+  * checks the grid logic against a different algorithm, not a mirror of
+  * it; QualitySpec adds brute-force equality on random points.
   */
 object SpatialQueries {
 
-  /** ε in micro-units (0.04 of embedding space) and its square. */
+  /** ε for the pair-join queries, in micro-units (0.04 of embedding
+    * space); DBSCAN uses a tighter radius for non-trivial structure. */
   private val Eps = 40000L
-  private val Eps2 = Eps * Eps
+  private val DbscanEps = 20000L
+  private val DbscanMinPts = 4
 
-  /** Points with exact integer micro-coordinates from the first two
-    * embedding dims, plus their ε-grid cell (coords shifted non-negative
-    * first: Spark's DIV truncates toward zero, DuckDB's // floors —
-    * equal only on non-negatives). */
-  private def pts(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** Exact integer micro-coordinates from the first two embedding dims. */
+  private def coords(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").select(
       col("vec_id"),
       floor(element_at(col("embedding"), 1).cast("double") * 1000000L)
         .cast("long").as("ix"),
       floor(element_at(col("embedding"), 2).cast("double") * 1000000L)
         .cast("long").as("iy"))
-      .withColumn("cx", expr(s"(ix + 1000000) DIV $Eps"))
-      .withColumn("cy", expr(s"(iy + 1000000) DIV $Eps"))
+
+  /** Directed ε-neighbor pairs (a_id, b_id, d2), a ≠ b, via the 3×3
+    * neighbor-cell grid join over `p(vec_id, ix, iy)`. Cell coords shift
+    * non-negative first: Spark's DIV truncates toward zero, DuckDB's //
+    * floors — equal only on non-negatives. Each ordered pair is
+    * generated exactly once (the probe offset matching the partner's
+    * cell is unique), so no distinct is needed. */
+  def gridNeighbors(p: DataFrame, eps: Long): DataFrame = {
+    val cells = p
+      .withColumn("cx", expr(s"(ix + 1000000) DIV $eps"))
+      .withColumn("cy", expr(s"(iy + 1000000) DIV $eps"))
+    val b = cells.select(col("vec_id").as("b_id"), col("ix").as("bx"),
+      col("iy").as("by"), col("cx").as("bcx"), col("cy").as("bcy"))
+    val offs = array(Seq(-1L, 0L, 1L).map(lit): _*)
+    val probes = cells
+      .withColumn("ox", explode(offs)).withColumn("oy", explode(offs))
+      .select(col("vec_id").as("a_id"), col("ix").as("ax"),
+        col("iy").as("ay"),
+        (col("cx") + col("ox")).as("bcx"), (col("cy") + col("oy")).as("bcy"))
+    probes.join(b, Seq("bcx", "bcy"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("d2") <= eps * eps)
+      .select(col("a_id"), col("b_id"), col("d2"))
+  }
+
+  /** Exact DBSCAN (Ester et al., KDD'96) over `p(vec_id, ix, iy)`:
+    * core = ≥ minPts ε-neighbors; clusters = connected components of
+    * the core-core ε-graph labeled by min core id (the pointer-doubling
+    * [[graft.graph.GraphAnalytics.connectedComponentsDf]] fixpoint —
+    * O(log diameter) rounds); border = non-core with a core ε-neighbor,
+    * assigned the MIN cluster id among its core neighbors (DBSCAN's
+    * border ambiguity resolved deterministically); noise emits nothing.
+    * Returns (vec_id, cluster, role) with role 2 = core, 1 = border.
+    * Every stage is the grid equi-join or a key-partitioned agg — the
+    * only iteration is the CC fixpoint over the (much smaller)
+    * core-core edge set. */
+  def dbscan(p: DataFrame, eps: Long, minPts: Int, ccIters: Int): DataFrame = {
+    val nb = gridNeighbors(p, eps).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val core = nb.groupBy(col("a_id").as("id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minPts)
+      .select(col("id")).localCheckpoint()
+    val cc = nb
+      .join(core.select(col("id").as("a_id")), "a_id")
+      .join(core.select(col("id").as("b_id")), "b_id")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    // seed every core (isolated cores = singleton clusters), then CC
+    val comp = graft.graph.GraphAnalytics.connectedComponentsDf(cc, ccIters)
+      .select(col("node").as("id"), col("component"))
+    val coreComp = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val borders = nb
+      .join(core.select(col("id").as("b_id")), "b_id")
+      .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(coreComp.select(col("id").as("b_id"), col("cluster")), "b_id")
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("cluster")).as("cluster"))
+      .withColumn("role", lit(1))
+    coreComp.select(col("id").as("vec_id"), col("cluster"))
+      .withColumn("role", lit(2))
+      .unionByName(borders)
+  }
 
   private val ptsSql =
     """pts AS (
@@ -51,28 +116,13 @@ object SpatialQueries {
       |  FROM embeddings)""".stripMargin
 
   /** All unordered point pairs within L2 distance ε, via the 3×3
-    * neighbor-cell grid join. Each true pair is generated exactly once:
-    * the probe offset that matches the partner's cell is unique, and
-    * a_id < b_id kills the symmetric duplicate — no distinct needed. */
+    * neighbor-cell grid join (a < b kills the symmetric duplicate). */
   val spatialGrid = QueryDef(
     "q_spatial_grid",
     (s, dir) => {
-      import s.implicits._
-      val p = pts(s, dir)
-      val b = p.select($"vec_id".as("b_id"), $"ix".as("bx"), $"iy".as("by"),
-        $"cx".as("bcx"), $"cy".as("bcy"))
-      val offs = array(Seq(-1L, 0L, 1L).map(lit): _*)
-      val probes = p
-        .withColumn("ox", explode(offs)).withColumn("oy", explode(offs))
-        .select($"vec_id".as("a_id"), $"ix".as("ax"), $"iy".as("ay"),
-          ($"cx" + $"ox").as("bcx"), ($"cy" + $"oy").as("bcy"))
-      probes.join(b, Seq("bcx", "bcy"))
-        .filter($"a_id" < $"b_id")
-        .withColumn("d2",
-          ($"ax" - $"bx") * ($"ax" - $"bx") + ($"ay" - $"by") * ($"ay" - $"by"))
-        .filter($"d2" <= Eps2)
-        .select($"a_id", $"b_id", $"d2")
-        .orderBy($"a_id", $"b_id")
+      val g = gridNeighbors(coords(s, dir), Eps)
+        .filter(col("a_id") < col("b_id"))
+      g.orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH $ptsSql
              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -81,35 +131,18 @@ object SpatialQueries {
                ON a.vec_id < b.vec_id
               AND b.ix BETWEEN a.ix - $Eps AND a.ix + $Eps
               AND b.iy BETWEEN a.iy - $Eps AND a.iy + $Eps
-             WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) <= $Eps2
+             WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) <= ${Eps * Eps}
              ORDER BY a_id, b_id"""))
 
-  /** DBSCAN core-point detection: points with ≥ minPts neighbors inside
-    * ε — the density primitive under every DBSCAN variant; the cluster
-    * step is ε-graph connected components, which q_graph_cc / the
-    * q_dedup_cluster machinery already provides. Reuses the SAME grid
-    * join, symmetrized, then a per-point count — so the cost profile is
-    * the pair join plus one key-partitioned aggregation. */
+  /** DBSCAN core-point detection alone: points with ≥ minPts neighbors
+    * inside ε — the density primitive, as its own declared audit. */
   val spatialCore = QueryDef(
     "q_spatial_core",
     (s, dir) => {
-      import s.implicits._
-      val MinPts = 4
-      val p = pts(s, dir)
-      val b = p.select($"vec_id".as("b_id"), $"ix".as("bx"), $"iy".as("by"),
-        $"cx".as("bcx"), $"cy".as("bcy"))
-      val offs = array(Seq(-1L, 0L, 1L).map(lit): _*)
-      val probes = p
-        .withColumn("ox", explode(offs)).withColumn("oy", explode(offs))
-        .select($"vec_id".as("a_id"), $"ix".as("ax"), $"iy".as("ay"),
-          ($"cx" + $"ox").as("bcx"), ($"cy" + $"oy").as("bcy"))
-      probes.join(b, Seq("bcx", "bcy"))
-        .filter($"a_id" =!= $"b_id")
-        .filter(($"ax" - $"bx") * ($"ax" - $"bx") +
-          ($"ay" - $"by") * ($"ay" - $"by") <= Eps2)
-        .groupBy($"a_id".as("vec_id")).agg(count(lit(1)).as("n_eps"))
-        .filter($"n_eps" >= MinPts)
-        .orderBy($"vec_id")
+      gridNeighbors(coords(s, dir), Eps)
+        .groupBy(col("a_id").as("vec_id")).agg(count(lit(1)).as("n_eps"))
+        .filter(col("n_eps") >= 4)
+        .orderBy(col("vec_id"))
     },
     Some(s"""WITH $ptsSql
              SELECT a.vec_id AS vec_id, COUNT(*) AS n_eps
@@ -117,9 +150,55 @@ object SpatialQueries {
                ON a.vec_id <> b.vec_id
               AND b.ix BETWEEN a.ix - $Eps AND a.ix + $Eps
               AND b.iy BETWEEN a.iy - $Eps AND a.iy + $Eps
-             WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) <= $Eps2
+             WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) <= ${Eps * Eps}
              GROUP BY a.vec_id HAVING COUNT(*) >= 4
              ORDER BY a.vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(spatialGrid, spatialCore)
+  /** Full DBSCAN labeling at ε = 0.02 (17-22 clusters at fixture scale,
+    * measured): core/border roles + deterministic cluster ids. The
+    * DuckDB oracle computes the core-core closure with a true recursive
+    * CTE (real convergence, the q_dedup_cluster stance), so the
+    * pointer-doubling CC's iteration budget is VERIFIED converged by
+    * the hash match, not assumed. */
+  val spatialDbscan = QueryDef(
+    "q_spatial_dbscan",
+    (s, dir) => {
+      // pointer-doubling reach grows ~φ^k (one hop + one shortcut per
+      // round): 16 rounds cover hop-diameter ≈ 2000, far beyond any
+      // fixture's ε-graph (measured: sf0.01 needs ~9-12); the recursive
+      // oracle verifies REAL convergence at the gate scale either way
+      dbscan(coords(s, dir), DbscanEps, DbscanMinPts, ccIters = 16)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE $ptsSql,
+             nb AS (
+               SELECT a.vec_id AS a, b.vec_id AS b
+               FROM pts a JOIN pts b
+                 ON a.vec_id <> b.vec_id
+                AND b.ix BETWEEN a.ix - $DbscanEps AND a.ix + $DbscanEps
+                AND b.iy BETWEEN a.iy - $DbscanEps AND a.iy + $DbscanEps
+               WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy)
+                     <= ${DbscanEps * DbscanEps}),
+             core AS (SELECT a AS id FROM nb GROUP BY a
+                      HAVING COUNT(*) >= $DbscanMinPts),
+             cc AS (SELECT n.a, n.b FROM nb n
+                    JOIN core x ON n.a = x.id JOIN core y ON n.b = y.id),
+             reach(x, r) AS (
+               SELECT id, id FROM core
+               UNION
+               SELECT r0.x, c.b FROM reach r0 JOIN cc c ON c.a = r0.r),
+             comp AS (SELECT x, MIN(r) AS c FROM reach GROUP BY x),
+             border AS (
+               SELECT n.a AS x, MIN(cm.c) AS c
+               FROM nb n
+               JOIN core ON n.b = core.id
+               JOIN comp cm ON cm.x = n.b
+               WHERE n.a NOT IN (SELECT id FROM core)
+               GROUP BY n.a)
+             SELECT x AS vec_id, c AS cluster, 2 AS role FROM comp
+             UNION ALL
+             SELECT x AS vec_id, c AS cluster, 1 AS role FROM border
+             ORDER BY vec_id"""))
+
+  val all: Seq[QueryDef] = Seq(spatialGrid, spatialCore, spatialDbscan)
 }

@@ -156,6 +156,21 @@ class QualitySpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("DBSCAN known answer: two blobs, one border, noise dropped") {
+    // blob A (ids 1-5) and blob B (11-15): 5-point cliques at eps=100;
+    // 21 is a border (one core neighbor, not core itself); 22 is noise
+    val blobA = Seq((1L, 0L, 0L), (2L, 10L, 0L), (3L, 0L, 10L),
+      (4L, 10L, 10L), (5L, 5L, 5L))
+    val blobB = blobA.map { case (i, x, y) => (i + 10L, x + 10000L, y) }
+    val extra = Seq((21L, 80L, 80L), (22L, 5000L, 5000L))
+    val p = (blobA ++ blobB ++ extra).toDF("vec_id", "ix", "iy")
+    val out = graft.rel.SpatialQueries.dbscan(p, eps = 100L, minPts = 3,
+      ccIters = 4).as[(Long, Long, Int)].collect().toSet
+    val want = blobA.map(t => (t._1, 1L, 2)).toSet ++
+      blobB.map(t => (t._1, 11L, 2)).toSet + ((21L, 1L, 1))
+    assert(out == want, s"got $out")
+  }
+
   test("Benford audit digits cover 1..9 with exact total") {
     val out = SparkEntry.queries("q_quality_benford")(spark, sf)
       .select($"d1", $"obs").as[(Int, Long)].collect().toSeq
