@@ -396,6 +396,81 @@ object GraphAnalytics {
     lab.select(col("node"), col("comp").as("component"))
   }
 
+  /** Connected components with the size-GATED local finish the SCC /
+    * Borůvka operators use: count the (deduped undirected) edge set
+    * once; at or under `localEdgeLimit` — after a [[requireDriverFits]]
+    * heap check — collect and solve with one driver-side union-find
+    * pass (min-id labels), because below a few million edges the
+    * per-round scheduling of a distributed fixpoint costs more than the
+    * whole problem; above the gate, fall back to the loudly-convergence-
+    * checked distributed loop. Both paths label a component by its
+    * minimum member id, so results are identical and hash-match the
+    * same closure oracle. */
+  def connectedComponentsGated(edges: DataFrame, maxIters: Int,
+                               localEdgeLimit: Long = 1L << 22): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (und.count() <= localEdgeLimit) {
+      requireDriverFits(und.count(), "connected components")
+      val es = und.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        // min-root union keeps the label the component minimum
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "component")
+    } else connectedComponentsConverged(
+      und.select(col("u").as("src"), col("v").as("dst")), maxIters)
+  }
+
+  /** [[connectedComponentsDf]] with a per-round convergence check:
+    * stops as soon as a round changes no label, and fails LOUDLY if
+    * `maxIters` rounds were not enough (a silently-unconverged CC is a
+    * wrong answer, not a slow one — the q_spatial_dbscan oracle caught
+    * exactly that at 8 fixed rounds). The changed-count action runs on
+    * the label table — |V| of the EDGE-INDUCED vertex set, already tiny
+    * after upstream filtering — so the check costs one small agg per
+    * round. */
+  def connectedComponentsConverged(edges: DataFrame, maxIters: Int): DataFrame = {
+    val ee = bothWays(edges).localCheckpoint()
+    var lab = ee.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      val nb = ee.join(lab, ee("u") === lab("node"))
+        .select(ee("v").as("node"), col("comp"))
+      val stepped = lab.unionByName(nb)
+        .groupBy("node").agg(min(col("comp")).as("comp"))
+      val next = stepped.join(
+          stepped.select(col("node").as("comp"), col("comp").as("pcomp")),
+          Seq("comp"))
+        .select(col("node"), least(col("comp"), col("pcomp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(lab.select(col("node"), col("comp").as("prev")),
+          Seq("node"))
+        .filter(col("comp") =!= col("prev")).count()
+      lab = next
+      converged = changed == 0L
+    }
+    require(converged,
+      s"connected components did not converge in $maxIters pointer-doubling " +
+        "rounds; raise the budget (labels would silently be wrong)")
+    lab.select(col("node"), col("comp").as("component"))
+  }
+
   /** Per-community Newman modularity contributions for a given node
     * labeling (e.g. [[labelPropagation]]'s): for community c,
     * q_c = e_c/(2m) − (d_c/(2m))², where e_c counts BOTH directions of

@@ -91,8 +91,12 @@ object SpatialQueries {
       .join(core.select(col("id").as("b_id")), "b_id")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    // seed every core (isolated cores = singleton clusters), then CC
-    val comp = graft.graph.GraphAnalytics.connectedComponentsDf(cc, ccIters)
+    // seed every core (isolated cores = singleton clusters), then CC —
+    // size-gated: local union-find under the edge gate (the core-core
+    // graph is the DENSITY-FILTERED remnant, usually small), else the
+    // convergence-checked distributed fixpoint
+    val comp = graft.graph.GraphAnalytics
+      .connectedComponentsGated(cc, ccIters)
       .select(col("node").as("id"), col("component"))
     val coreComp = core.join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
@@ -163,11 +167,11 @@ object SpatialQueries {
   val spatialDbscan = QueryDef(
     "q_spatial_dbscan",
     (s, dir) => {
-      // pointer-doubling reach grows ~φ^k (one hop + one shortcut per
-      // round): 16 rounds cover hop-diameter ≈ 2000, far beyond any
-      // fixture's ε-graph (measured: sf0.01 needs ~9-12); the recursive
-      // oracle verifies REAL convergence at the gate scale either way
-      dbscan(coords(s, dir), DbscanEps, DbscanMinPts, ccIters = 16)
+      // converge-and-stop CC (measured: sf0.01 stops after ~10 rounds);
+      // 24 is the loud-failure budget — pointer-doubling reach grows
+      // ~φ^k per round, so 24 covers hop-diameter ≈ 10^5. The recursive
+      // oracle additionally verifies real convergence at gate scale.
+      dbscan(coords(s, dir), DbscanEps, DbscanMinPts, ccIters = 24)
         .orderBy(col("vec_id"))
     },
     Some(s"""WITH RECURSIVE $ptsSql,

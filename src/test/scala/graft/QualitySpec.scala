@@ -171,6 +171,22 @@ class QualitySpec extends SparkSpec {
     assert(out == want, s"got $out")
   }
 
+  test("gated CC: local union-find == distributed fixpoint on a chain") {
+    import graft.graph.GraphAnalytics
+    // 40-hop chain + a triangle + an isolated edge: high diameter
+    // exercises the pointer-doubling path when the gate is forced off
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L)))
+      .toDF("src", "dst")
+    val local = GraphAnalytics.connectedComponentsGated(edges, maxIters = 24)
+      .as[(Long, Long)].collect().toMap
+    val dist = GraphAnalytics.connectedComponentsGated(edges, maxIters = 24,
+      localEdgeLimit = 0L).as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert((0L to 40L).forall(local(_) == 0L) &&
+      Seq(100L, 101L, 102L).forall(local(_) == 100L) && local(201L) == 200L)
+  }
+
   test("Benford audit digits cover 1..9 with exact total") {
     val out = SparkEntry.queries("q_quality_benford")(spark, sf)
       .select($"d1", $"obs").as[(Int, Long)].collect().toSeq
