@@ -1,0 +1,235 @@
+package graft.rel
+
+import graft.QueryDef
+
+/** Round-8 batch 4: interval algebra, serial-dependence profiling,
+  * monotone calibration, and a seeded differential-privacy release —
+  * four operator classes the registry did not yet cover.
+  *
+  * Interval semantics: an "interval" is one (user, event_type, day)
+  * activity span [min ts, max ts] in epoch MICROS (exact int64 —
+  * never float seconds). Intervals are closed: an interval ending at t
+  * still overlaps one starting at t (the sweep applies starts before
+  * ends at equal timestamps).
+  *
+  * Float discipline per CLAUDE.md: exact integer/decimal sums first,
+  * then ONE double expression with identical formula text in both
+  * engines, round(…,6) before the hash.
+  */
+object TemporalQueries {
+
+  /** The per-(user, type, day) interval table both interval operators
+    * share. Bounded by users × types × days, never event rows; built by
+    * one map-side-combinable groupBy over the corpus. */
+  private val ivSpark = """
+    iv AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+             unix_micros(MIN(ts)) AS s, unix_micros(MAX(ts)) AS e
+      FROM events GROUP BY 1, 2, 3)"""
+  private val ivDuck = """
+    iv AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+             epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+      FROM events GROUP BY 1, 2, 3)"""
+
+  // ------------------------------------------------ sweep-line concurrency
+  /** Max concurrent activity intervals per day — the classic sweep-line
+    * operator SQL cannot express with joins alone (a self-join counts
+    * pairwise overlaps, not simultaneous cardinality). Boundary events
+    * (+starts, −ends) collapse to one row per distinct timestamp FIRST
+    * (groupBy — so the window input is distinct boundary instants, and
+    * the running sum is deterministic without a total tie-break), then
+    * one running sum per day. Peak at t counts intervals active AT t
+    * including those ending exactly there: running_after + ends_at_t.
+    * Scale: the window partitions by day — embarrassingly parallel
+    * across the time span; within a day the input is distinct boundary
+    * instants of the user×type interval table, not raw events. */
+  private def concSql(iv: String) = s"""
+    WITH $iv,
+    pts AS (
+      SELECT d, s AS t, 1 AS st, 0 AS en FROM iv
+      UNION ALL
+      SELECT d, e AS t, 0 AS st, 1 AS en FROM iv),
+    byts AS (
+      SELECT d, t, CAST(SUM(st) AS BIGINT) AS starts,
+             CAST(SUM(en) AS BIGINT) AS ends
+      FROM pts GROUP BY d, t),
+    run AS (
+      SELECT d, starts, ends,
+             SUM(starts - ends) OVER (PARTITION BY d ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS after
+      FROM byts)
+    SELECT d, CAST(MAX(after + ends) AS INT) AS peak,
+           CAST(SUM(starts) AS BIGINT) AS n_intervals
+    FROM run GROUP BY d ORDER BY d"""
+
+  val intervalConcurrency = QueryDef.sqlBoth(
+    "q_interval_concurrency", concSql(ivSpark), concSql(ivDuck))
+
+  // ------------------------------------------------- interval union (islands)
+  /** Per-user merged interval coverage — the gaps-and-islands operator:
+    * overlapping/touching intervals merge into islands (a new island
+    * starts where start > max end of ALL previous intervals, the
+    * running-max form that is correct for nested intervals where the
+    * naive lag(end) is not), then covered time = Σ island spans and
+    * overlap time = raw Σ spans − covered. All duration math in exact
+    * epoch-micros int64. Scale: both windows partition by user_id —
+    * parallel across users, per-user row count bounded by types × days.
+    * Output: top 20 users by covered time (deterministic tie-break). */
+  private def unionSql(iv: String) = s"""
+    WITH $iv,
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_type, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    fl AS (
+      SELECT user_id, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+      FROM m),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e, nw DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl),
+    grp AS (
+      SELECT user_id, island, MIN(s) AS gs, MAX(e) AS ge,
+             CAST(SUM(e - s) AS BIGINT) AS raw_span
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, CAST(COUNT(*) AS INT) AS n_islands,
+           CAST(SUM(ge - gs) AS BIGINT) AS covered_us,
+           CAST(SUM(raw_span) - SUM(ge - gs) AS BIGINT) AS overlap_us
+    FROM grp GROUP BY user_id
+    ORDER BY covered_us DESC, user_id LIMIT 20"""
+
+  val intervalUnion = QueryDef.sqlBoth(
+    "q_interval_union", unionSql(ivSpark), unionSql(ivDuck))
+
+  // ------------------------------------------------- autocorrelation profile
+  /** ACF(1..7) of the daily event-volume series — the serial-dependence
+    * profile (weekly periodicity shows as a lag-7 spike). The centered
+    * cross-products NEVER accumulate in double: with exact integer sums
+    * Sxy = Σ x_t·x_{t−L}, Sa = Σ_{t>L} x_t, Sb = Σ_{t≤n−L} x_t,
+    * r_L = (Sxy − x̄·(Sa+Sb) + n_L·x̄²) / (Sxx − Sx²/n) — one double
+    * expression per lag from DECIMAL(38,0) inputs (identical text both
+    * engines ⇒ bit-identical). The ROW_NUMBER window runs over the
+    * DAILY table (bounded by the time span — PlanScan-reviewed); the
+    * corpus is touched only by the map-side daily count. */
+  private val acfSql = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    seq AS (
+      SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM seq),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+             AS v(lg)),
+    pair AS (
+      SELECT l.lg,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS np,
+             CAST(SUM(a.x * b.x) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(a.x) AS DECIMAL(38,0)) AS sa,
+             CAST(SUM(b.x) AS DECIMAL(38,0)) AS sb
+      FROM lags l JOIN seq a ON a.t > l.lg
+                  JOIN seq b ON b.t = a.t - l.lg
+      GROUP BY l.lg)
+    SELECT p.lg, CAST(p.np AS INT) AS n_pairs,
+           round((CAST(p.sxy AS DOUBLE)
+                    - (CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * (CAST(p.sa AS DOUBLE) + CAST(p.sb AS DOUBLE))
+                    + CAST(p.np AS DOUBLE)
+                      * (CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * (CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                 / (CAST(t.sxx AS DOUBLE)
+                    - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE)
+                      / CAST(t.n AS DOUBLE)), 6) AS acf
+    FROM pair p CROSS JOIN tot t
+    ORDER BY p.lg"""
+
+  val statsAcf = QueryDef.sqlBoth("q_stats_acf", acfSql, acfSql)
+
+  // ------------------------------------------------- isotonic calibration
+  /** Exact isotonic (monotone nondecreasing) calibration of an empirical
+    * rate — the PAVA fit computed by its CLOSED minimax form
+    * fitted_i = max_{j≤i} min_{k≥i} weightedMean(y[j..k]) on a
+    * constant-size bucket table (≤ 50 fixed-width length buckets), so
+    * no iterative pooling and no driver loop: the corpus is touched by
+    * ONE map-side groupBy; the O(B³) minimax runs on the 50-row bucket
+    * table via range self-joins (tiny, broadcast). Signal: fraction of
+    * documents containing the common token " the " as a function of
+    * document length — genuinely monotone-ish, so pooling is exercised
+    * where the raw rate locally inverts. Each segment mean is ONE
+    * double division of exact integer prefix sums (identical text both
+    * engines); MIN/MAX over doubles are order-independent. */
+  private val isoSql = """
+    WITH pts AS (
+      SELECT least(CAST(floor(n_chars / 100.0) AS INT), 49) AS bk,
+             CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    agg AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM pts GROUP BY bk),
+    pre AS (
+      SELECT a.bk, a.n, a.sy,
+             CAST(SUM(b.n) AS BIGINT) AS cn, CAST(SUM(b.sy) AS BIGINT) AS csy
+      FROM agg a JOIN agg b ON b.bk <= a.bk GROUP BY a.bk, a.n, a.sy),
+    seg AS (
+      SELECT /*+ BROADCAST(j) */ j.bk AS jb, k.bk AS kb,
+             CAST(k.csy - j.csy + j.sy AS DOUBLE)
+               / CAST(k.cn - j.cn + j.n AS DOUBLE) AS mu
+      FROM pre j JOIN pre k ON k.bk >= j.bk),
+    minm AS (
+      SELECT /*+ BROADCAST(i) */ s.jb, i.bk AS ib, MIN(s.mu) AS mn
+      FROM seg s JOIN agg i ON s.jb <= i.bk AND s.kb >= i.bk
+      GROUP BY s.jb, i.bk),
+    fit AS (SELECT ib AS bk, MAX(mn) AS fitted FROM minm GROUP BY ib)
+    SELECT CAST(a.bk AS INT) AS bk, a.n,
+           round(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS raw_rate,
+           round(f.fitted, 6) AS fitted
+    FROM agg a JOIN fit f ON f.bk = a.bk ORDER BY a.bk"""
+
+  val calibIsotonic = QueryDef.sqlBoth("q_calib_isotonic", isoSql, isoSql)
+
+  // ------------------------------------------------- seeded DP release
+  /** ε-differentially-private count release (Laplace mechanism) over
+    * per-nation customer counts, with the noise draw made REPRODUCIBLE:
+    * u ∈ (0,1) comes from a Weyl-style integer hash of the group key
+    * ((key·2654435761 + 40503) mod 1000003 — exact int64, key ≤ 24 so
+    * no overflow), then the inverse-CDF Laplace transform
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) with sensitivity 1, ε = 0.5.
+    * A seeded release is how a DP pipeline is made auditable/replayable
+    * (the draw is a pure function of key + release id, never RNG
+    * state); true_cnt is retained here because this is the release
+    * AUDIT view, not the public artifact. One groupBy over the corpus;
+    * constant rows out; the double transform is one expression with
+    * identical text in both engines. */
+  private val dpSql = """
+    WITH c AS (
+      SELECT c_nationkey AS nat, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1),
+    u AS (
+      SELECT nat, cnt,
+             CAST((nat * 2654435761 + 40503) % 1000003 AS DOUBLE)
+               / 1000003.0 - 0.5 AS u0
+      FROM c),
+    l AS (
+      SELECT nat, cnt,
+             -2.0 * (CASE WHEN u0 < 0 THEN -1.0 ELSE 1.0 END)
+               * ln(1.0 - 2.0 * abs(u0)) AS noise
+      FROM u)
+    SELECT nat, cnt AS true_cnt, round(noise, 6) AS noise,
+           greatest(CAST(floor(cnt + noise) AS BIGINT), CAST(0 AS BIGINT))
+             AS released,
+           CAST(0.5 AS DOUBLE) AS epsilon
+    FROM l ORDER BY nat"""
+
+  val privacyDp = QueryDef.sqlBoth("q_privacy_dp", dpSql, dpSql)
+
+  val all: Seq[QueryDef] = Seq(intervalConcurrency, intervalUnion, statsAcf,
+    calibIsotonic, privacyDp)
+}

@@ -23,7 +23,10 @@ object PlanScan {
       "distinct feature combinations, never corpus rows"),
     "q_stats_changepoint" -> ("prefix sums over the DAILY count table — " +
       "one row per calendar day, bounded by the time span, never corpus " +
-      "rows; the corpus is touched only by the map-side daily groupBy"))
+      "rows; the corpus is touched only by the map-side daily groupBy"),
+    "q_stats_acf" -> ("ROW_NUMBER over the DAILY count table — one row " +
+      "per calendar day, bounded by the time span, never corpus rows; " +
+      "the corpus is touched only by the map-side daily groupBy"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
