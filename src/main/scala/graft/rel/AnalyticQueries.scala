@@ -171,5 +171,66 @@ object AnalyticQueries {
             FROM j WHERE inter * 10 >= len_a * 9
             ORDER BY a, b"""))
 
-  val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment)
+  // ------------------------------------------- Jaro-Winkler linkage join
+  /** Blocked record-linkage join on the Jaro-Winkler comparator — the
+    * typo-tolerant name-matching tier of entity resolution (Winkler
+    * 1990), via the custom codegen expression
+    * [[graft.functions.JaroWinkler]] (Spark ships no JW built-in; a
+    * Scala UDF would pay an encoder round-trip per candidate pair).
+    * Corpus: 24-char document signatures (the q_join_editdist string
+    * unit — part/supplier names are short uniform templates, useless
+    * for a comparator demo) + planted 2-char-corrupted twins
+    * (corruption at positions len−3..len−2, so the block key — the
+    * 6-prefix + length/4 band — is provably preserved for every
+    * planted pair). Candidates come from
+    * the block-key equi-join (standard linkage blocking: candidate
+    * POLICY, not a lossless filter — JW has no triangle inequality to
+    * prefix-filter on), verified pairs keep jw ≥ 0.9. The DuckDB oracle
+    * runs ITS OWN `jaro_winkler_similarity` over the same blocks, so
+    * the hash match checks the custom kernel bit-for-bit against an
+    * independent C++ implementation on every real candidate pair.
+    * Scale: the join is an equi-join on the block key; block sizes are
+    * corpus/|prefixes×bands| — the kernel runs only inside blocks. */
+  val linkJw = QueryDef(
+    "q_link_jw",
+    (s, dir) => {
+      import s.implicits._
+      val p = Tables(s, dir, "documents")
+        .select($"doc_id".as("id"),
+          expr("substring(lower(text), 1, 24)").as("nm"))
+      val corrupted = p.filter($"id" < 40).select(
+        ($"id" + 1000000).as("id"),
+        expr("concat(substring(nm, 1, length(nm)-4), 'zz', " +
+          "substring(nm, length(nm)-1, 2))").as("nm"))
+      val blocked = p.unionByName(corrupted).withColumn("blk",
+        concat(substring($"nm", 1, 6), lit("#"),
+          expr("CAST(floor(length(nm)/4.0) AS INT)").cast("string")))
+      val a = blocked.select($"id".as("a_id"), $"nm".as("a_nm"), $"blk")
+      val b = blocked.select($"id".as("b_id"), $"nm".as("b_nm"), $"blk")
+      val jw = graft.functions.JaroWinkler.of($"a_nm", $"b_nm")
+      a.join(b, Seq("blk")).filter($"a_id" < $"b_id")
+        .filter(jw >= 0.9)
+        .select($"a_id", $"b_id", round(jw, 6).as("jw"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+                              substring(lower(text), 1, 24) AS nm
+                       FROM documents),
+            c AS (SELECT id + 1000000 AS id,
+                         concat(substring(nm, 1, length(nm)-4), 'zz',
+                                substring(nm, length(nm)-1, 2)) AS nm
+                  FROM p WHERE id < 40),
+            corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
+            b AS (SELECT id, nm,
+                         concat(substring(nm, 1, 6), '#',
+                           CAST(CAST(floor(length(nm)/4.0) AS INT) AS VARCHAR))
+                           AS blk
+                  FROM corpus)
+            SELECT x.id AS a_id, y.id AS b_id,
+                   round(jaro_winkler_similarity(x.nm, y.nm), 6) AS jw
+            FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+            WHERE jaro_winkler_similarity(x.nm, y.nm) >= 0.9
+            ORDER BY a_id, b_id"""))
+
+  val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment, linkJw)
 }
