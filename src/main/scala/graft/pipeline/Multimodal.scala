@@ -180,4 +180,118 @@ object Multimodal {
       }
     }
   }
+
+  /** Deterministic pseudo-random PNG: pixel colors are a Weyl-mix hash
+    * of (x, y, seed), so two payloads with the SAME seed+size are
+    * pixel-identical while different seeds are decorrelated noise
+    * (their perceptual hashes collide with ~2^-64 probability, unlike
+    * smooth gradients where downsampling aliases sizes together).
+    * Fixture generator for the perceptual-dedup path. */
+  def noisyPngPayload(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // splitmix-style avalanche: plain Weyl mixing leaves adjacent
+        // seeds correlated after box-averaging (seeds 3/4 landed at
+        // Hamming 3 — caught by the oracle), so finalize properly
+        var m = x * 73856093L ^ y * 19349663L ^ (seed * 0x9E3779B97F4A7C15L)
+        m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
+        m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+        m ^= m >>> 31
+        img.setRGB(x, y, ((m >>> 16) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) of a decoded image: downsample to an
+    * 8×8 grid of mean luminances (integer box means over the pixel
+    * rectangle each grid cell covers — exact, no float resampling),
+    * then threshold each cell against the global mean. Bit i is set
+    * when cell i is at or above the mean. The standard cheap perceptual
+    * fingerprint: stable under small pixel perturbations, 64-bit
+    * Hamming distance measures visual difference. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cell = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+        val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            // integer luma: 2R + 5G + B (sums to 8 — shift, no division)
+            s += (2L * ((rgb >> 16) & 0xff) + 5L * ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) >> 3
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        cell(gy * 8 + gx) = if (n > 0) s / n else 0L
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cell.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (cell(i) >= mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** Decode → aHash, per-partition batched (the extractFeatures shape).
+    * Undecodable payloads emit hash 0 with ok=false. */
+  def imageAHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) (r.doc_id, 0L, false)
+        else (r.doc_id, aHash64(img), true)
+      }
+    }.toDF("doc_id", "ahash", "ok")
+  }
+
+  /** Perceptual near-duplicate pair join over aHash fingerprints:
+    * 4×16-bit band LSH (Hamming ≤ 3 flips at most 3 bands, so at least
+    * one band survives untouched — the pigeonhole guarantee up to
+    * maxHamming = 3 when banded 4 ways; larger radii trade recall) →
+    * equi-join per band → dedup candidates → exact popcount verify.
+    * Never all-pairs: candidate volume is Σ band-bucket sizes, the
+    * MinHash-LSH shape applied to image fingerprints. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.filter(col("ok"))
+      .select(col("doc_id"), col("ahash"),
+        explode(expr(
+          "array(" + (0 until 4).map(b =>
+            s"struct(${b} AS band, CAST(shiftright(ahash, ${b * 16}) & 65535 AS INT) AS bv)")
+            .mkString(",") + ")")).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = bands.select(col("band"), col("bv"),
+      col("doc_id").as("a_id"), col("ahash").as("a_hash"))
+    val b = bands.select(col("band"), col("bv"),
+      col("doc_id").as("b_id"), col("ahash").as("b_hash"))
+    a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -1701,6 +1701,37 @@ object PipelineQueries {
                    CAST((800 + (doc_id % 5) * 80) // 8 AS BIGINT) AS duration_ms
             FROM documents WHERE doc_id < 40 ORDER BY doc_id"""))
 
+  /** Perceptual near-duplicate image dedup: REAL decode (javax.imageio)
+    * → 64-bit average-hash (integer box-mean luma grid, exact — no
+    * float resampling) → 4×16-bit band LSH join → exact popcount
+    * verify; the MinHash-LSH dedup shape applied to a multimodal
+    * column, never all-pairs. Fixture: decorrelated noise PNGs seeded
+    * by doc_id % 12, so planted duplicate groups are pixel-identical
+    * (Hamming 0) while cross-seed hashes are independent 64-bit values
+    * (collision ~2^-64 — and the oracle hash match would catch one).
+    * The oracle recomputes expected pairs from the seeding formula;
+    * GENUINE near-dup behavior (1-pixel perturbation → small nonzero
+    * Hamming, still recalled through the band join) is pinned in
+    * PipelineSpec where pixels can be touched directly. */
+  val multimodalPhash = QueryDef(
+    "q_multimodal_phash",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .filter($"doc_id" < 60).select($"doc_id").as[Long]
+        .map(id => MediaRow(id,
+          Multimodal.noisyPngPayload(16, 16, id % 12),
+          "image/png", "synthetic"))
+      Multimodal.phashPairs(Multimodal.imageAHashes(media), maxHamming = 3)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(0 AS INT) AS hamming
+            FROM documents a JOIN documents b
+              ON a.doc_id % 12 = b.doc_id % 12 AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 60 AND b.doc_id < 60
+            ORDER BY a_id, b_id"""))
+
   /** Frame sampling, declared form: fixed-size chunking of the payload.
     * DuckDB 1.0 cannot slice BLOBs, so the oracle chunks the TEXT (the
     * fixture is ASCII ⇒ char chunks == byte chunks); the byte-level
@@ -3654,7 +3685,8 @@ object PipelineQueries {
     dedupCluster, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
-    multimodalImage, multimodalAudio, multimodalFrames, textVocab, textTfidf, sampleHash,
+    multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash,
+    textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,

@@ -208,6 +208,105 @@ object QualityQueries {
             WHERE cnt * 16 > n
             ORDER BY cnt DESC, k"""))
 
+  // ------------------------------------------ two-sample KS statistic
+  /** Two-sample Kolmogorov-Smirnov profile: weekday vs weekend purchase
+    * values. The statistic is computed over VALUE-BUCKETED empirical
+    * CDFs (floor(value·10) — exact integer keys), so the prefix-sum
+    * window runs over a table bounded by the VALUE DOMAIN (≤ ~5k
+    * buckets at any corpus size — PlanScan-reviewed, the changepoint
+    * convention), while the corpus is touched only by one map-side
+    * groupBy. Day-of-week comes from epoch-day arithmetic (day 0 =
+    * Thursday ⇒ days%7 ∈ {2,3} = Sat/Sun) — the same integer formula in
+    * both engines, immune to engine dow-numbering differences. Each
+    * deviation is ONE double expression of exact integer counts;
+    * output: top-5 split points by |F_weekday − F_weekend|. */
+  private def ksSql(dowExpr: String) = s"""
+    WITH v AS (
+      SELECT CASE WHEN ($dowExpr) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we,
+             CAST(floor(value * 10.0) AS INT) AS bk
+      FROM events WHERE event_type = 'purchase'),
+    h AS (
+      SELECT bk, CAST(SUM(1 - we) AS BIGINT) AS wd_n,
+             CAST(SUM(we) AS BIGINT) AS we_n
+      FROM v GROUP BY bk),
+    t AS (SELECT CAST(SUM(wd_n) AS BIGINT) AS na,
+                 CAST(SUM(we_n) AS BIGINT) AS nb FROM h),
+    c AS (
+      SELECT bk,
+             CAST(SUM(wd_n) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(SUM(we_n) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+      FROM h)
+    SELECT bk, ca, cb,
+           round(abs(CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE)), 6) AS dev
+    FROM c CROSS JOIN t
+    ORDER BY dev DESC, bk LIMIT 5"""
+
+  val statsKs = QueryDef.sqlBoth(
+    "q_stats_ks",
+    ksSql("datediff(CAST(ts AS DATE), DATE '1970-01-01')"),
+    ksSql("date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"))
+
+  // --------------------------------------- join-cardinality estimation
+  /** Optimizer-statistics operator: predict join output size WITHOUT
+    * executing the join. Two predictors per join — the EXACT key
+    * histogram identity |A ⋈ B| = Σ_k c_A(k)·c_B(k) (one groupBy per
+    * side + an equi-join on the tiny key-histogram tables) and the
+    * classic System-R uniform estimate |A|·|B| / max(ndv_A, ndv_B) —
+    * checked against the actually-executed join count, with the
+    * System-R relative error quantified. Covers a PK-FK join
+    * (orders ⋈ customer — System-R is exact there) and a skewed
+    * many-many self-join (events ⋈ events on user_id — where uniform
+    * NDV estimation goes wrong and histograms don't). Sums run in
+    * DECIMAL(38,0): Σ c² over hot keys overflows int64 at 100 TB. */
+  private val joinSizeSql = """
+    WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM customer GROUP BY 1),
+    ea AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+    oc AS (
+      SELECT CAST(SUM(CAST(ca.c AS DECIMAL(38,0)) * cb.c) AS BIGINT)
+               AS predicted
+      FROM ca JOIN cb ON ca.k = cb.k),
+    oc_stats AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ca) AS ra,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS da,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM cb) AS rb,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS db),
+    oc_act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    ev AS (
+      SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS predicted,
+             CAST(SUM(c) AS BIGINT) AS ra, CAST(COUNT(*) AS BIGINT) AS da
+      FROM ea),
+    ev_act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual
+      FROM events a JOIN events b ON a.user_id = b.user_id),
+    rows_out AS (
+      SELECT 'events_self' AS jn, ev.predicted, ev_act.actual,
+             CAST(ev.ra AS DOUBLE) * CAST(ev.ra AS DOUBLE)
+               / CAST(ev.da AS DOUBLE) AS sysr
+      FROM ev CROSS JOIN ev_act
+      UNION ALL
+      SELECT 'orders_customer' AS jn, oc.predicted, oc_act.actual,
+             CAST(s.ra AS DOUBLE) * CAST(s.rb AS DOUBLE)
+               / CAST(CASE WHEN s.da > s.db THEN s.da ELSE s.db END
+                      AS DOUBLE) AS sysr
+      FROM oc CROSS JOIN oc_act CROSS JOIN oc_stats s)
+    SELECT jn, predicted, actual, round(sysr, 6) AS sysr_est,
+           round(abs(sysr - CAST(actual AS DOUBLE))
+                 / CAST(actual AS DOUBLE), 6) AS sysr_rel_err
+    FROM rows_out ORDER BY jn"""
+
+  val statsJoinsize = QueryDef.sqlBoth(
+    "q_stats_joinsize", joinSizeSql, joinSizeSql)
+
   val all: Seq[QueryDef] =
-    Seq(qualityBenford, statsMi, statsChangepoint, sketchHeavyhit)
+    Seq(qualityBenford, statsMi, statsChangepoint, sketchHeavyhit,
+      statsKs, statsJoinsize)
 }

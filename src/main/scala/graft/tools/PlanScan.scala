@@ -26,7 +26,11 @@ object PlanScan {
       "rows; the corpus is touched only by the map-side daily groupBy"),
     "q_stats_acf" -> ("ROW_NUMBER over the DAILY count table — one row " +
       "per calendar day, bounded by the time span, never corpus rows; " +
-      "the corpus is touched only by the map-side daily groupBy"))
+      "the corpus is touched only by the map-side daily groupBy"),
+    "q_stats_ks" -> ("prefix sums over the value-bucket histogram — " +
+      "bounded by the VALUE DOMAIN (floor(value*10), ≤ ~5k buckets at " +
+      "any corpus size), never corpus rows; the corpus is touched only " +
+      "by the map-side bucket groupBy"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,

@@ -528,6 +528,42 @@ class PipelineSpec extends SparkSpec {
     assert(resized.forall(_.payload.length <= 100))
   }
 
+  test("phash: 1-pixel perturbation stays near-dup and the band join recalls it") {
+    // base image + a copy with ONE pixel blasted to white: visually a
+    // near-duplicate, so aHash must move only a few bits (not 0 — the
+    // touched cell flips) and the 4-band LSH join must still recall it
+    val base = Multimodal.noisyPngPayload(16, 16, seed = 5L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(9, 9, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val perturbed = out.toByteArray
+
+    val h1 = Multimodal.aHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(base)))
+    val h2 = Multimodal.aHash64(img)
+    val hd = java.lang.Long.bitCount(h1 ^ h2)
+    assert(hd >= 0 && hd <= 3, s"1-pixel edit moved $hd aHash bits")
+
+    // unrelated seeds are far in Hamming space (decorrelation property)
+    val h3 = Multimodal.aHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.noisyPngPayload(16, 16, 6L))))
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 3)
+
+    val media = Seq(
+      MediaRow(1L, base, "image/png", "t"),
+      MediaRow(2L, perturbed, "image/png", "t"),
+      MediaRow(3L, Multimodal.noisyPngPayload(16, 16, 6L), "image/png", "t"),
+      MediaRow(4L, Array[Byte](1, 2, 3), "image/png", "t")) // undecodable
+      .toDS()
+    val pairs = Multimodal
+      .phashPairs(Multimodal.imageAHashes(media), maxHamming = 3)
+      .select($"a_id", $"b_id", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, hd)),
+      s"band join must recall exactly the perturbed pair, got $pairs")
+  }
+
   test("sequence packing: bins non-decreasing per source; greedy budget bound holds") {
     val got = rel.PipelineQueries.textPack.run(spark, sf)
       .as[(Long, String, Long, Long)].collect()
