@@ -571,14 +571,24 @@ object Dedup {
     * brute-force cross join in PipelineSpec).
     *
     * Returns (a, b, len_a, len_b, inter, containment) — containment =
-    * inter/len_a ≥ t, both directions possible for same-size near-dups. */
+    * inter/len_a ≥ t, both directions possible for same-size near-dups.
+    *
+    * `shingleK` sets the word-shingle width — the knob that keeps the
+    * candidate volume linear: posting lists grow with corpus/|shingle
+    * types|, so once the k-shingle type space saturates, Σ df(prefix)
+    * turns quadratic. Measured on the synthetic fixture (≈40-word
+    * vocabulary): 3-shingle mean df 9.6 → 74.6 going sf0.1 → sf1
+    * (35k types, saturated) vs 4-shingle 1.2 → 10.3 (252k types) —
+    * the sf1 bench caught containment at 19.9× for 10× rows with k=3.
+    * Pick k so vocab^k ≫ corpus shingle instances. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       thrNum: Int, thrDen: Int): DataFrame = {
+                       thrNum: Int, thrDen: Int, shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(thrNum >= 1 && thrNum <= thrDen,
       s"threshold must be in (0, 1] (got $thrNum/$thrDen)")
     val sh = spread(docs)
-      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol))).as("shs"))
+      .select(col(idCol).as("doc_id"),
+        shingles(tokens(col(textCol)), shingleK).as("shs"))
       .filter(size(col("shs")) > 0)
       .localCheckpoint()
     val rows = sh.select(col("doc_id"), size(col("shs")).as("len"),

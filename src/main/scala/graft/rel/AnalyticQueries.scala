@@ -97,7 +97,9 @@ object AnalyticQueries {
 
   // ------------------------------------------- containment dedup join
   /** Containment-similarity dedup (Dedup.containmentPairs): ordered pairs
-    * with |A∩B|/|A| ≥ 9/10 over word-3-shingles — catches excerpts
+    * with |A∩B|/|A| ≥ 9/10 over word-4-shingles (k = 4 keeps the
+    * shingle-type space unsaturated on this vocabulary — the sf1 bench
+    * caught k = 3 going quadratic; see containmentPairs) — catches excerpts
     * embedded in longer documents, which Jaccard structurally cannot
     * (J → 0 as the containing doc grows). Plants an excerpt of each
     * doc_id < 10: the first max(⌊tokens/2⌋, 4) whitespace tokens — a
@@ -121,7 +123,7 @@ object AnalyticQueries {
               slice(toks, lit(1),
                 greatest((size(toks) / lit(2)).cast("int"), lit(4))),
               " ").as("text")))
-      Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+      Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10, shingleK = 4)
         .select($"a", $"b", $"len_a", $"len_b", $"inter",
           round($"containment", 6).as("containment"))
         .orderBy($"a", $"b")
@@ -142,9 +144,10 @@ object AnalyticQueries {
                                      x -> x <> '') AS toks
                   FROM corpus),
             sh AS (SELECT doc_id, list_distinct(
-                     CASE WHEN len(toks) >= 3
-                          THEN list_transform(range(len(toks)-2),
-                                 j -> toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3])
+                     CASE WHEN len(toks) >= 4
+                          THEN list_transform(range(len(toks)-3),
+                                 j -> toks[j+1] || ' ' || toks[j+2] || ' ' ||
+                                      toks[j+3] || ' ' || toks[j+4])
                           ELSE [] END) AS shs
                    FROM t),
             r AS (SELECT doc_id, len(shs) AS len, unnest(shs) AS s

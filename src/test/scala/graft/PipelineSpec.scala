@@ -749,11 +749,13 @@ class PipelineSpec extends SparkSpec {
         .select(($"doc_id" + 100000).as("doc_id"),
           array_join(slice(toks, lit(1),
             greatest((size(toks) / lit(2)).cast("int"), lit(4))), " ").as("text")))
-    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10,
+        shingleK = 4)
       .select($"a", $"b", $"inter")
       .as[(Long, Long, Int)].collect().toSet
     val sh = TextOps.spread(corpus)
-      .select($"doc_id", TextOps.shingles(TextOps.tokens($"text")).as("shs"))
+      .select($"doc_id",
+        TextOps.shingles(TextOps.tokens($"text"), 4).as("shs"))
       .filter(size($"shs") > 0)
     val brute = sh.as("x")
       .join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
@@ -764,7 +766,8 @@ class PipelineSpec extends SparkSpec {
     assert(got == brute,
       s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
     // every excerpt is contained in its original with containment exactly 1.0
-    val planted = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10)
+    val planted = Dedup.containmentPairs(corpus, "doc_id", "text", 9, 10,
+        shingleK = 4)
       .filter($"a" >= 100000 && $"b" === $"a" - 100000)
     assert(planted.count() == 10)
     assert(planted.filter($"containment" === 1.0).count() == 10,
