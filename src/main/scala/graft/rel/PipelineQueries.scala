@@ -419,6 +419,122 @@ object PipelineQueries {
                     CAST(SUM(sz - 1) AS BIGINT) AS n_removed
              FROM cs GROUP BY sz ORDER BY size"""))
 
+  /** Leakage-safe train/test split — the reason production pipelines
+    * dedup BEFORE splitting: a doc-hash split puts near-duplicates on
+    * both sides of the boundary (train/test contamination — the
+    * evaluation silently measures memorization), while splitting by the
+    * DEDUP-CLUSTER representative keeps every near-dup family on one
+    * side, leak-free BY CONSTRUCTION. Pipeline: LSH pairs → connected
+    * components → rep = component label (min-id; singletons are their
+    * own rep) → deterministic md5 bucket of doc_id (naive) vs rep
+    * (cluster-safe) at 80/20 → count straddling pairs per policy. The
+    * oracle recomputes everything incl. a TRUE recursive-CTE closure
+    * and DuckDB's own md5, so the hash match pins the split assignment
+    * bit-for-bit. At fixture scale the naive policy leaks a nonzero
+    * planted-pair count; the cluster policy reads exactly 0. Scale: one
+    * LSH pass + CC on the pair graph + two hash projections — no new
+    * shuffle beyond what dedup already paid. */
+  val splitLeakage = QueryDef(
+    "q_split_leakage",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+        .localCheckpoint()
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+        .select($"a".as("src"), $"b".as("dst"))
+        .localCheckpoint() // CC re-reads edges per round; freeze the LSH
+      val comp = graft.graph.GraphAnalytics
+        .connectedComponentsDf(pairs, iters = 4)
+        .select($"node".as("doc_id"), $"component")
+      def bucket(c: org.apache.spark.sql.Column) =
+        expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT) % 5")
+      val asg = corpus.select($"doc_id").join(comp, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").as("rep"))
+        .withColumn("tr_naive", bucket($"doc_id") < 4)
+        .withColumn("tr_safe", bucket($"rep") < 4)
+        .localCheckpoint()
+      val leaks = pairs
+        .join(asg.select($"doc_id".as("src"), $"tr_naive".as("na"),
+          $"tr_safe".as("sa")), "src")
+        .join(asg.select($"doc_id".as("dst"), $"tr_naive".as("nb"),
+          $"tr_safe".as("sb")), "dst")
+        .agg(
+          coalesce(sum(when($"na" =!= $"nb", 1L).otherwise(0L)), lit(0L))
+            .as("naive_leak"),
+          coalesce(sum(when($"sa" =!= $"sb", 1L).otherwise(0L)), lit(0L))
+            .as("safe_leak"))
+      val counts = asg.agg(
+        sum(when($"tr_naive", 1L).otherwise(0L)).as("naive_train"),
+        sum(when($"tr_safe", 1L).otherwise(0L)).as("safe_train"),
+        count(lit(1)).as("total"))
+      counts.crossJoin(leaks).select(
+        lit("a_naive_by_doc").as("policy"),
+        $"naive_train".as("n_train"),
+        ($"total" - $"naive_train").as("n_test"),
+        $"naive_leak".as("leak_pairs"))
+        .unionByName(counts.crossJoin(leaks).select(
+          lit("b_cluster_safe").as("policy"),
+          $"safe_train".as("n_train"),
+          ($"total" - $"safe_train").as("n_test"),
+          $"safe_leak".as("leak_pairs")))
+        .orderBy($"policy")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             $minhashCte,
+             bands AS (SELECT doc_id, i // 4 AS band,
+                              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+                       FROM mh GROUP BY doc_id, i // 4),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+             est AS (SELECT c.a, c.b,
+                            SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS ej
+                     FROM cand c
+                     JOIN mh ma ON ma.doc_id = c.a
+                     JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+                     GROUP BY c.a, c.b),
+             p AS (SELECT a, b FROM est WHERE ej >= 0.5),
+             und AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+             verts AS (SELECT DISTINCT u AS x FROM und),
+             reach(x, r) AS (
+               SELECT x, x FROM verts
+               UNION
+               SELECT r0.x, u.v FROM reach r0 JOIN und u ON u.u = r0.r),
+             comp AS (SELECT x, MIN(r) AS c FROM reach GROUP BY x),
+             asg AS (SELECT c2.doc_id,
+                            COALESCE(comp.c, c2.doc_id) AS rep,
+                            CAST(('0x'||substr(md5(CAST(c2.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 5 < 4 AS tr_naive,
+                            CAST(('0x'||substr(md5(CAST(COALESCE(comp.c, c2.doc_id) AS VARCHAR)),1,8)) AS BIGINT) % 5 < 4 AS tr_safe
+                     FROM corpus c2 LEFT JOIN comp ON comp.x = c2.doc_id),
+             leaks AS (SELECT
+                 COALESCE(SUM(CASE WHEN x.tr_naive <> y.tr_naive THEN 1 ELSE 0 END), 0) AS naive_leak,
+                 COALESCE(SUM(CASE WHEN x.tr_safe <> y.tr_safe THEN 1 ELSE 0 END), 0) AS safe_leak
+               FROM p JOIN asg x ON x.doc_id = p.a
+                      JOIN asg y ON y.doc_id = p.b),
+             counts AS (SELECT
+                 CAST(SUM(CASE WHEN tr_naive THEN 1 ELSE 0 END) AS BIGINT) AS naive_train,
+                 CAST(SUM(CASE WHEN tr_safe THEN 1 ELSE 0 END) AS BIGINT) AS safe_train,
+                 CAST(COUNT(*) AS BIGINT) AS total
+               FROM asg)
+             SELECT 'a_naive_by_doc' AS policy, naive_train AS n_train,
+                    total - naive_train AS n_test,
+                    CAST(naive_leak AS BIGINT) AS leak_pairs
+             FROM counts CROSS JOIN leaks
+             UNION ALL
+             SELECT 'b_cluster_safe', safe_train, total - safe_train,
+                    CAST(safe_leak AS BIGINT)
+             FROM counts CROSS JOIN leaks
+             ORDER BY policy"""))
+
   /** MinHash estimator quality, self-measured in-engine (the sketch
     * analog of q_ann_recall): for the 20 planted near-dup pairs, the
     * 16-component signature agreement rate vs the exact shingle Jaccard,
@@ -3682,7 +3798,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     joinEditdist,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
-    dedupCluster, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
+    dedupCluster, splitLeakage, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash,
