@@ -193,7 +193,13 @@ object AnalyticQueries {
     * the hash match checks the custom kernel bit-for-bit against an
     * independent C++ implementation on every real candidate pair.
     * Scale: the join is an equi-join on the block key; block sizes are
-    * corpus/|prefixes×bands| — the kernel runs only inside blocks. */
+    * corpus/|prefixes×bands| — the kernel runs only inside blocks. The
+    * block-size limit is quadratic (measured 23.7M candidate pairs at
+    * sf1, 3.6× wall for 10× rows), so at larger corpora the block key
+    * must GAIN entropy (longer prefixes, multi-key meta-blocking, or
+    * block purging) — q_link_blocking_eval MEASURES exactly this
+    * trade-off (reduction ratio vs pair completeness) without ever
+    * materializing the pairs. */
   val linkJw = QueryDef(
     "q_link_jw",
     (s, dir) => {
@@ -235,5 +241,96 @@ object AnalyticQueries {
             WHERE jaro_winkler_similarity(x.nm, y.nm) >= 0.9
             ORDER BY a_id, b_id"""))
 
-  val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment, linkJw)
+  // ------------------------------------------- blocking-quality audit
+  /** Blocking-policy evaluation (the record-linkage literature's two
+    * numbers — reduction ratio and pair completeness) for q_link_jw's
+    * block key, computed WITHOUT materializing a single candidate pair:
+    * |candidates| = Σ_blk c·(c−1)/2 from the block-size histogram, the
+    * all-pairs denominator n·(n−1)/2 from one count, and completeness
+    * from the planted twins' block agreement (an equi-join on the 40
+    * planted ids only). This is the audit that has to accompany ANY
+    * blocked join at scale: reduction ratio says what the blocking
+    * saves, completeness says what it costs. All counting exact in
+    * DECIMAL(38,0) (n² at 100 TB overflows int64); the two ratios are
+    * one double division each, identical text both engines. */
+  val linkBlockingEval = QueryDef.sqlBoth(
+    "q_link_blocking_eval", blockingEvalSql("STRING"), blockingEvalSql("VARCHAR"))
+
+  /** `str` is the engine's string type name (Spark STRING / DuckDB
+    * VARCHAR) — the only non-portable token in the text. */
+  private def blockingEvalSql(str: String): String = {
+    s"""WITH p AS (SELECT doc_id AS id, substring(lower(text), 1, 24) AS nm
+                   FROM documents),
+       c AS (SELECT id + 1000000 AS id,
+                    concat(substring(nm, 1, length(nm)-4), 'zz',
+                           substring(nm, length(nm)-1, 2)) AS nm
+             FROM p WHERE id < 40),
+       corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
+       b AS (SELECT id, concat(substring(nm, 1, 6), '#',
+                    CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS blk
+             FROM corpus),
+       h AS (SELECT blk, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+             FROM b GROUP BY blk),
+       stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                        CAST(MAX(c) AS BIGINT) AS max_block,
+                        CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+                 FROM h),
+       plant AS (SELECT x.id
+                 FROM b x JOIN b y ON y.id = x.id + 1000000
+                   AND x.blk = y.blk
+                 WHERE x.id < 40),
+       pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS recalled FROM plant),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS planted
+               FROM corpus WHERE id >= 1000000)
+       SELECT s.n_docs, s.n_blocks, s.max_block, s.cand_pairs,
+              CAST(CAST(s.n_docs AS DECIMAL(38,0)) * (s.n_docs - 1) / 2
+                   AS BIGINT) AS all_pairs,
+              round(1.0 - CAST(s.cand_pairs AS DOUBLE)
+                    / (CAST(s.n_docs AS DOUBLE) * (s.n_docs - 1) / 2.0), 6)
+                AS reduction_ratio,
+              pc.recalled, tot.planted,
+              round(CAST(pc.recalled AS DOUBLE) / CAST(tot.planted AS DOUBLE), 6)
+                AS pair_completeness
+       FROM stats s CROSS JOIN pc CROSS JOIN tot"""
+  }
+
+  // ------------------------------------------- day-of-week seasonality
+  /** Day-of-week seasonal profile of event volume: per dow, days
+    * observed, total events, mean, and the seasonal index mean/grand —
+    * the decomposition step upstream of any weekday-aware anomaly rule.
+    * Dow from epoch-day % 7 arithmetic (day 0 = Thursday) — identical
+    * integer formula both engines, immune to dow-numbering differences
+    * (the q_stats_ks convention). Index = one double expression over
+    * exact integer sums; the daily table is bounded by the time span. */
+  private def seasonalSql(dowExpr: String) = s"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    dw AS (
+      SELECT CAST(($dowExpr) % 7 AS INT) AS dow, x FROM daily),
+    g AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sum_x
+      FROM dw GROUP BY dow),
+    tot AS (
+      SELECT CAST(SUM(n_days) AS BIGINT) AS nd,
+             CAST(SUM(sum_x) AS BIGINT) AS sx
+      FROM g)
+    SELECT g.dow, g.n_days, g.sum_x,
+           round(CAST(g.sum_x AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6)
+             AS mean_x,
+           round((CAST(g.sum_x AS DOUBLE) / CAST(g.n_days AS DOUBLE))
+                 / (CAST(t.sx AS DOUBLE) / CAST(t.nd AS DOUBLE)), 6)
+             AS seasonal_idx
+    FROM g CROSS JOIN tot t
+    ORDER BY g.dow"""
+
+  val statsSeasonal = QueryDef.sqlBoth(
+    "q_stats_seasonal",
+    seasonalSql("datediff(d, DATE '1970-01-01')"),
+    seasonalSql("date_diff('day', DATE '1970-01-01', d)"))
+
+  val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment, linkJw,
+    linkBlockingEval, statsSeasonal)
 }
