@@ -92,4 +92,45 @@ object HeavyHitters {
     * string key column. Every key with frequency > n/k is guaranteed
     * present; follow with an exact recount to drop the false positives. */
   def candidates(key: Column, k: Int): Column = udaf(MisraGries(k)).apply(key)
+
+  /** Counter-bearing variant of [[MisraGries]]: finishes to the
+    * surviving (key, residual count) pairs, key-sorted — the form a
+    * STREAMING maintainer needs, because merging summaries requires the
+    * counts, not just the keys. */
+  private final case class MisraGriesCounts(k: Int)
+      extends Aggregator[String, mutable.HashMap[String, Long], Seq[(String, Long)]] {
+    private val inner = MisraGries(k)
+    override def zero: mutable.HashMap[String, Long] = inner.zero
+    override def reduce(b: mutable.HashMap[String, Long], key: String)
+        : mutable.HashMap[String, Long] = inner.reduce(b, key)
+    override def merge(x: mutable.HashMap[String, Long],
+                       y: mutable.HashMap[String, Long])
+        : mutable.HashMap[String, Long] = inner.merge(x, y)
+    override def finish(b: mutable.HashMap[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy(_._1)
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** Aggregate column: the full (key, count) Misra–Gries summary. */
+  def summary(key: Column, k: Int): Column = udaf(MisraGriesCounts(k)).apply(key)
+
+  /** The PODS'12 mergeable-summaries merge on plain maps — sum counts,
+    * subtract the k-th largest total from everyone, drop non-positives.
+    * Exposed so a streaming maintainer holding its ≤ k−1-row state
+    * outside an Aggregator buffer applies EXACTLY the same rule. */
+  def mergeCounts(x: Map[String, Long], y: Map[String, Long], k: Int)
+      : Map[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    x.foreach { case (kk, c) => m.update(kk, m.getOrElse(kk, 0L) + c) }
+    y.foreach { case (kk, c) => m.update(kk, m.getOrElse(kk, 0L) + c) }
+    if (m.size > k - 1) {
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k - 1)
+      m.filterInPlace { case (_, c) => c - cut > 0L }
+        .mapValuesInPlace { case (_, c) => c - cut }
+    }
+    m.toMap
+  }
 }

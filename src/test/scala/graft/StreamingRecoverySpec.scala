@@ -222,4 +222,58 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(hist.hist.orderBy($"b").collect().toSeq == cleanH,
       "histogram diverged after recovery")
   }
+
+  test("Misra-Gries maintenance: streamed == batch, superset holds, survives restart") {
+    implicit val sql = spark.sqlContext
+    val K = 16
+    // the q_sketch_heavyhit key shape: 3 hot keys at ~8.3% each, cold tail
+    val keyed = Tables(spark, sf, "events").select(
+      when($"event_id" % 4 === 0,
+        concat(lit("hot_"), ($"event_id" % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), $"event_id".cast("string"))).as("k"))
+      .localCheckpoint()
+    val want = SparkEntry.queries("q_sketch_heavyhit")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(want.nonEmpty)
+
+    val rows = keyed.as[String].collect().toSeq
+    val shards = rows.grouped(math.max(rows.size / 5, 1)).toSeq
+
+    // clean one-shot streamed run
+    val clean = MgIngest.emptyIndex(K)
+    val s0 = MemoryStream[String]
+    val q0 = MgIngest.start(s0.toDS().toDF("k"), "k", clean)
+    try {
+      shards.foreach { sh => s0.addData(sh: _*); q0.processAllAvailable() }
+    } finally q0.stop()
+    assert(clean.candidates.size <= K - 1, "state bound violated")
+    // superset guarantee: every true heavy key is among the candidates
+    want.foreach { case (k, _) =>
+      assert(clean.summary.contains(k), s"true heavy key $k lost")
+    }
+    // deterministic read == the declared batch two-pass result
+    val streamedRead = MgIngest.exactHeavyHitters(keyed, "k", clean)
+      .as[(String, Long)].collect().toSeq
+    assert(streamedRead == want, s"streamed $streamedRead vs batch $want")
+
+    // kill mid-stream WITH an in-flight shard, restart from checkpoint
+    val ckpt = ckptDir()
+    val idx = MgIngest.emptyIndex(K)
+    val st = MemoryStream[String]
+    val src = st.toDS().toDF("k")
+    val q1 = MgIngest.start(src, "k", idx, Some(ckpt))
+    try {
+      shards.take(2).foreach { sh => st.addData(sh: _*); q1.processAllAvailable() }
+      st.addData(shards(2): _*) // in-flight at crash
+    } finally q1.stop()
+    val q2 = MgIngest.start(src, "k", idx, Some(ckpt))
+    try {
+      q2.processAllAvailable() // picks the in-flight shard off the log
+      shards.drop(3).foreach { sh => st.addData(sh: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    val recoveredRead = MgIngest.exactHeavyHitters(keyed, "k", idx)
+      .as[(String, Long)].collect().toSeq
+    assert(recoveredRead == want,
+      s"recovered $recoveredRead vs batch $want")
+  }
 }
