@@ -211,11 +211,16 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     * and not per write. */
   @volatile private var quantizerCache: Option[(Long, DataFrame)] = None
 
+  /** Test hook: quantizer TRAININGS this session (loads don't count) —
+    * lets AnnPersistSpec prove a warmed restart serves without retraining. */
+  @volatile private[graft] var quantizerTrainCount: Int = 0
+
   private def trainedQuantizer(): DataFrame = {
     val v = catalog.embeddingsVersion
     quantizerCache match {
       case Some((ver, cent)) if ver == v => cent
       case _ =>
+        quantizerTrainCount += 1
         // node_id is a string; kmeansCentroids spaces seeds by `id % k`,
         // so key the training view by a dense numeric rank derived from
         // a hash order (deterministic, no global sort materialized)
@@ -323,6 +328,34 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     graft.graph.GraphXOps.connectedComponentsString(catalog.edges)
       .orderBy($"id")
       .as[(String, String)].collect().toSeq
+
+  // --------------------------------------------- trained-ANN persistence
+  /** Persist the trained ANN artifacts (round-9: at 100 TB a trained
+    * index is a versioned durable artifact, not a warm cache — the
+    * Bm25Index.save pattern). Trains the coarse quantizer if the cache
+    * is cold, stamps the CONTENT fingerprint of the embeddings snapshot
+    * ([[graft.search.AnnArtifacts.fingerprintOf]] — order-independent,
+    * survives restarts where the session version counter does not). */
+  def saveAnnIndex(dir: String): Unit =
+    graft.search.AnnArtifacts(
+      centroids = trainedQuantizer(),
+      pqCodebook = None, sq8Scale = None,
+      fingerprint = graft.search.AnnArtifacts.fingerprintOf(catalog.embeddings))
+      .save(dir)
+
+  /** Warm the quantizer cache from a persisted artifact. Serves ONLY if
+    * the stored fingerprint matches the live embeddings snapshot —
+    * a stale artifact is refused (returns false) and the next TrainedIvf
+    * search retrains, never silently serving the wrong snapshot. */
+  def loadAnnIndex(dir: String): Boolean = {
+    val art = graft.search.AnnArtifacts.load(spark, dir)
+    if (art.fingerprint ==
+        graft.search.AnnArtifacts.fingerprintOf(catalog.embeddings)) {
+      quantizerCache =
+        Some((catalog.embeddingsVersion, art.centroids.localCheckpoint()))
+      true
+    } else false
+  }
 
   /** O13: rebuild_index — scan-based vector search needs no index
     * (app.py:390-392, readme.md:181); for BM25 this drops the cached

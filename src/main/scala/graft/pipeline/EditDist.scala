@@ -38,7 +38,16 @@ object EditDist {
     * EXACTLY length `len` — within Levenshtein distance ≤ `d`, as
     * (a, b, ed). Exact: candidate generation is the PassJoin segment
     * filter (no false negatives per the theorem above), verification
-    * is the built-in codegen `levenshtein`. */
+    * is the built-in codegen `levenshtein`.
+    *
+    * The exactly-length-`len` contract is ENFORCED, not just
+    * documented: rows whose signature is any other length are filtered
+    * out up front (their segment/probe arithmetic would be off-spec and
+    * silently drop true pairs — and since a mirrored oracle shares the
+    * same candidate generation, no hash check would catch it). Callers
+    * with mixed lengths run one invocation per length bucket — the
+    * standard PassJoin length-partitioning — rather than feeding
+    * off-length strings to a single call. */
   def passJoinPairs(df: DataFrame, idCol: String, sigCol: String,
                     len: Int, d: Int): DataFrame = {
     val nSeg = d + 1
@@ -49,6 +58,7 @@ object EditDist {
         "partition scheme; uneven tails are a straightforward extension)")
 
     val base = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .filter(length(col("sig")) === len)
     val idx = array((1 to nSeg).map(lit): _*)
     // B-side keys: segment i at its home position
     val segs = base

@@ -19,6 +19,12 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, digest: String,
 case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
     digest: String)
 
+/** One DECODED video frame: pixel dimensions + 64-bit perceptual hash
+  * (aHash). -1/0 sentinels for an undecodable frame — a corrupt frame
+  * must not kill a 100 TB ingest job. */
+case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+    height: Int, ahash: Long)
+
 /** Decoded audio stream properties; -1 sentinels for undecodable
   * payloads (a corrupt row must not kill a 100 TB ingest job). */
 case class AudioFeatures(doc_id: Long, n_bytes: Int, digest: String,
@@ -32,14 +38,20 @@ case class AudioFeatures(doc_id: Long, n_bytes: Int, digest: String,
   * dimensions — no external codec dependency. AUDIO decode is REAL for
   * WAV/PCM/AIFF/AU: `extractAudioFeatures` parses the stream with the
   * JDK's `javax.sound.sampled` (sample rate, channels, frame count,
-  * duration) — again no external codec. VIDEO decode is the one
-  * remaining **STUB** (the container ships no video codecs): those
-  * payloads get deterministic byte-level features (length + md5) where a
-  * real pipeline would decode frames. The plumbing — binary schema,
-  * partition-batched `mapPartitions` with per-partition resource init
-  * (the Scala analog of a Pandas UDF's batch shape), typed Dataset
-  * output — is identical for all three; swapping the video stub for a
-  * JNI/ONNX decoder changes only the map body.
+  * duration) — again no external codec. VIDEO decode is REAL for
+  * Motion-JPEG elementary streams (round 9, closing the last stub):
+  * [[splitMjpegFrames]] walks the JPEG EOI markers (0xFFD9 — never a
+  * raw byte inside entropy-coded data, where 0xFF is always
+  * stuff-escaped) and each frame decodes through the same
+  * `javax.imageio` path as still images. Inter-frame codecs (H.264/
+  * VP9/AV1) genuinely require external decoders this container does
+  * not ship and are OUT OF SCOPE by design, not stubbed: a real
+  * deployment swaps [[videoFrames]]' per-frame ImageIO call for a
+  * JNI/ffmpeg decode — the schema, the marker-walk batching, and the
+  * per-partition resource shape all stay. The plumbing — binary
+  * schema, partition-batched `mapPartitions` with per-partition
+  * resource init (the Scala analog of a Pandas UDF's batch shape),
+  * typed Dataset output — is identical for all three modalities.
   */
 object Multimodal {
 
@@ -174,8 +186,15 @@ object Multimodal {
               new java.io.ByteArrayInputStream(r.payload))
             if (img != null) (Some(img.getWidth), Some(img.getHeight))
             else (None, None) // undecodable/corrupt image payload
-          } else (None, None) // STUB: video frame decode would go here
-                              // (audio: see extractAudioFeatures — real)
+          } else if (r.format == "video/x-motion-jpeg") {
+            // real MJPEG decode: dimensions of the first frame
+            splitMjpegFrames(r.payload).headOption
+              .flatMap(f => Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f))))
+              .map(img => (Some(img.getWidth), Some(img.getHeight)))
+              .getOrElse((None, None))
+          } else (None, None) // audio: see extractAudioFeatures — real;
+                              // inter-frame video codecs: out of scope
         MediaFeatures(r.doc_id, r.payload.length, digest, r.format, w, h)
       }
     }
@@ -209,6 +228,84 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Split a Motion-JPEG elementary stream into its JPEG frames by
+    * walking the EOI markers (0xFF 0xD9). Inside JPEG entropy-coded
+    * data every 0xFF byte is stuff-escaped (followed by 0x00 or a
+    * restart marker 0xD0-0xD7), so a raw EOI can only be a frame
+    * boundary; the JDK encoder writes no nested thumbnails. Linear in
+    * the payload, zero copies beyond the per-frame slices. */
+  def splitMjpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var start = 0
+    var i = 0
+    while (i < payload.length - 1) {
+      if (payload(i) == 0xFF.toByte && payload(i + 1) == 0xD9.toByte) {
+        out += java.util.Arrays.copyOfRange(payload, start, i + 2)
+        start = i + 2
+        i += 2
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Deterministic MJPEG fixture: `nFrames` noisy 16-bit-seeded frames
+    * (the [[noisyPngPayload]] pixel generator), each JDK-JPEG-encoded
+    * and concatenated — a genuine Motion-JPEG elementary stream. Same
+    * (seed, frame count, size) ⇒ byte-identical stream. */
+  def mjpegPayload(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var m = x * 73856093L ^ y * 19349663L ^
+            ((seed * 64 + f) * 0x9E3779B97F4A7C15L)
+          m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
+          m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+          m ^= m >>> 31
+          img.setRGB(x, y, ((m >>> 16) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL video frame extraction for MJPEG payloads: marker-walk the
+    * stream, decode every `sampleEvery`-th frame through `javax.
+    * imageio`, emit dimensions + the 64-bit perceptual aHash. Same
+    * batch shape as the other decoders: rows streamed per partition,
+    * corrupt frames yield sentinels instead of failing the job. An
+    * inter-frame codec deployment swaps only the decode call. */
+  def videoFrames(media: Dataset[MediaRow],
+                  sampleEvery: Int = 1): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        splitMjpegFrames(r.payload).zipWithIndex
+          .filter(_._2 % sampleEvery == 0)
+          .map { case (frame, idx) =>
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              if (img == null) VideoFrame(r.doc_id, idx, -1, -1, 0L)
+              else VideoFrame(r.doc_id, idx, img.getWidth, img.getHeight,
+                aHash64(img))
+            } catch {
+              case _: Exception => VideoFrame(r.doc_id, idx, -1, -1, 0L)
+            }
+          }
+      }
+    }
   }
 
   /** 64-bit average-hash (aHash) of a decoded image: downsample to an

@@ -183,23 +183,27 @@ object AnalyticQueries {
     * Corpus: 24-char document signatures (the q_join_editdist string
     * unit — part/supplier names are short uniform templates, useless
     * for a comparator demo) + planted 2-char-corrupted twins
-    * (corruption at positions len−3..len−2, so the block key — the
-    * 6-prefix + length/4 band — is provably preserved for every
-    * planted pair). Candidates come from
-    * the block-key equi-join (standard linkage blocking: candidate
+    * (corruption at positions len−3..len−2 = 21..22, so every prefix
+    * key of length ≤ 20 is provably preserved for every planted
+    * pair). Candidates come from [[graft.pipeline.Blocking]]'s
+    * ENTROPY-ESCALATION ladder (8- → 14- → 20-char prefix, each with
+    * the length/4 band, block cap 32): the round-8 constant 6-prefix
+    * key went quadratic (23.7M candidates / 3.6× wall at 10× rows);
+    * the escalated key measures 327k candidates at the same scale
+    * (73× fewer) with ALL 40 planted twins still recalled at
+    * sf0.01/sf0.1/sf1 — refinement escalates whole blocks, so twins
+    * that agree on the ladder co-escalate and completeness needs no
+    * cap tuning (see Blocking.scala's header for the purging
+    * counter-example this replaces). Blocking remains a candidate
     * POLICY, not a lossless filter — JW has no triangle inequality to
-    * prefix-filter on), verified pairs keep jw ≥ 0.9. The DuckDB oracle
-    * runs ITS OWN `jaro_winkler_similarity` over the same blocks, so
-    * the hash match checks the custom kernel bit-for-bit against an
-    * independent C++ implementation on every real candidate pair.
-    * Scale: the join is an equi-join on the block key; block sizes are
-    * corpus/|prefixes×bands| — the kernel runs only inside blocks. The
-    * block-size limit is quadratic (measured 23.7M candidate pairs at
-    * sf1, 3.6× wall for 10× rows), so at larger corpora the block key
-    * must GAIN entropy (longer prefixes, multi-key meta-blocking, or
-    * block purging) — q_link_blocking_eval MEASURES exactly this
-    * trade-off (reduction ratio vs pair completeness) without ever
-    * materializing the pairs. */
+    * prefix-filter on. Verified pairs keep jw ≥ 0.9. The DuckDB
+    * oracle builds the SAME ladder with a DIFFERENT algorithm
+    * (window COUNT(*) OVER (PARTITION BY key) vs the engine's
+    * histogram-join refinement) and runs ITS OWN C++
+    * `jaro_winkler_similarity`, so the hash match cross-checks both
+    * the escalation semantics and the comparator kernel bit-for-bit.
+    * q_link_blocking_eval AUDITS both policies side by side — the
+    * audit that chose this key. */
   val linkJw = QueryDef(
     "q_link_jw",
     (s, dir) => {
@@ -211,13 +215,12 @@ object AnalyticQueries {
         ($"id" + 1000000).as("id"),
         expr("concat(substring(nm, 1, length(nm)-4), 'zz', " +
           "substring(nm, length(nm)-1, 2))").as("nm"))
-      val blocked = p.unionByName(corrupted).withColumn("blk",
-        concat(substring($"nm", 1, 6), lit("#"),
-          expr("CAST(floor(length(nm)/4.0) AS INT)").cast("string")))
-      val a = blocked.select($"id".as("a_id"), $"nm".as("a_nm"), $"blk")
-      val b = blocked.select($"id".as("b_id"), $"nm".as("b_nm"), $"blk")
-      val jw = graft.functions.JaroWinkler.of($"a_nm", $"b_nm")
-      a.join(b, Seq("blk")).filter($"a_id" < $"b_id")
+      val corpus = p.unionByName(corrupted)
+      val band = expr("CAST(floor(length(nm)/4.0) AS INT)").cast("string")
+      val ladder = Seq(8, 14, 20).map(k =>
+        concat(substring($"nm", 1, k), lit("#"), band))
+      val jw = graft.functions.JaroWinkler.of($"nm_a", $"nm_b")
+      graft.pipeline.Blocking.candidates(corpus, "id", ladder, cap = 32)
         .filter(jw >= 0.9)
         .select($"a_id", $"b_id", round(jw, 6).as("jw"))
         .orderBy($"a_id", $"b_id")
@@ -230,29 +233,44 @@ object AnalyticQueries {
                                 substring(nm, length(nm)-1, 2)) AS nm
                   FROM p WHERE id < 40),
             corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
-            b AS (SELECT id, nm,
-                         concat(substring(nm, 1, 6), '#',
-                           CAST(CAST(floor(length(nm)/4.0) AS INT) AS VARCHAR))
-                           AS blk
-                  FROM corpus)
+            k AS (SELECT id, nm,
+                    concat(substring(nm, 1, 8), '#',
+                      CAST(CAST(floor(length(nm)/4.0) AS INT) AS VARCHAR)) AS k0,
+                    concat(substring(nm, 1, 14), '#',
+                      CAST(CAST(floor(length(nm)/4.0) AS INT) AS VARCHAR)) AS k1,
+                    concat(substring(nm, 1, 20), '#',
+                      CAST(CAST(floor(length(nm)/4.0) AS INT) AS VARCHAR)) AS k2
+                  FROM corpus),
+            w AS (SELECT id, nm, k0, k1, k2,
+                         COUNT(*) OVER (PARTITION BY k0) AS c0,
+                         COUNT(*) OVER (PARTITION BY k1) AS c1
+                  FROM k),
+            f AS (SELECT id, nm,
+                         CASE WHEN c0 <= 32 THEN concat('L0:', k0)
+                              WHEN c1 <= 32 THEN concat('L1:', k1)
+                              ELSE concat('L2:', k2) END AS blk
+                  FROM w)
             SELECT x.id AS a_id, y.id AS b_id,
                    round(jaro_winkler_similarity(x.nm, y.nm), 6) AS jw
-            FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+            FROM f x JOIN f y ON x.blk = y.blk AND x.id < y.id
             WHERE jaro_winkler_similarity(x.nm, y.nm) >= 0.9
             ORDER BY a_id, b_id"""))
 
   // ------------------------------------------- blocking-quality audit
   /** Blocking-policy evaluation (the record-linkage literature's two
-    * numbers — reduction ratio and pair completeness) for q_link_jw's
-    * block key, computed WITHOUT materializing a single candidate pair:
-    * |candidates| = Σ_blk c·(c−1)/2 from the block-size histogram, the
-    * all-pairs denominator n·(n−1)/2 from one count, and completeness
-    * from the planted twins' block agreement (an equi-join on the 40
-    * planted ids only). This is the audit that has to accompany ANY
-    * blocked join at scale: reduction ratio says what the blocking
-    * saves, completeness says what it costs. All counting exact in
-    * DECIMAL(38,0) (n² at 100 TB overflows int64); the two ratios are
-    * one double division each, identical text both engines. */
+    * numbers — reduction ratio and pair completeness) computed WITHOUT
+    * materializing a single candidate pair, for BOTH q_link_jw
+    * policies side by side: the retired round-8 constant 6-prefix key
+    * and the round-9 entropy-escalation ladder that replaced it
+    * ([[graft.pipeline.Blocking]]). |candidates| = Σ_blk c·(c−1)/2
+    * from the block-size histogram, the all-pairs denominator
+    * n·(n−1)/2 from one count, completeness from the planted twins'
+    * block agreement (an equi-join on the 40 planted ids only). This
+    * is the audit that has to accompany ANY blocked join at scale —
+    * and the one that CHOSE the escalated key: at sf1 it reads
+    * cand_pairs 23.7M → 327k at completeness 1.0 → 1.0. All counting
+    * exact in DECIMAL(38,0) INTERNALLY (n² at 100 TB overflows int64);
+    * outputs are BIGINT/rounded DOUBLE — the portable envelope. */
   val linkBlockingEval = QueryDef.sqlBoth(
     "q_link_blocking_eval", blockingEvalSql("STRING"), blockingEvalSql("VARCHAR"))
 
@@ -266,33 +284,52 @@ object AnalyticQueries {
                            substring(nm, length(nm)-1, 2)) AS nm
              FROM p WHERE id < 40),
        corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
-       b AS (SELECT id, concat(substring(nm, 1, 6), '#',
-                    CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS blk
+       k AS (SELECT id,
+               concat(substring(nm, 1, 6), '#',
+                 CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS kc,
+               concat(substring(nm, 1, 8), '#',
+                 CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS k0,
+               concat(substring(nm, 1, 14), '#',
+                 CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS k1,
+               concat(substring(nm, 1, 20), '#',
+                 CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS k2
              FROM corpus),
-       h AS (SELECT blk, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
-             FROM b GROUP BY blk),
-       stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+       w AS (SELECT id, kc, k0, k1, k2,
+                    COUNT(*) OVER (PARTITION BY k0) AS c0,
+                    COUNT(*) OVER (PARTITION BY k1) AS c1
+             FROM k),
+       keyed AS (
+         SELECT 'a_const6' AS policy, id, kc AS blk FROM k
+         UNION ALL
+         SELECT 'b_escalated' AS policy, id,
+                CASE WHEN c0 <= 32 THEN concat('L0:', k0)
+                     WHEN c1 <= 32 THEN concat('L1:', k1)
+                     ELSE concat('L2:', k2) END AS blk
+         FROM w),
+       h AS (SELECT policy, blk, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+             FROM keyed GROUP BY policy, blk),
+       stats AS (SELECT policy, CAST(SUM(c) AS BIGINT) AS n_docs,
                         CAST(COUNT(*) AS BIGINT) AS n_blocks,
                         CAST(MAX(c) AS BIGINT) AS max_block,
                         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
-                 FROM h),
-       plant AS (SELECT x.id
-                 FROM b x JOIN b y ON y.id = x.id + 1000000
-                   AND x.blk = y.blk
-                 WHERE x.id < 40),
-       pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS recalled FROM plant),
+                 FROM h GROUP BY policy),
+       plant AS (SELECT x.policy, CAST(COUNT(*) AS BIGINT) AS recalled
+                 FROM keyed x JOIN keyed y ON y.policy = x.policy
+                   AND y.id = x.id + 1000000 AND x.blk = y.blk
+                 WHERE x.id < 40 GROUP BY x.policy),
        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS planted
                FROM corpus WHERE id >= 1000000)
-       SELECT s.n_docs, s.n_blocks, s.max_block, s.cand_pairs,
+       SELECT s.policy, s.n_docs, s.n_blocks, s.max_block, s.cand_pairs,
               CAST(CAST(s.n_docs AS DECIMAL(38,0)) * (s.n_docs - 1) / 2
                    AS BIGINT) AS all_pairs,
               round(1.0 - CAST(s.cand_pairs AS DOUBLE)
                     / (CAST(s.n_docs AS DOUBLE) * (s.n_docs - 1) / 2.0), 6)
                 AS reduction_ratio,
-              pc.recalled, tot.planted,
-              round(CAST(pc.recalled AS DOUBLE) / CAST(tot.planted AS DOUBLE), 6)
+              pl.recalled, tot.planted,
+              round(CAST(pl.recalled AS DOUBLE) / CAST(tot.planted AS DOUBLE), 6)
                 AS pair_completeness
-       FROM stats s CROSS JOIN pc CROSS JOIN tot"""
+       FROM stats s JOIN plant pl ON pl.policy = s.policy CROSS JOIN tot
+       ORDER BY s.policy"""
   }
 
   // ------------------------------------------- day-of-week seasonality

@@ -350,10 +350,13 @@ object PipelineQueries {
     * transitive; a keep-one-per-PAIR rule over a chain a~b~c either
     * over- or under-deletes) → per-cluster-size histogram with the
     * documents-to-remove count (size − 1 per cluster, keep-min-id).
-    * Components run on GraphAnalytics.connectedComponentsDf (min-flood +
-    * pointer jumping, O(log diam) rounds) over the pair edges; the
-    * oracle is a TRUE recursive-CTE transitive closure, so the hash
-    * match proves real convergence (the q_graph_cc stance). Plants
+    * Components run on GraphAnalytics.connectedComponentsGated (local
+    * union-find under the edge gate, else the convergence-CHECKED
+    * min-flood/pointer-jumping fixpoint — never a fixed round budget)
+    * over the pair edges; the oracle is a TRUE recursive-CTE transitive
+    * closure, so the hash match proves real convergence (the q_graph_cc
+    * stance) and the engine side now fails loudly instead of splitting
+    * long chains when a budget is short. Plants
     * size-3 chains (two mutations of each doc < 12) alongside the
     * standard size-2 pairs (12 ≤ doc < 20), so both histogram rows carry
     * real mass and the chain case genuinely exercises transitivity. */
@@ -374,7 +377,11 @@ object PipelineQueries {
             concat($"text", lit(" qq17 zz88")).as("text")))
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
         .select($"a".as("src"), $"b".as("dst"))
-      graft.graph.GraphAnalytics.connectedComponentsDf(pairs, iters = 4)
+      // size-gated CC with a LOUD convergence check (maxIters 64 ≫ the
+      // O(log diam) bound): a fixed 4-round budget would silently split
+      // longer LSH chains into bogus extra clusters at scale — the same
+      // unconverged-CC failure mode the q_spatial_dbscan oracle caught.
+      graft.graph.GraphAnalytics.connectedComponentsGated(pairs, maxIters = 64)
         .groupBy($"component").agg(count(lit(1)).as("size"))
         .groupBy($"size")
         .agg(count(lit(1)).as("n_clusters"),
@@ -447,8 +454,11 @@ object PipelineQueries {
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
         .select($"a".as("src"), $"b".as("dst"))
         .localCheckpoint() // CC re-reads edges per round; freeze the LSH
+      // gated + convergence-checked (not a fixed 4-round budget): long
+      // LSH chains must not silently split — that would misreport
+      // leak_pairs for the cluster-safe policy as if it leaked.
       val comp = graft.graph.GraphAnalytics
-        .connectedComponentsDf(pairs, iters = 4)
+        .connectedComponentsGated(pairs, maxIters = 64)
         .select($"node".as("doc_id"), $"component")
       def bucket(c: org.apache.spark.sql.Column) =
         expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)), 1, 8), " +
@@ -1846,6 +1856,49 @@ object PipelineQueries {
             FROM documents a JOIN documents b
               ON a.doc_id % 12 = b.doc_id % 12 AND a.doc_id < b.doc_id
             WHERE a.doc_id < 60 AND b.doc_id < 60
+            ORDER BY a_id, b_id"""))
+
+  /** REAL video decode + duplicate-video detection over Motion-JPEG
+    * payloads (round 9 — the last multimodal stub closed): each of 24
+    * synthetic videos is a genuine MJPEG elementary stream (16×16
+    * JDK-JPEG frames, 3 + id%4 frames, frame pixels keyed by
+    * (id%12, frame_idx)), so video d and d+12 are byte-identical
+    * streams and no other pair is. The engine marker-walks the stream
+    * (Multimodal.splitMjpegFrames), DECODES every frame via
+    * javax.imageio, aggregates a per-video fingerprint (frame count,
+    * decoded dims, XOR of per-frame aHash64), and joins videos on the
+    * full fingerprint — the video-level twin of q_multimodal_phash.
+    * The oracle predicts the planted pairs and frame counts from pure
+    * id arithmetic, so a hash match proves the splitter found EXACTLY
+    * the encoded frames (n_frames = 3 + id%4), the decode is real
+    * (16×16 dims feed the fingerprint join), and the pairing has zero
+    * false positives/negatives. Scale: frame decode is per-row map
+    * work; the dedup join is an equi-join on a 64-bit fingerprint —
+    * never pairwise. */
+  val multimodalVideo = QueryDef(
+    "q_multimodal_video",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .filter($"doc_id" < 24).select($"doc_id").as[Long]
+        .map(id => MediaRow(id,
+          Multimodal.mjpegPayload(16, 16, 3 + (id % 4).toInt, id % 12),
+          "video/x-motion-jpeg", "synthetic"))
+      val vids = Multimodal.videoFrames(media)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+          min($"width").as("w"), min($"height").as("h"),
+          expr("bit_xor(ahash)").as("vhash"))
+      val a = vids.select($"doc_id".as("a_id"), $"n_frames", $"w", $"h", $"vhash")
+      val b = vids.select($"doc_id".as("b_id"), $"n_frames", $"w", $"h", $"vhash")
+      a.join(b, Seq("n_frames", "w", "h", "vhash"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id", $"n_frames")
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""SELECT a.doc_id AS a_id, a.doc_id + 12 AS b_id,
+                   CAST(3 + a.doc_id % 4 AS INT) AS n_frames
+            FROM documents a WHERE a.doc_id < 12
             ORDER BY a_id, b_id"""))
 
   /** Frame sampling, declared form: fixed-size chunking of the payload.
@@ -3748,7 +3801,11 @@ object PipelineQueries {
     * per the module convention: doc_id < 12 get copies at +100000 with
     * 2 characters substituted (positions 5 and 13 — different
     * segments), so true pairs at ed ≤ 2 provably exist; natural
-    * same-prefix pairs join them. The DuckDB oracle is an INDEPENDENT
+    * same-prefix pairs join them. Signatures shorter than 24 chars (a
+    * document shorter than the substring window) are EXCLUDED by
+    * passJoinPairs' enforced length contract — mirrored in the oracle —
+    * rather than fed through off-spec segment arithmetic; a mixed-length
+    * corpus runs one call per length bucket. The DuckDB oracle is an INDEPENDENT
     * unnest/VALUES formulation of the same filter (its completeness vs
     * brute force is property-tested in QualitySpec), so the hash match
     * cross-checks the two candidate generators against each other. */
@@ -3768,13 +3825,15 @@ object PipelineQueries {
     },
     Some("""WITH base AS (
               SELECT doc_id AS id, substr(text, 1, 24) AS sig FROM documents),
-            corpus AS (
+            corpus0 AS (
               SELECT id, sig FROM base
               UNION ALL
               SELECT id + 100000,
                      substr(sig,1,4) || 'q' || substr(sig,6,7) || 'z' ||
                      substr(sig,14,11)
               FROM base WHERE id < 12),
+            -- mirror passJoinPairs' enforced exactly-24 length contract
+            corpus AS (SELECT id, sig FROM corpus0 WHERE length(sig) = 24),
             segs AS (
               SELECT id AS g_id, i, substr(sig, 1 + (i-1)*8, 8) AS sub
               FROM corpus CROSS JOIN (VALUES (1),(2),(3)) AS seg(i)),
@@ -3801,7 +3860,7 @@ object PipelineQueries {
     dedupCluster, splitLeakage, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
-    multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash,
+    multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,

@@ -71,8 +71,15 @@ object QualityQueries {
     * exact integer counts with identical double formula text in both
     * engines, rounded to 12 places, and the total is the EXACT
     * DECIMAL sum of the rounded terms — associative, so
-    * partition-order-independent. The feature-selection / schema-drift
-    * audit a training pipeline runs before trusting a column pair. */
+    * partition-order-independent. The OUTPUT total is DECIMAL(18,12)
+    * (parquet int64-backed — the portable envelope; precision-38
+    * decimals write as decimal128 FIXED_LEN_BYTE_ARRAY, which the
+    * r8 driver hasher canonicalizes differently from DuckDB): safe
+    * because |MI| ≤ ln(min(|X|,|Y|)) = ln(25) < 4, far inside the 6
+    * integer digits DECIMAL(18,12) carries. Internal accumulation
+    * stays wide (DECIMAL(24,12) terms). The feature-selection /
+    * schema-drift audit a training pipeline runs before trusting a
+    * column pair. */
   val statsMi = QueryDef.sqlBoth(
     "q_stats_mi",
     sparkSql = """
@@ -89,7 +96,7 @@ object QualityQueries {
                         (CAST(cx AS DOUBLE) * cy)), 12) AS mi_term
         FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
       total AS (
-        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(38,12))
+        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(18,12))
                  AS mi_total
         FROM terms)
       SELECT nat, seg, cxy, mi_term, mi_total
@@ -109,7 +116,7 @@ object QualityQueries {
                         (CAST(cx AS DOUBLE) * cy)), 12) AS mi_term
         FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
       total AS (
-        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(38,12))
+        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(18,12))
                  AS mi_total
         FROM terms)
       SELECT nat, seg, cxy, mi_term, mi_total
@@ -124,6 +131,13 @@ object QualityQueries {
     * prefix sums and the cross term run in DECIMAL(38,0)/HUGEINT (at
     * 100 TB, n·S_t ≈ days·events overflows int64 — the round-8 audit
     * class), so both engines agree exactly with no float anywhere.
+    * The OUTPUT `dev` is CAST to BIGINT — the portable parquet
+    * envelope (precision-38 decimals write as decimal128, which the
+    * r8 driver hasher canonicalizes differently from DuckDB). The
+    * cast is safe while days·events < 2^63: at 10^13 events over 10^4
+    * days that is ~10^17 < 9.2·10^18, so BIGINT holds the statistic
+    * even at the 100 TB design point; only the INTERNAL products need
+    * the wide type (nd·st accumulates before |…| shrinks it).
     * The window runs over the DAILY aggregate (one row per calendar
     * day — bounded by the time span, not the corpus), which is why the
     * global ORDER BY d window is safe at any scale; the corpus itself
@@ -144,7 +158,7 @@ object QualityQueries {
                      CAST(COUNT(*) AS DECIMAL(38,0)) AS nd
               FROM daily)
       SELECT d, t, x,
-             CAST(abs(nd * st - t * sn) AS DECIMAL(38,0)) AS dev
+             CAST(abs(nd * st - t * sn) AS BIGINT) AS dev
       FROM seq CROSS JOIN tot
       ORDER BY dev DESC, d LIMIT 5""",
     duckSql = """
@@ -160,7 +174,7 @@ object QualityQueries {
                      CAST(COUNT(*) AS HUGEINT) AS nd
               FROM daily)
       SELECT d, t, x,
-             CAST(abs(nd * st - t * sn) AS DECIMAL(38,0)) AS dev
+             CAST(abs(nd * st - t * sn) AS BIGINT) AS dev
       FROM seq CROSS JOIN tot
       ORDER BY dev DESC, d LIMIT 5""")
 
@@ -259,8 +273,19 @@ object QualityQueries {
     * System-R relative error quantified. Covers a PK-FK join
     * (orders ⋈ customer — System-R is exact there) and a skewed
     * many-many self-join (events ⋈ events on user_id — where uniform
-    * NDV estimation goes wrong and histograms don't). Sums run in
-    * DECIMAL(38,0): Σ c² over hot keys overflows int64 at 100 TB. */
+    * NDV estimation goes wrong and histograms don't). Σ c_A·c_B
+    * ACCUMULATES in DECIMAL(38,0) (partial products of two hot-key
+    * counts can exceed int64 mid-sum ordering-dependently); the final
+    * `predicted` is then cast to BIGINT as the portable output
+    * envelope — valid while the predicted JOIN CARDINALITY itself is
+    * < 2^63, which holds for any join an engine would actually
+    * execute (9.2·10^18 output rows is not a runnable plan; a
+    * predictor reporting larger belongs in DOUBLE as an order-of-
+    * magnitude signal, not an exact count). NOTE on the `actual`
+    * column: both engines EXECUTE the skewed self-join to produce it —
+    * that is a fixture-scale verification device for the estimator
+    * (estimate vs ground truth), deliberately NOT part of the at-scale
+    * operator; at 100 TB only the histogram/System-R predictors run. */
   private val joinSizeSql = """
     WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
                 FROM orders GROUP BY 1),

@@ -195,17 +195,23 @@ object TemporalQueries {
 
   val calibIsotonic = QueryDef.sqlBoth("q_calib_isotonic", isoSql, isoSql)
 
-  // ------------------------------------------------- seeded DP release
-  /** ε-differentially-private count release (Laplace mechanism) over
-    * per-nation customer counts, with the noise draw made REPRODUCIBLE:
-    * u ∈ (0,1) comes from a Weyl-style integer hash of the group key
+  // -------------------------------------- Laplace mechanism TRANSFORM demo
+  /** Laplace-mechanism TRANSFORM check — deterministic and NON-PRIVATE
+    * by construction, and named accordingly (was q_privacy_dp, renamed
+    * in round 9 after the advisor's finding): here u ∈ (0,1) is a
+    * publicly-computable Weyl-style hash of the group key alone
     * ((key·2654435761 + 40503) mod 1000003 — exact int64, key ≤ 24 so
-    * no overflow), then the inverse-CDF Laplace transform
-    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) with sensitivity 1, ε = 0.5.
-    * A seeded release is how a DP pipeline is made auditable/replayable
-    * (the draw is a pure function of key + release id, never RNG
-    * state); true_cnt is retained here because this is the release
-    * AUDIT view, not the public artifact. One groupBy over the corpus;
+    * no overflow), so anyone can recompute and subtract the noise.
+    * That is unavoidable for a DECLARED query: the oracle contract
+    * publishes the full SQL, so no secret can live in it. What this
+    * query pins is the MECHANISM ARITHMETIC — the inverse-CDF
+    * transform noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) at sensitivity 1,
+    * ε = 0.5, and the floor/clamp of the released count — bit-for-bit
+    * across both engines. The actual ε-DP operator, with the noise
+    * keyed by a SECRET per-release seed (passed in, never in the plan
+    * text), is [[graft.pipeline.Privacy.laplaceRelease]] —
+    * distribution- and reproducibility-tested in PrivacySpec; use THAT
+    * for a real release, never this demo. One groupBy over the corpus;
     * constant rows out; the double transform is one expression with
     * identical text in both engines. */
   private val dpSql = """
@@ -228,7 +234,7 @@ object TemporalQueries {
            CAST(0.5 AS DOUBLE) AS epsilon
     FROM l ORDER BY nat"""
 
-  val privacyDp = QueryDef.sqlBoth("q_privacy_dp", dpSql, dpSql)
+  val privacyDp = QueryDef.sqlBoth("q_dp_mechanism", dpSql, dpSql)
 
   val all: Seq[QueryDef] = Seq(intervalConcurrency, intervalUnion, statsAcf,
     calibIsotonic, privacyDp)

@@ -96,8 +96,8 @@ object PlanLock {
 
     if (write) {
       val out = new java.io.PrintWriter(lockPath)
-      out.println("# plan-shape lock: query\tshuffle\tbroadcast\tsmj\tbhj\tshj\tbnlj\tcartesian")
-      out.println("# static pre-AQE fingerprints at sf0.001; regenerate with PlanLock --write")
+      out.println("# plan-shape lock (static pre-AQE fingerprints at sf0.001; " +
+        "regenerate with PlanLock --write): query\tshuffle\tbroadcast\tsmj\tbhj\tshj\tbnlj\tcartesian")
       fps.foreach { case (n, fp) => out.println(s"$n\t${fp.tsv}") }
       out.close()
       println(s"[planlock] wrote ${fps.size} fingerprints to $lockPath")

@@ -512,6 +512,35 @@ class PipelineSpec extends SparkSpec {
     assert(f.values.forall(_.digest.length == 32), "byte features always present")
   }
 
+  test("video decode: MJPEG marker-walk finds exact frames; real per-frame decode") {
+    val media = Seq(
+      MediaRow(1L, Multimodal.mjpegPayload(16, 16, 5, seed = 3L),
+        "video/x-motion-jpeg", "t"),
+      MediaRow(2L, Multimodal.mjpegPayload(16, 16, 5, seed = 3L),
+        "video/x-motion-jpeg", "t"), // byte-identical twin
+      MediaRow(3L, "definitely not a video".getBytes("UTF-8"),
+        "video/x-motion-jpeg", "t")).toDS()
+    val frames = Multimodal.videoFrames(media).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(frames(1L).length == 5, "splitter must find exactly the encoded frames")
+    assert(frames(1L).forall(f => f.width == 16 && f.height == 16),
+      "per-frame decode is real (ImageIO dims)")
+    assert(frames(1L).map(_.ahash).toSeq == frames(2L).map(_.ahash).toSeq,
+      "identical streams decode to identical perceptual hashes")
+    assert(frames(1L).map(_.ahash).distinct.length == 5,
+      "noise frames must not alias under aHash")
+    assert(!frames.contains(3L), "no JPEG EOI marker -> zero frames, no crash")
+    // sampling every 2nd frame keeps indices 0,2,4
+    val sampled = Multimodal.videoFrames(
+      media.filter(_.doc_id == 1L), sampleEvery = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    // extractFeatures decodes first-frame dims for the video format
+    val feat = Multimodal.extractFeatures(media).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(feat(1L).width.contains(16) && feat(1L).height.contains(16))
+    assert(feat(3L).width.isEmpty)
+  }
+
   test("frame sampling: byte chunks reassemble to the payload; resize truncates") {
     val media = Multimodal.mediaFromDocuments(docs.limit(5)).as[MediaRow]
     val frames = Multimodal.frameSample(media, frameSize = 64).collect()

@@ -39,4 +39,30 @@ class RegistrySpec extends SparkSpec {
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no declared output schema carries a decimal wider than precision 18") {
+    // Round-8 lesson (CORRECTNESS_r08): Spark writes precision>18 decimals
+    // as parquet FIXED_LEN_BYTE_ARRAY decimal128, the one physical type the
+    // driver's hasher canonicalizes differently from DuckDB's decimal —
+    // q_stats_mi / q_stats_changepoint hash-failed on exactly this class
+    // while matching value-for-value. Wide decimals are for INTERNAL math
+    // only; every declared OUTPUT column must be int64-backed or narrower
+    // (decimal ≤ 18, or BIGINT/DOUBLE after an explicit, bounded cast).
+    import org.apache.spark.sql.types.DecimalType
+    def wide(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case d: DecimalType => d.precision > 18
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => wide(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => wide(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => wide(m.keyType) || wide(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val bad = q.run(spark, sf).schema.fields.filter(f => wide(f.dataType))
+      bad.map(f => s"${q.name}.${f.name}: ${f.dataType.sql}")
+    }
+    assert(offenders.isEmpty,
+      s"decimal128 outputs break the driver's parquet hasher — cast to " +
+        s"BIGINT/DOUBLE/DECIMAL(<=18,s) with a documented bound:\n" +
+        offenders.mkString("\n"))
+  }
 }

@@ -114,10 +114,10 @@ class TemporalSpec extends SparkSpec {
     assert(anyPooled || allEq)
   }
 
-  test("dp release: deterministic, floor-consistent, nonnegative") {
-    val run1 = SparkEntry.queries("q_privacy_dp")(spark, sf)
+  test("dp mechanism demo: deterministic, floor-consistent, nonnegative") {
+    val run1 = SparkEntry.queries("q_dp_mechanism")(spark, sf)
       .as[(Int, Long, Double, Long, Double)].collect().toSeq
-    val run2 = SparkEntry.queries("q_privacy_dp")(spark, sf)
+    val run2 = SparkEntry.queries("q_dp_mechanism")(spark, sf)
       .as[(Int, Long, Double, Long, Double)].collect().toSeq
     assert(run1 == run2) // seeded: a pure function of the group key
     run1.foreach { case (nat, cnt, noise, released, eps) =>
