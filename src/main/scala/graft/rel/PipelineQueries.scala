@@ -1928,6 +1928,51 @@ object PipelineQueries {
             WHERE doc_id < 20
             ORDER BY doc_id, frame_idx"""))
 
+  /** Positional phrase search — the inverted-index operator BM25 lacks:
+    * exact-phrase matching ("row column sort") via POSITIONAL postings
+    * intersection. The engine filters each term's postings FIRST (term
+    * selectivity prunes before any join), shifts positions so a match
+    * aligns at the leading term, and equi-joins on (doc, pos) — the
+    * classic phrase-query plan: per-term selective scans + two
+    * hash joins on a compound key, no window over the corpus, no
+    * re-tokenization at query time in a real deployment (the postings
+    * table is the persisted index; here it derives inline from the
+    * shared tokenizer). Output: matching docs with occurrence count
+    * and first match position. The oracle is the independent
+    * formulation — one positional table self-joined with pos+1/pos+2
+    * adjacency — so the hash match cross-checks the two plans. */
+  val textPhrase = QueryDef(
+    "q_text_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", posexplode(TextOps.tokens($"text")))
+        .withColumnRenamed("col", "tok")
+      val p0 = toks.filter($"tok" === "row").select($"doc_id", $"pos")
+      val p1 = toks.filter($"tok" === "column")
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      val p2 = toks.filter($"tok" === "sort")
+        .select($"doc_id", ($"pos" - 2).as("pos"))
+      p0.join(p1, Seq("doc_id", "pos")).join(p2, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_matches"), min($"pos").as("first_pos"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             pos AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                            toks[CAST(i + 1 AS INT)] AS tok
+                     FROM t, unnest(range(len(toks))) AS r(i)),
+             m AS (SELECT a.doc_id, a.pos
+                   FROM pos a
+                   JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                             AND b.tok = 'column'
+                   JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                             AND c.tok = 'sort'
+                   WHERE a.tok = 'row')
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                    MIN(pos) AS first_pos
+             FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
   // ----------------------------------------------- corpus-level text stats
   /** Vocabulary extraction: top-20 tokens by document frequency — the
     * corpus pass before any tokenizer/stopword decision. DF (not term
@@ -3859,7 +3904,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
     dedupCluster, splitLeakage, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
-    textLangId, textQuality, textGopher, textTokens, textFingerprint, multimodal,
+    textLangId, textQuality, textGopher, textTokens, textFingerprint, textPhrase, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,

@@ -138,6 +138,44 @@ object SpatialQueries {
              WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) <= ${Eps * Eps}
              ORDER BY a_id, b_id"""))
 
+  /** Bounded k-nearest-neighbor join (k = 3 within ε): for every point,
+    * its 3 nearest ε-neighbors by exact integer squared distance
+    * (b_id tie-break) — the spatial join variant recommendation/
+    * geo-matching pipelines run (kNN-join), made EXACT by bounding the
+    * search radius: every candidate within ε lives in the 3×3 neighbor
+    * cells, so the grid join is a complete candidate generator and the
+    * per-point top-3 is a key-partitioned window over it — no global
+    * sort, no all-pairs. Points with no ε-neighbor emit nothing (the
+    * bounded-kNN contract). The oracle is the independent range-join
+    * formulation + ROW_NUMBER — different algorithm, same rows. */
+  val spatialKnn = QueryDef(
+    "q_spatial_knn",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+      gridNeighbors(coords(s, dir), Eps)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a_id"), col("rk"), col("b_id"), col("d2"))
+        .orderBy(col("a_id"), col("rk"))
+    },
+    Some(s"""WITH $ptsSql,
+             nb AS (
+               SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                      (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) AS d2
+               FROM pts a JOIN pts b
+                 ON a.vec_id <> b.vec_id
+                AND b.ix BETWEEN a.ix - $Eps AND a.ix + $Eps
+                AND b.iy BETWEEN a.iy - $Eps AND a.iy + $Eps
+               WHERE (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy)
+                       <= ${Eps * Eps}),
+             r AS (SELECT a_id, b_id, d2,
+                          ROW_NUMBER() OVER (PARTITION BY a_id
+                            ORDER BY d2, b_id) AS rk
+                   FROM nb)
+             SELECT a_id, CAST(rk AS INT) AS rk, b_id, d2
+             FROM r WHERE rk <= 3 ORDER BY a_id, rk"""))
+
   /** DBSCAN core-point detection alone: points with ≥ minPts neighbors
     * inside ε — the density primitive, as its own declared audit. */
   val spatialCore = QueryDef(
@@ -204,5 +242,5 @@ object SpatialQueries {
              SELECT x AS vec_id, c AS cluster, 1 AS role FROM border
              ORDER BY vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(spatialGrid, spatialCore, spatialDbscan)
+  val all: Seq[QueryDef] = Seq(spatialKnn, spatialGrid, spatialCore, spatialDbscan)
 }
