@@ -1973,6 +1973,79 @@ object PipelineQueries {
                     MIN(pos) AS first_pos
              FROM m GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — top-50 vocab by
+    * frequency, an undirected edge per adjacent token pair, ranks from
+    * the SAME exact-integer fixed-point kernel as
+    * q_graph_pagerank_exact (GraphAnalytics.pageRankFixedPoint, BIGINT
+    * // arithmetic — bit-identical at any partitioning, so the oracle
+    * replays every iteration as unrolled CTEs instead of trusting a
+    * float to converge the same way twice). The unsupervised
+    * keyword/keyphrase seed step of document tagging. Scale: the graph
+    * is VOCAB-sized (≤ 50·49 edges regardless of corpus rows — the
+    * corpus is touched once for counts and once for adjacency); each
+    * PR iteration is one equi-join + one agg on that tiny edge set.
+    * Output: top-20 keywords by final rank, token tie-break. */
+  val textTextrank = QueryDef(
+    "q_text_textrank",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", posexplode(TextOps.tokens($"text")))
+        .withColumnRenamed("col", "tok")
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(50)
+        .select($"tok").localCheckpoint()
+      val a = toks.select($"doc_id", $"pos", $"tok".as("src"))
+      val b = toks.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("dst"))
+      val adj = a.join(b, Seq("doc_id", "pos"))
+        .filter($"src" =!= $"dst").select($"src", $"dst")
+      val und = adj.unionByName(adj.select($"dst".as("src"), $"src".as("dst")))
+        .join(broadcast(vocab.select($"tok".as("src"))), "src")
+        .join(broadcast(vocab.select($"tok".as("dst"))), "dst")
+      graft.graph.GraphAnalytics.pageRankFixedPoint(und, iters = 5)
+        .orderBy($"rank_fp".desc, $"node").limit(20)
+        .select($"node".as("token"), $"rank_fp")
+    },
+    Some {
+      val steps = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS n, SUM(r.r // od.od) AS cs
+           |        FROM ed e JOIN r${i - 1} r ON r.n = e.src
+           |                  JOIN od ON od.src = e.src
+           |        GROUP BY e.dst),
+           |r$i AS (SELECT nodes.n,
+           |               ((15 * (1000000000000 // p.n)) // 100)
+           |               + ((85 * COALESCE(c$i.cs, 0)) // 100) AS r
+           |        FROM nodes CROSS JOIN p
+           |        LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |pos AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |               toks[CAST(i + 1 AS INT)] AS tok
+         |        FROM t, unnest(range(len(toks))) AS r(i)),
+         |vocab AS (SELECT tok FROM (
+         |            SELECT tok, COUNT(*) AS cnt FROM pos GROUP BY tok
+         |            ORDER BY cnt DESC, tok LIMIT 50)),
+         |adj AS (SELECT a.tok AS src, b.tok AS dst
+         |        FROM pos a JOIN pos b
+         |          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |        WHERE a.tok <> b.tok),
+         |ed AS (SELECT DISTINCT x.src, x.dst
+         |       FROM (SELECT src, dst FROM adj
+         |             UNION ALL SELECT dst, src FROM adj) x
+         |       JOIN vocab v1 ON v1.tok = x.src
+         |       JOIN vocab v2 ON v2.tok = x.dst),
+         |nodes AS (SELECT DISTINCT n
+         |          FROM (SELECT src AS n FROM ed UNION ALL SELECT dst FROM ed)),
+         |p AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS od FROM ed GROUP BY src),
+         |r0 AS (SELECT nodes.n, 1000000000000 // p.n AS r
+         |       FROM nodes CROSS JOIN p),
+         |$steps
+         |SELECT n AS token, CAST(r AS BIGINT) AS rank_fp FROM r5
+         |ORDER BY rank_fp DESC, token LIMIT 20""".stripMargin
+    })
+
   // ----------------------------------------------- corpus-level text stats
   /** Vocabulary extraction: top-20 tokens by document frequency — the
     * corpus pass before any tokenizer/stopword decision. DF (not term
@@ -3904,7 +3977,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
     dedupCluster, splitLeakage, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
-    textLangId, textQuality, textGopher, textTokens, textFingerprint, textPhrase, multimodal,
+    textLangId, textQuality, textGopher, textTokens, textFingerprint, textPhrase, textTextrank, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,

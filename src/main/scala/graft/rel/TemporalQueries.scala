@@ -236,6 +236,58 @@ object TemporalQueries {
 
   val privacyDp = QueryDef.sqlBoth("q_dp_mechanism", dpSql, dpSql)
 
+  // ------------------------------------------------ Theil-Sen robust trend
+  /** Theil-Sen robust trend estimator over the daily event-volume
+    * series (Theil 1950 / Sen 1968): slope = median over all day pairs
+    * of (x_j − x_i)/(t_j − t_i), intercept = median of x_i − m·t_i —
+    * the breakdown-point-29% alternative to OLS that one corrupted
+    * ingestion day cannot drag (the robust complement of q_stats_ols,
+    * exactly as q_stats_mad complements variance). All inputs exact
+    * integers (daily counts, epoch-day t); each slope is ONE double
+    * division with identical text in both engines, rounded to 9dp
+    * BEFORE ranking; medians are lower-median by ROW_NUMBER with full
+    * tie-breaks — bit-deterministic, no quantile interpolation to
+    * diverge on. Scale: the pair table and its windows are bounded by
+    * the TIME SPAN squared (a century of days → ~6.7·10⁸ pairs, and a
+    * distributed median-of-pairs would switch to the O(n log n)
+    * Matoušek selection); the CORPUS is touched only by the map-side
+    * daily groupBy — the q_stats_changepoint shape. The pair join
+    * broadcasts the bounded daily table — a broadcast nested-loop over
+    * time-span-sized sides, never a corpus cartesian (the
+    * q_calib_isotonic segment-join convention; DuckDB reads the hint
+    * as a comment). */
+  val statsTheilsen = QueryDef.sqlBoth(
+    "q_stats_theilsen",
+    theilSenSql("datediff(d, DATE '1970-01-01')"),
+    theilSenSql("date_diff('day', DATE '1970-01-01', d)"))
+
+  private def theilSenSql(dayExpr: String) = s"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    pts AS (SELECT CAST(($dayExpr) AS INT) AS t, x FROM daily),
+    pr AS (
+      SELECT a.t AS t1, b.t AS t2,
+             round(CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE), 9)
+               AS m
+      FROM pts a JOIN pts b ON b.t > a.t),
+    ms AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, t1, t2) AS rn,
+                  COUNT(*) OVER () AS np
+           FROM pr),
+    med AS (SELECT m AS slope FROM ms
+            WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)),
+    ic AS (SELECT round(CAST(p.x AS DOUBLE) - med.slope * p.t, 9) AS b0, p.t
+           FROM pts p CROSS JOIN med),
+    ibs AS (SELECT b0, ROW_NUMBER() OVER (ORDER BY b0, t) AS rn,
+                   COUNT(*) OVER () AS nb
+            FROM ic),
+    imed AS (SELECT b0 AS intercept FROM ibs
+             WHERE rn = CAST(floor((nb + 1) / 2.0) AS BIGINT))
+    SELECT /*+ BROADCAST(imed) */ med.slope, imed.intercept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_pairs
+    FROM med CROSS JOIN imed"""
+
   val all: Seq[QueryDef] = Seq(intervalConcurrency, intervalUnion, statsAcf,
-    calibIsotonic, privacyDp)
+    calibIsotonic, privacyDp, statsTheilsen)
 }

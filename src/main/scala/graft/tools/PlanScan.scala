@@ -27,6 +27,10 @@ object PlanScan {
     "q_stats_acf" -> ("ROW_NUMBER over the DAILY count table — one row " +
       "per calendar day, bounded by the time span, never corpus rows; " +
       "the corpus is touched only by the map-side daily groupBy"),
+    "q_stats_theilsen" -> ("median-rank windows over the day-PAIR table " +
+      "— bounded by the time span squared, never corpus rows; the corpus " +
+      "is touched only by the map-side daily groupBy (the " +
+      "q_stats_changepoint convention)"),
     "q_stats_ks" -> ("prefix sums over the value-bucket histogram — " +
       "bounded by the VALUE DOMAIN (floor(value*10), ≤ ~5k buckets at " +
       "any corpus size), never corpus rows; the corpus is touched only " +

@@ -156,6 +156,30 @@ class QualitySpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("bounded kNN join equals brute force on random points") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(2000000).toLong - 1000000L,
+        rnd.nextInt(2000000).toLong - 1000000L))
+    val eps = 150000L
+    val p = pts.toDF("vec_id", "ix", "iy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id").orderBy($"d2", $"b_id")
+    val got = graft.rel.SpatialQueries.gridNeighbors(p, eps)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"a_id", $"rk", $"b_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = pts.flatMap { case (ia, xa, ya) =>
+      pts.collect { case (ib, xb, yb)
+        if ib != ia &&
+          (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= eps * eps =>
+        (ib, (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb))
+      }.sortBy { case (ib, d2) => (d2, ib) }.take(3).zipWithIndex
+        .map { case ((ib, _), idx) => (ia, idx + 1, ib) }
+    }.toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("DBSCAN known answer: two blobs, one border, noise dropped") {
     // blob A (ids 1-5) and blob B (11-15): 5-point cliques at eps=100;
     // 21 is a border (one core neighbor, not core itself); 22 is noise
