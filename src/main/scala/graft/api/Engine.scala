@@ -181,8 +181,11 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
               eligible, "node_id", "vector", trainedQuantizer(), qd,
               k = budget, nprobe = nprobe)
           case AnnMode.Sq8(rerank) =>
-            graft.pipeline.Similarity.sq8TopK(
-              eligible, "node_id", "vector", qd,
+            // serving form: the snapshot-cached scale — a query must not
+            // pay a corpus-wide max-|x| agg for a number that only
+            // changes on write (trained once per version, persistable)
+            graft.pipeline.Similarity.sq8TopKWithScale(
+              eligible, "node_id", "vector", sq8TrainedScale(), qd,
               k = budget, rerank = math.max(rerank, budget))
           case AnnMode.BruteForce => throw new IllegalStateException
         }
@@ -214,6 +217,30 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
   /** Test hook: quantizer TRAININGS this session (loads don't count) —
     * lets AnnPersistSpec prove a warmed restart serves without retraining. */
   @volatile private[graft] var quantizerTrainCount: Int = 0
+
+  /** SQ8's one trained parameter — the snapshot's global max-|x| scale —
+    * version-keyed exactly like the coarse quantizer; one corpus agg per
+    * snapshot instead of per query. */
+  @volatile private var sq8ScaleCache: Option[(Long, Double)] = None
+
+  /** Test hook: SQ8 scale TRAININGS (corpus scans) this session. */
+  @volatile private[graft] var sq8TrainCount: Int = 0
+
+  private def sq8TrainedScale(): Double = {
+    val v = catalog.embeddingsVersion
+    sq8ScaleCache match {
+      case Some((ver, sc)) if ver == v => sc
+      case _ =>
+        sq8TrainCount += 1
+        val row = catalog.embeddings.filter($"dim" === dim)
+          .agg(max(array_max(transform($"vector".cast("array<double>"),
+            x => abs(x)))))
+          .head()
+        val sc = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+        sq8ScaleCache = Some((v, sc))
+        sc
+    }
+  }
 
   private def trainedQuantizer(): DataFrame = {
     val v = catalog.embeddingsVersion
@@ -339,7 +366,10 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
   def saveAnnIndex(dir: String): Unit =
     graft.search.AnnArtifacts(
       centroids = trainedQuantizer(),
-      pqCodebook = None, sq8Scale = None,
+      // PQ codebooks belong to the batch pipeline API, where the caller
+      // owns the artifact (Similarity.pqTopKWith) — the facade serves
+      // IVF + SQ8, so those are what it persists
+      pqCodebook = None, sq8Scale = Some(sq8TrainedScale()),
       fingerprint = graft.search.AnnArtifacts.fingerprintOf(catalog.embeddings))
       .save(dir)
 
@@ -353,6 +383,8 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
         graft.search.AnnArtifacts.fingerprintOf(catalog.embeddings)) {
       quantizerCache =
         Some((catalog.embeddingsVersion, art.centroids.localCheckpoint()))
+      art.sq8Scale.foreach(sc =>
+        sq8ScaleCache = Some((catalog.embeddingsVersion, sc)))
       true
     } else false
   }
@@ -360,7 +392,9 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
   /** O13: rebuild_index — scan-based vector search needs no index
     * (app.py:390-392, readme.md:181); for BM25 this drops the cached
     * derived index so the next search rebuilds from the current snapshot. */
-  def rebuildIndex(): Unit = { bm25Cache = None; quantizerCache = None }
+  def rebuildIndex(): Unit = {
+    bm25Cache = None; quantizerCache = None; sq8ScaleCache = None
+  }
 
   /** GET / health (O23, app.py:923-926). */
   def health(): Map[String, String] =

@@ -532,17 +532,39 @@ object Similarity {
     * Returns top-k (id, qdot, cos) by exact-cosine rank. */
   def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryVec: Seq[Double], k: Int, rerank: Int,
-              roundTo: Int = 6): DataFrame = {
+              roundTo: Int = 6): DataFrame =
+    sq8TopKImpl(corpus, idCol, vecCol, queryVec, k, rerank, roundTo,
+      scaleLit = None)
+
+  /** [[sq8TopK]] against a PRE-TRAINED scale — the serving form: the
+    * one SQ8 "parameter" (global max-|x|) is computed once per
+    * embeddings snapshot and cached/persisted (AnnArtifacts, the
+    * Engine's version-keyed cache), so a query does NOT pay a full
+    * corpus agg to recover a number that only changes on write. Same
+    * kernel; with scale == the snapshot's true max-|x| the output is
+    * row-identical to [[sq8TopK]] (spec-pinned). */
+  def sq8TopKWithScale(corpus: DataFrame, idCol: String, vecCol: String,
+                       scale: Double, queryVec: Seq[Double], k: Int,
+                       rerank: Int, roundTo: Int = 6): DataFrame =
+    sq8TopKImpl(corpus, idCol, vecCol, queryVec, k, rerank, roundTo,
+      scaleLit = Some(scale))
+
+  private def sq8TopKImpl(corpus: DataFrame, idCol: String, vecCol: String,
+                          queryVec: Seq[Double], k: Int, rerank: Int,
+                          roundTo: Int, scaleLit: Option[Double]): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val dt = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType)
-    val e = TextOps.spread(corpus)
+    val e0 = TextOps.spread(corpus)
       .select(col(idCol).as("vid"), col(vecCol).cast(dt).as("v"))
-    val scale = e.agg(
-      max(array_max(transform(col("v"), x => abs(x)))).as("mx"))
+    val e = scaleLit match {
+      case Some(sc) => e0.withColumn("mx", lit(sc))
+      case None =>
+        e0.join(broadcast(e0.agg(
+          max(array_max(transform(col("v"), x => abs(x)))).as("mx"))))
+    }
     val qv = typedlit(queryVec)
-    e.join(broadcast(scale))
-      .withColumn("qq", transform(qv, x => floor(x * 127.0 / col("mx"))))
+    e.withColumn("qq", transform(qv, x => floor(x * 127.0 / col("mx"))))
       .withColumn("qc", transform(col("v"), x => floor(x * 127.0 / col("mx"))))
       .withColumn("qdot", vec.dot(col("qc"), col("qq")).cast("long"))
       .orderBy(col("qdot").desc, col("vid"))

@@ -54,6 +54,28 @@ class AnnPersistSpec extends SparkSpec {
       "a warmed session must serve TrainedIvf without retraining")
   }
 
+  test("SQ8 serving uses the cached scale: one corpus scan, persisted, identical rows") {
+    val dir = tmp()
+    val e1 = new Engine(spark)
+    populate(e1, 60)
+    val inline = e1.vectorSearch("document topic 2", topK = 5,
+      mode = AnnMode.Sq8(rerank = 16))
+    assert(e1.sq8TrainCount == 1, "first Sq8 search trains the scale once")
+    e1.vectorSearch("another query entirely", topK = 5,
+      mode = AnnMode.Sq8(rerank = 16))
+    assert(e1.sq8TrainCount == 1, "second search must reuse the cached scale")
+    e1.saveAnnIndex(dir)
+
+    val e2 = new Engine(spark)
+    populate(e2, 60)
+    assert(e2.loadAnnIndex(dir))
+    val served = e2.vectorSearch("document topic 2", topK = 5,
+      mode = AnnMode.Sq8(rerank = 16))
+    assert(served == inline, "persisted scale must serve identical rows")
+    assert(e2.sq8TrainCount == 0,
+      "a warmed session serves Sq8 without rescanning the corpus")
+  }
+
   test("stale artifact is refused after a mutation") {
     val dir = tmp()
     val e = new Engine(spark)
