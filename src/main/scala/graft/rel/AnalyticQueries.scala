@@ -256,6 +256,77 @@ object AnalyticQueries {
             WHERE jaro_winkler_similarity(x.nm, y.nm) >= 0.9
             ORDER BY a_id, b_id"""))
 
+  // --------------------------------------- embedding linkage via the ladder
+  /** Embedding-similarity linkage join through the SAME
+    * [[graft.pipeline.Blocking]] entropy-escalation ladder as q_link_jw
+    * — the reuse the round-8 verdict asked for ("the next blocked join
+    * inherits the fix instead of re-deriving it"): here the ladder keys
+    * are SIGN-BIT PREFIXES of the embedding (8 → 16 → 32 leading signs
+    * — each level doubles key entropy; random-hyperplane LSH with the
+    * coordinate axes as planes), cap 32. Planted twins: ids < 30
+    * duplicated at +1000000 with the TAIL halved (dims 33-64 × 0.5 —
+    * signs everywhere preserved, so twins agree on the ENTIRE ladder
+    * and co-escalate; cos ≈ 0.75/√0.625 ≈ 0.9487 by the energy split,
+    * above the 0.9 accept bar, below 1 so the verify step is real).
+    * Candidates verify with exact cosine, round 6 BEFORE the
+    * threshold. The oracle replays the escalation with the window
+    * formulation (q_link_jw convention) and its own list_dot_product
+    * cosine — two algorithms, one hash. */
+  val linkEmbed = QueryDef(
+    "q_link_embed",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+        .filter(size($"embedding") === 64)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val twins = e.filter($"id" < 30).select(($"id" + 1000000).as("id"),
+        concat(slice($"v", 1, 32),
+          transform(slice($"v", 33, 32), x => x * 0.5)).as("v"))
+      val corpus = e.unionByName(twins)
+      def sign(n: Int) = concat((1 to n).map(i =>
+        when(element_at($"v", i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      val ladder = Seq(sign(8), sign(16), sign(32))
+      graft.pipeline.Blocking.candidates(corpus, "id", ladder, cap = 32)
+        .withColumn("cos", round(graft.functions.vec.cosine($"v_a", $"v_b"), 6))
+        .filter($"cos" >= 0.9)
+        .select($"a_id", $"b_id", $"cos")
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      def cosSql(a: String, b: String) =
+        s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+           |     THEN 0.0
+           |     ELSE list_dot_product($a, $b) /
+           |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+           |END""".stripMargin
+      def signSql(n: Int) =
+        s"array_to_string(list_transform(v[1:$n], " +
+          "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE len(embedding) = 64),
+          tw AS (SELECT id + 1000000 AS id,
+                        v[1:32] || list_transform(v[33:64], x -> x * 0.5) AS v
+                 FROM e WHERE id < 30),
+          corpus AS (SELECT * FROM e UNION ALL SELECT * FROM tw),
+          k AS (SELECT id, v, ${signSql(8)} AS k0, ${signSql(16)} AS k1,
+                       ${signSql(32)} AS k2
+                FROM corpus),
+          w AS (SELECT id, v, k0, k1, k2,
+                       COUNT(*) OVER (PARTITION BY k0) AS c0,
+                       COUNT(*) OVER (PARTITION BY k1) AS c1
+                FROM k),
+          f AS (SELECT id, v,
+                       CASE WHEN c0 <= 32 THEN concat('L0:', k0)
+                            WHEN c1 <= 32 THEN concat('L1:', k1)
+                            ELSE concat('L2:', k2) END AS blk
+                FROM w)
+          SELECT x.id AS a_id, y.id AS b_id,
+                 round(${cosSql("x.v", "y.v")}, 6) AS cos
+          FROM f x JOIN f y ON x.blk = y.blk AND x.id < y.id
+          WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.9
+          ORDER BY a_id, b_id"""
+    })
+
   // ------------------------------------------- blocking-quality audit
   /** Blocking-policy evaluation (the record-linkage literature's two
     * numbers — reduction ratio and pair completeness) computed WITHOUT
@@ -368,6 +439,6 @@ object AnalyticQueries {
     seasonalSql("datediff(d, DATE '1970-01-01')"),
     seasonalSql("date_diff('day', DATE '1970-01-01', d)"))
 
-  val all: Seq[QueryDef] = Seq(skyline, statsOls, dedupContainment, linkJw,
+  val all: Seq[QueryDef] = Seq(linkEmbed, skyline, statsOls, dedupContainment, linkJw,
     linkBlockingEval, statsSeasonal)
 }
