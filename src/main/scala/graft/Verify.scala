@@ -41,6 +41,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Engine-environment record (r9 post-mortem: q_stats_mi hash-diverged
+    // on the DRIVER's libm while matching the local DuckDB 1.0.0 bit-for-bit
+    // — divergences like that should be diagnosable from artifacts). Kept a
+    // SIBLING file: an extra key inside oracle_sql.json would be run as SQL
+    // by the driver's compare loop. check.py prints the DuckDB side.
+    val env = Map(
+      "spark" -> spark.version,
+      "java.version" -> System.getProperty("java.version"),
+      "java.vm.name" -> System.getProperty("java.vm.name"),
+      "os" -> (System.getProperty("os.name") + " " + System.getProperty("os.version")),
+      "os.arch" -> System.getProperty("os.arch"))
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    println(s"[verify] env: ${env.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
     spark.stop()
   }
 }

@@ -69,15 +69,16 @@ object QualityQueries {
     * margins derive FROM the cells, so the corpus is scanned exactly
     * once); each cell's MI term pxy·ln(pxy/(px·py)) is computed from
     * exact integer counts with identical double formula text in both
-    * engines, rounded to 12 places, and the total is the EXACT
-    * DECIMAL sum of the rounded terms — associative, so
-    * partition-order-independent. The OUTPUT total is DECIMAL(18,12)
-    * (parquet int64-backed — the portable envelope; precision-38
-    * decimals write as decimal128 FIXED_LEN_BYTE_ARRAY, which the
-    * r8 driver hasher canonicalizes differently from DuckDB): safe
-    * because |MI| ≤ ln(min(|X|,|Y|)) = ln(25) < 4, far inside the 6
-    * integer digits DECIMAL(18,12) carries. Internal accumulation
-    * stays wide (DECIMAL(24,12) terms). The feature-selection /
+    * engines, rounded to 8 places AND emitted as DECIMAL(18,8) (the
+    * q_text_drift/q_events_decay transcendental discipline: round-12
+    * of a raw ln-product keeps ~40 platform-dependent bits of libm
+    * output and hash-diverged on the r9 driver despite matching
+    * DuckDB 1.0.0 locally bit-for-bit — round-8 + DECIMAL crushes the
+    * ulp); the total is the EXACT DECIMAL sum of the rounded terms —
+    * associative, so partition-order-independent. Outputs stay inside
+    * the int64-backed parquet envelope (precision ≤ 18): safe because
+    * |MI| ≤ ln(min(|X|,|Y|)) = ln(25) < 4, far inside the 10 integer
+    * digits DECIMAL(18,8) carries. The feature-selection /
     * schema-drift audit a training pipeline runs before trusting a
     * column pair. */
   val statsMi = QueryDef.sqlBoth(
@@ -91,13 +92,13 @@ object QualityQueries {
       tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
       terms AS (
         SELECT nat, seg, cxy,
-               round((CAST(cxy AS DOUBLE) / n) *
-                     ln((CAST(cxy AS DOUBLE) * n) /
-                        (CAST(cx AS DOUBLE) * cy)), 12) AS mi_term
+               CAST(round((CAST(cxy AS DOUBLE) / n) *
+                          ln((CAST(cxy AS DOUBLE) * n) /
+                             (CAST(cx AS DOUBLE) * cy)), 8)
+                    AS DECIMAL(18,8)) AS mi_term
         FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
       total AS (
-        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(18,12))
-                 AS mi_total
+        SELECT CAST(SUM(mi_term) AS DECIMAL(18,8)) AS mi_total
         FROM terms)
       SELECT nat, seg, cxy, mi_term, mi_total
       FROM terms CROSS JOIN total
@@ -111,13 +112,13 @@ object QualityQueries {
       tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
       terms AS (
         SELECT nat, seg, cxy,
-               round((CAST(cxy AS DOUBLE) / n) *
-                     ln((CAST(cxy AS DOUBLE) * n) /
-                        (CAST(cx AS DOUBLE) * cy)), 12) AS mi_term
+               CAST(round((CAST(cxy AS DOUBLE) / n) *
+                          ln((CAST(cxy AS DOUBLE) * n) /
+                             (CAST(cx AS DOUBLE) * cy)), 8)
+                    AS DECIMAL(18,8)) AS mi_term
         FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
       total AS (
-        SELECT CAST(SUM(CAST(mi_term AS DECIMAL(24,12))) AS DECIMAL(18,12))
-                 AS mi_total
+        SELECT CAST(SUM(mi_term) AS DECIMAL(18,8)) AS mi_total
         FROM terms)
       SELECT nat, seg, cxy, mi_term, mi_total
       FROM terms CROSS JOIN total

@@ -65,4 +65,68 @@ class RegistrySpec extends SparkSpec {
         s"BIGINT/DOUBLE/DECIMAL(<=18,s) with a documented bound:\n" +
         offenders.mkString("\n"))
   }
+
+  test("no transcendental is rounded beyond 8dp (driver libm portability)") {
+    // Round-9 lesson (CORRECTNESS_r09 q_stats_mi): round(ln(...), 12) keeps
+    // ~40 bits of libm output — bit-identical vs the LOCAL DuckDB 1.0.0 yet
+    // hash-divergent on the driver's libm, which computes ln a ulp apart.
+    // Round-8 + DECIMAL(18,8) crushes the ulp (the q_text_drift discipline).
+    // Rational arithmetic (single IEEE divisions, e.g. q_stats_theilsen's
+    // round-9 slopes) is exempt: IEEE 754 requires correctly-rounded /,
+    // so it cannot diverge across platforms. The lint walks every oracle
+    // SQL text plus all main source files for a round(..., N>8) whose
+    // argument text contains a libm transcendental call.
+    val transcendental =
+      "\\b(ln|log|log10|log2|log1p|exp|expm1|pow|power|sin|cos|tan|asin|acos|atan|atan2|sinh|cosh|tanh)\\s*\\(".r
+
+    // Extract each `round(<body>, <scale>)` with balanced parens; return
+    // (body, scale) pairs. Tolerates nested calls and ignores round(x) 1-arg.
+    def roundCalls(text: String): Seq[(String, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+      val lower = text.toLowerCase
+      var i = lower.indexOf("round(")
+      while (i >= 0) {
+        var depth = 1; var j = i + 6; var lastComma = -1
+        while (j < lower.length && depth > 0) {
+          lower(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => lastComma = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (depth == 0 && lastComma > 0) {
+          val body = lower.substring(i + 6, lastComma)
+          val scaleTxt = lower.substring(lastComma + 1, j - 1).trim
+          scaleTxt.toIntOption.foreach(s => out += ((body, s)))
+        }
+        i = lower.indexOf("round(", i + 6)
+      }
+      out.toSeq
+    }
+
+    def offendersIn(tag: String, text: String): Seq[String] =
+      roundCalls(text).collect {
+        case (body, scale) if scale > 8 &&
+          transcendental.findFirstIn(body).isDefined =>
+          s"$tag: round(<contains transcendental>, $scale)"
+      }
+
+    val oracleHits = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      offendersIn(s"oracle $name", sql)
+    }
+    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    val srcHits = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcRoot).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap(p => offendersIn(p.toString, java.nio.file.Files.readString(p)))
+        .toSeq
+    }
+    assert(oracleHits.isEmpty && srcHits.isEmpty,
+      "round(transcendental, N>8) is driver-libm-sensitive — round to <=8dp " +
+        "and emit DECIMAL(18,8) on BOTH engines (CLAUDE.md invariant 10):\n" +
+        (oracleHits ++ srcHits).mkString("\n"))
+  }
 }

@@ -22,6 +22,16 @@ con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+# Oracle-environment record (r9 q_stats_mi post-mortem: local DuckDB 1.0.0
+# matched bit-for-bit while the driver's libm diverged at the 12th decimal —
+# make both sides' versions visible in every artifact).
+try:
+    env = json.load(open(f"{out_dir}/env.json"))
+    env_line = " ".join(f"{k}={v}" for k, v in sorted(env.items()))
+except Exception:
+    env_line = "(no env.json)"
+print(f"oracle env: duckdb={duckdb.__version__}; engine: {env_line}")
+
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
