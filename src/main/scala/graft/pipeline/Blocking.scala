@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   * ladder" families — at sf1 the measured volume is 327k vs 23.7M for
   * the constant key (73×). If the finest key still leaves hot blocks,
   * the next escalation is a NEW FIELD (multi-key meta-blocking), not a
-  * longer prefix — deliberately out of ladder scope because ladder
-  * keys must all be twin-preserving for the linkage at hand.
+  * longer prefix — that is [[assignMeta]]/[[candidatesMeta]]: blocks
+  * still hot after the whole ladder re-block under a second,
+  * independent key family (which must itself be twin-preserving for
+  * the linkage at hand — same contract as the ladder keys).
   */
 object Blocking {
 
@@ -50,8 +52,13 @@ object Blocking {
     * blocks from different levels can never collide. */
   def assign(df: DataFrame, ladder: Seq[Column], cap: Int): DataFrame = {
     require(ladder.nonEmpty, "need at least one block key")
+    // NULL ladder keys coalesce to a sentinel BEFORE the histogram joins:
+    // the per-level counts attach via inner equi-join on _bk$i, and
+    // NULL never equals NULL — without the sentinel, null-keyed rows
+    // silently vanish from candidates() and undercount audit()'s n_docs.
+    // The NUL-prefixed sentinel cannot collide with real key text.
     val keyed = ladder.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
-      d.withColumn(s"_bk$i", k.cast("string"))
+      d.withColumn(s"_bk$i", coalesce(k.cast("string"), lit("\u0000null")))
     }
     // One histogram + equi-join per level: no corpus-wide window, every
     // step an aggregated (≤ one row per block) build side.
@@ -69,14 +76,57 @@ object Blocking {
       .drop(ladder.indices.flatMap(i => Seq(s"_bk$i", s"_bc$i")): _*)
   }
 
+  /** Multi-key meta-blocking (the ladder's documented next escalation,
+    * for blocks still hot after the FULL ladder — irreducible
+    * same-whole-ladder families, e.g. boilerplate-prefixed crawl pages
+    * when the ladder is prefix-based): rows whose final ladder block
+    * exceeds `cap` are re-blocked by a SECOND, independent key family
+    * (`altLadder` — a different FIELD or axis, e.g. suffix keys against
+    * a prefix ladder; it must be twin-preserving for the linkage at
+    * hand, same contract as the primary ladder). Everyone else keeps
+    * their ladder block.
+    *
+    * The result is still a PARTITION — each row lands in exactly one
+    * block (hot rows' `M:` namespace cannot collide with ladder
+    * levels), so pair generation needs no cross-family dedup and the
+    * audit stays pair-free. Recall vs the plain ladder: cold-block
+    * pairs are identical; hot-block pairs trade the ladder's
+    * quadratic within-block c² for family-2 agreement — a true pair
+    * in a hot family is recalled iff it agrees on the alt family at
+    * the level it escalates to, which holds whenever the corruption
+    * the linkage tolerates does not touch the alt key (the planted
+    * template fixture in q_link_meta pins this at completeness 1.0).
+    * Rows from DIFFERENT hot blocks that share an alt key also become
+    * candidates — the independent family adds that recall for free. */
+  def assignMeta(df: DataFrame, ladder: Seq[Column], altLadder: Seq[Column],
+                 cap: Int): DataFrame = {
+    val a = assign(df, ladder, cap)
+    val hist = a.groupBy(col("blk")).agg(count(lit(1)).as("_fbc"))
+    val withC = a.join(hist, "blk")
+    val cold = withC.filter(col("_fbc") <= cap).drop("_fbc")
+    val hot = withC.filter(col("_fbc") > cap).drop("_fbc", "blk")
+    val hotMeta = assign(hot, altLadder, cap)
+      .withColumn("blk", concat(lit("M:"), col("blk")))
+    cold.unionByName(hotMeta)
+  }
+
   /** All unordered candidate pairs (a < b) sharing an escalated block.
     * Each row holds exactly ONE final block, so every pair is emitted
     * at most once — no distinct needed. Extra columns of `df` travel
     * through as `<col>_a` / `<col>_b` for the verifier. */
   def candidates(df: DataFrame, idCol: String, ladder: Seq[Column],
-                 cap: Int): DataFrame = {
-    val assigned = assign(df, ladder, cap)
-    val others = df.columns.filter(_ != idCol).toSeq
+                 cap: Int): DataFrame =
+    pairsOf(assign(df, ladder, cap), idCol,
+      df.columns.filter(_ != idCol).toSeq)
+
+  /** Candidate pairs under the meta policy ([[assignMeta]]). */
+  def candidatesMeta(df: DataFrame, idCol: String, ladder: Seq[Column],
+                     altLadder: Seq[Column], cap: Int): DataFrame =
+    pairsOf(assignMeta(df, ladder, altLadder, cap), idCol,
+      df.columns.filter(_ != idCol).toSeq)
+
+  private def pairsOf(assigned: DataFrame, idCol: String,
+                      others: Seq[String]): DataFrame = {
     def side(s: String) = assigned.select(
       (col(idCol).as(s"${s}_id") +: col("blk") +:
         others.map(c => col(c).as(s"${c}_$s"))): _*)
@@ -90,7 +140,16 @@ object Blocking {
     * pairs from the size histogram. Counting in DECIMAL(38,0) — Σ c²
     * at 100 TB overflows int64. */
   def audit(df: DataFrame, ladder: Seq[Column], cap: Int): DataFrame =
-    assign(df, ladder, cap)
+    auditOf(assign(df, ladder, cap))
+
+  /** Pair-free audit of the meta policy — valid because [[assignMeta]]
+    * is still a partition. */
+  def auditMeta(df: DataFrame, ladder: Seq[Column], altLadder: Seq[Column],
+                cap: Int): DataFrame =
+    auditOf(assignMeta(df, ladder, altLadder, cap))
+
+  private def auditOf(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("blk")).agg(count(lit(1)).cast("decimal(38,0)").as("c"))
       .agg(
         sum(col("c")).cast("bigint").as("n_docs"),

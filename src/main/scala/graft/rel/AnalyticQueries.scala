@@ -330,10 +330,18 @@ object AnalyticQueries {
   // ------------------------------------------- blocking-quality audit
   /** Blocking-policy evaluation (the record-linkage literature's two
     * numbers — reduction ratio and pair completeness) computed WITHOUT
-    * materializing a single candidate pair, for BOTH q_link_jw
-    * policies side by side: the retired round-8 constant 6-prefix key
-    * and the round-9 entropy-escalation ladder that replaced it
-    * ([[graft.pipeline.Blocking]]). |candidates| = Σ_blk c·(c−1)/2
+    * materializing a single candidate pair, for THREE policies side
+    * by side over the q_link_jw corpus: the retired round-8 constant
+    * 6-prefix key, the round-9 entropy-escalation ladder that
+    * replaced it ([[graft.pipeline.Blocking]]), and the round-10
+    * multi-key meta policy (c_meta — hot final blocks re-keyed by the
+    * independent suffix family, [[graft.pipeline.Blocking.assignMeta]]).
+    * On THIS corpus the ladder never saturates (no final block over
+    * cap at fixture scale), so c_meta's row must EQUAL b_escalated's
+    * numbers — the pinned invariance that meta-blocking is a strict
+    * no-op until the ladder actually runs out of entropy; the corpus
+    * where it does (and where the suffix family earns its keep) is
+    * q_link_meta / q_link_meta_eval. |candidates| = Σ_blk c·(c−1)/2
     * from the block-size histogram, the all-pairs denominator
     * n·(n−1)/2 from one count, completeness from the planted twins'
     * block agreement (an equi-join on the 40 planted ids only). This
@@ -355,7 +363,7 @@ object AnalyticQueries {
                            substring(nm, length(nm)-1, 2)) AS nm
              FROM p WHERE id < 40),
        corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
-       k AS (SELECT id,
+       k AS (SELECT id, nm,
                concat(substring(nm, 1, 6), '#',
                  CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS kc,
                concat(substring(nm, 1, 8), '#',
@@ -365,18 +373,37 @@ object AnalyticQueries {
                concat(substring(nm, 1, 20), '#',
                  CAST(CAST(floor(length(nm)/4.0) AS INT) AS $str)) AS k2
              FROM corpus),
-       w AS (SELECT id, kc, k0, k1, k2,
+       w AS (SELECT id, nm, kc, k0, k1, k2,
                     COUNT(*) OVER (PARTITION BY k0) AS c0,
                     COUNT(*) OVER (PARTITION BY k1) AS c1
              FROM k),
+       esc AS (SELECT id, nm,
+                      CASE WHEN c0 <= 32 THEN concat('L0:', k0)
+                           WHEN c1 <= 32 THEN concat('L1:', k1)
+                           ELSE concat('L2:', k2) END AS eblk
+               FROM w),
+       g AS (SELECT id, nm, eblk,
+                    COUNT(*) OVER (PARTITION BY eblk) AS cb FROM esc),
+       hotw AS (SELECT id,
+                       right(nm, 8) AS s0, right(nm, 14) AS s1,
+                       right(nm, 20) AS s2
+                FROM g WHERE cb > 32),
+       hotd AS (SELECT id, s0, s1, s2,
+                       COUNT(*) OVER (PARTITION BY s0) AS d0,
+                       COUNT(*) OVER (PARTITION BY s1) AS d1
+                FROM hotw),
        keyed AS (
          SELECT 'a_const6' AS policy, id, kc AS blk FROM k
          UNION ALL
-         SELECT 'b_escalated' AS policy, id,
-                CASE WHEN c0 <= 32 THEN concat('L0:', k0)
-                     WHEN c1 <= 32 THEN concat('L1:', k1)
-                     ELSE concat('L2:', k2) END AS blk
-         FROM w),
+         SELECT 'b_escalated' AS policy, id, eblk AS blk FROM esc
+         UNION ALL
+         SELECT 'c_meta' AS policy, id, eblk AS blk FROM g WHERE cb <= 32
+         UNION ALL
+         SELECT 'c_meta' AS policy, id,
+                CASE WHEN d0 <= 32 THEN concat('M:L0:', s0)
+                     WHEN d1 <= 32 THEN concat('M:L1:', s1)
+                     ELSE concat('M:L2:', s2) END AS blk
+         FROM hotd),
        h AS (SELECT policy, blk, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
              FROM keyed GROUP BY policy, blk),
        stats AS (SELECT policy, CAST(SUM(c) AS BIGINT) AS n_docs,
@@ -402,6 +429,181 @@ object AnalyticQueries {
        FROM stats s JOIN plant pl ON pl.policy = s.policy CROSS JOIN tot
        ORDER BY s.policy"""
   }
+
+  // --------------------------------- multi-key meta-blocking linkage
+  /** Record linkage over a TEMPLATE-HEAVY corpus — the case the prefix
+    * ladder cannot split: every document is prefixed with the same
+    * 20-char boilerplate (the crawl-page/product-catalog shape), so
+    * all three prefix levels collapse to ONE block over the whole
+    * corpus and the final ladder block stays hot at any cap. This is
+    * [[graft.pipeline.Blocking.candidatesMeta]]'s case: rows in
+    * still-hot final blocks re-block under a SECOND, independent key
+    * family — suffix keys (right 8 → 14 → 20), which live in the
+    * distinct document tails the boilerplate never touches. Planted
+    * twins (ids < 40, +1000000) are corrupted at absolute positions
+    * 23-24 — inside the body so the strings genuinely differ, but
+    * outside right-20 (positions 25..44 of the 44-char string), so
+    * every suffix key is provably twin-preserving while every prefix
+    * key is (vacuously) preserved by the shared boilerplate.
+    * Completeness is therefore 1.0 BY the alt family alone, at
+    * candidate volume bounded by suffix entropy instead of the
+    * ladder's corpus-squared hot block — the multi-key meta-blocking
+    * contract (Papadakis et al.'s key-redundancy insight, realized as
+    * partition refinement so the audit stays pair-free). Verification
+    * is the same Jaro-Winkler kernel as q_link_jw (filter raw ≥ 0.9,
+    * output round-6 — the comparator bit-equality contract already
+    * cross-checked there). The oracle replays BOTH families with the
+    * window formulation and DuckDB's own C++ jaro_winkler_similarity:
+    * two algorithms, one hash. */
+  val linkMeta = QueryDef(
+    "q_link_meta",
+    (s, dir) => {
+      import s.implicits._
+      val p = Tables(s, dir, "documents")
+        .filter(length(lower($"text")) >= 24)
+        .select($"doc_id".as("id"),
+          concat(lit("crawl-template-head:"),
+            expr("substring(lower(text), 1, 24)")).as("nm"))
+      val corrupted = p.filter($"id" < 40).select(
+        ($"id" + 1000000).as("id"),
+        expr("concat(substring(nm, 1, 22), 'zz', substring(nm, 25, 20))")
+          .as("nm"))
+      val corpus = p.unionByName(corrupted)
+      val ladder = Seq(8, 14, 20).map(k => substring($"nm", 1, k))
+      val alt = Seq(8, 14, 20).map(k => expr(s"right(nm, $k)"))
+      val jw = graft.functions.JaroWinkler.of($"nm_a", $"nm_b")
+      graft.pipeline.Blocking
+        .candidatesMeta(corpus, "id", ladder, alt, cap = 32)
+        .filter(jw >= 0.9)
+        .select($"a_id", $"b_id", round(jw, 6).as("jw"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+                              concat('crawl-template-head:',
+                                     substring(lower(text), 1, 24)) AS nm
+                       FROM documents WHERE length(lower(text)) >= 24),
+            c AS (SELECT id + 1000000 AS id,
+                         concat(substring(nm, 1, 22), 'zz',
+                                substring(nm, 25, 20)) AS nm
+                  FROM p WHERE id < 40),
+            corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
+            k AS (SELECT id, nm,
+                         substring(nm, 1, 8) AS k0, substring(nm, 1, 14) AS k1,
+                         substring(nm, 1, 20) AS k2,
+                         right(nm, 8) AS s0, right(nm, 14) AS s1,
+                         right(nm, 20) AS s2
+                  FROM corpus),
+            w AS (SELECT id, nm, k0, k1, k2, s0, s1, s2,
+                         COUNT(*) OVER (PARTITION BY k0) AS c0,
+                         COUNT(*) OVER (PARTITION BY k1) AS c1
+                  FROM k),
+            esc AS (SELECT id, nm, s0, s1, s2,
+                           CASE WHEN c0 <= 32 THEN concat('L0:', k0)
+                                WHEN c1 <= 32 THEN concat('L1:', k1)
+                                ELSE concat('L2:', k2) END AS eblk
+                    FROM w),
+            g AS (SELECT id, nm, s0, s1, s2, eblk,
+                         COUNT(*) OVER (PARTITION BY eblk) AS cb
+                  FROM esc),
+            hotd AS (SELECT id, nm, s0, s1, s2,
+                            COUNT(*) OVER (PARTITION BY s0) AS d0,
+                            COUNT(*) OVER (PARTITION BY s1) AS d1
+                     FROM g WHERE cb > 32),
+            fin AS (
+              SELECT id, nm, eblk AS blk FROM g WHERE cb <= 32
+              UNION ALL
+              SELECT id, nm,
+                     CASE WHEN d0 <= 32 THEN concat('M:L0:', s0)
+                          WHEN d1 <= 32 THEN concat('M:L1:', s1)
+                          ELSE concat('M:L2:', s2) END AS blk
+              FROM hotd)
+            SELECT x.id AS a_id, y.id AS b_id,
+                   round(jaro_winkler_similarity(x.nm, y.nm), 6) AS jw
+            FROM fin x JOIN fin y ON x.blk = y.blk AND x.id < y.id
+            WHERE jaro_winkler_similarity(x.nm, y.nm) >= 0.9
+            ORDER BY a_id, b_id"""))
+
+  // ------------------------------- meta-blocking audit (template corpus)
+  /** The pair-free blocking audit over the template-heavy corpus —
+    * the numbers that JUSTIFY q_link_meta's policy, exactly as
+    * q_link_blocking_eval justified the escalation ladder: policy
+    * a_ladder (prefix escalation alone — its final block is the whole
+    * corpus, so cand_pairs ≈ n²/2 and max_block ≈ n) vs policy b_meta
+    * (hot final blocks re-keyed by the suffix family — bounded blocks,
+    * pair_completeness still 1.0 because the twins' corruption never
+    * touches right-20). Both policies are PARTITIONS, so |candidates|
+    * = Σ_blk c·(c−1)/2 from the size histogram with no pair
+    * materialized; counting in DECIMAL(38,0) internally (n² at 100 TB
+    * overflows int64), BIGINT/rounded-DOUBLE outputs — the portable
+    * envelope. Identical SQL text runs on both engines. */
+  val linkMetaEval = QueryDef.sqlBoth(
+    "q_link_meta_eval", metaEvalSql, metaEvalSql)
+
+  private def metaEvalSql: String = """
+    WITH p AS (SELECT doc_id AS id,
+                      concat('crawl-template-head:',
+                             substring(lower(text), 1, 24)) AS nm
+               FROM documents WHERE length(lower(text)) >= 24),
+    c AS (SELECT id + 1000000 AS id,
+                 concat(substring(nm, 1, 22), 'zz',
+                        substring(nm, 25, 20)) AS nm
+          FROM p WHERE id < 40),
+    corpus AS (SELECT * FROM p UNION ALL SELECT * FROM c),
+    k AS (SELECT id,
+                 substring(nm, 1, 8) AS k0, substring(nm, 1, 14) AS k1,
+                 substring(nm, 1, 20) AS k2,
+                 right(nm, 8) AS s0, right(nm, 14) AS s1,
+                 right(nm, 20) AS s2
+          FROM corpus),
+    w AS (SELECT id, k0, k1, k2, s0, s1, s2,
+                 COUNT(*) OVER (PARTITION BY k0) AS c0,
+                 COUNT(*) OVER (PARTITION BY k1) AS c1
+          FROM k),
+    esc AS (SELECT id, s0, s1, s2,
+                   CASE WHEN c0 <= 32 THEN concat('L0:', k0)
+                        WHEN c1 <= 32 THEN concat('L1:', k1)
+                        ELSE concat('L2:', k2) END AS eblk
+            FROM w),
+    g AS (SELECT id, s0, s1, s2, eblk,
+                 COUNT(*) OVER (PARTITION BY eblk) AS cb FROM esc),
+    hotd AS (SELECT id, s0, s1, s2,
+                    COUNT(*) OVER (PARTITION BY s0) AS d0,
+                    COUNT(*) OVER (PARTITION BY s1) AS d1
+             FROM g WHERE cb > 32),
+    keyed AS (
+      SELECT 'a_ladder' AS policy, id, eblk AS blk FROM g
+      UNION ALL
+      SELECT 'b_meta' AS policy, id, eblk AS blk FROM g WHERE cb <= 32
+      UNION ALL
+      SELECT 'b_meta' AS policy, id,
+             CASE WHEN d0 <= 32 THEN concat('M:L0:', s0)
+                  WHEN d1 <= 32 THEN concat('M:L1:', s1)
+                  ELSE concat('M:L2:', s2) END AS blk
+      FROM hotd),
+    h AS (SELECT policy, blk, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+          FROM keyed GROUP BY policy, blk),
+    stats AS (SELECT policy, CAST(SUM(c) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                     CAST(MAX(c) AS BIGINT) AS max_block,
+                     CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+              FROM h GROUP BY policy),
+    plant AS (SELECT x.policy, CAST(COUNT(*) AS BIGINT) AS recalled
+              FROM keyed x JOIN keyed y ON y.policy = x.policy
+                AND y.id = x.id + 1000000 AND x.blk = y.blk
+              WHERE x.id < 40 GROUP BY x.policy),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS planted
+            FROM corpus WHERE id >= 1000000)
+    SELECT s.policy, s.n_docs, s.n_blocks, s.max_block, s.cand_pairs,
+           CAST(CAST(s.n_docs AS DECIMAL(38,0)) * (s.n_docs - 1) / 2
+                AS BIGINT) AS all_pairs,
+           round(1.0 - CAST(s.cand_pairs AS DOUBLE)
+                 / (CAST(s.n_docs AS DOUBLE) * (s.n_docs - 1) / 2.0), 6)
+             AS reduction_ratio,
+           pl.recalled, tot.planted,
+           round(CAST(pl.recalled AS DOUBLE) / CAST(tot.planted AS DOUBLE), 6)
+             AS pair_completeness
+    FROM stats s JOIN plant pl ON pl.policy = s.policy CROSS JOIN tot
+    ORDER BY s.policy"""
 
   // ------------------------------------------- day-of-week seasonality
   /** Day-of-week seasonal profile of event volume: per dow, days
@@ -440,5 +642,5 @@ object AnalyticQueries {
     seasonalSql("date_diff('day', DATE '1970-01-01', d)"))
 
   val all: Seq[QueryDef] = Seq(linkEmbed, skyline, statsOls, dedupContainment, linkJw,
-    linkBlockingEval, statsSeasonal)
+    linkBlockingEval, linkMeta, linkMetaEval, statsSeasonal)
 }

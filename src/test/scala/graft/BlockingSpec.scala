@@ -60,6 +60,53 @@ class BlockingSpec extends SparkSpec {
     assert(esc < const / 10, s"escalation should collapse the hot block: $esc vs $const")
   }
 
+  test("null ladder keys are retained, not silently dropped") {
+    // The per-level histogram attaches via inner equi-join; without the
+    // NUL-sentinel coalesce, NULL-keyed rows vanish from candidates()
+    // and undercount audit().n_docs.
+    val withNulls = corpus.withColumn("nm",
+      when($"id" === 1000L || $"id" === 10000L, lit(null: String))
+        .otherwise($"nm"))
+    val audited = Blocking.audit(withNulls, ladder, cap = 32)
+      .select($"n_docs").as[Long].head()
+    assert(audited == corpus.count(),
+      s"null-keyed rows dropped: n_docs=$audited of ${corpus.count()}")
+    // the two null rows share the sentinel block → they pair with each other
+    val cand = Blocking.candidates(withNulls, "id", ladder, cap = 32)
+      .filter($"a_id" === 1000L && $"b_id" === 10000L)
+    assert(cand.count() == 1, "null-keyed rows must form their own block")
+  }
+
+  test("meta policy: hot-final-block rows re-block by the alt family") {
+    // A template corpus the ladder cannot split: constant 16-prefix, so
+    // every ladder level is one hot block; distinct tails are the alt
+    // (suffix) family's signal. Twins differ at positions 17-18 — inside
+    // the string, outside right-8.
+    val docs = (0 until 100).map(i => (i.toLong, f"TEMPLATE-BOILER-$i%02dxx_t$i%04d"))
+    val twins = docs.take(20).map { case (id, nm) =>
+      (id + 9000, nm.substring(0, 16) + "ZZ" + nm.substring(18)) }
+    val tmpl = (docs ++ twins).toDF("id", "nm")
+    val lad = Seq(substring($"nm", 1, 8), substring($"nm", 1, 12),
+      substring($"nm", 1, 16))
+    val alt = Seq(expr("right(nm, 5)"), expr("right(nm, 8)"))
+    // plain ladder: one irreducible hot block → quadratic pairs
+    val plain = Blocking.audit(tmpl, lad, cap = 16)
+      .select($"cand_pairs", $"max_block").as[(Long, Long)].head()
+    assert(plain._2 == 120L, s"premise: final block must be the whole corpus, got $plain")
+    // meta: alt family splits the hot block; every twin still recalled
+    val metaPairs = Blocking.candidatesMeta(tmpl, "id", lad, alt, cap = 16)
+    val twinsRecalled = metaPairs
+      .filter($"b_id" === $"a_id" + 9000 && $"a_id" < 20).count()
+    assert(twinsRecalled == 20, s"meta lost twins: $twinsRecalled/20")
+    val metaAudit = Blocking.auditMeta(tmpl, lad, alt, cap = 16)
+      .select($"cand_pairs", $"n_docs").as[(Long, Long)].head()
+    assert(metaAudit._2 == 120L, "meta partition must cover every row")
+    assert(metaAudit._1 < plain._1 / 10,
+      s"alt family should collapse the hot block: ${metaAudit._1} vs ${plain._1}")
+    // audit agrees with materialized pair count (partition ⇒ no dedup needed)
+    assert(metaPairs.count() == metaAudit._1)
+  }
+
   test("audit matches a brute-force pair count") {
     val cap = 32
     val brute = {
