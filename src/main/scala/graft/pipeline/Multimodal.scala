@@ -230,22 +230,52 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Split a Motion-JPEG elementary stream into its JPEG frames by
-    * walking the EOI markers (0xFF 0xD9). Inside JPEG entropy-coded
-    * data every 0xFF byte is stuff-escaped (followed by 0x00 or a
-    * restart marker 0xD0-0xD7), so a raw EOI can only be a frame
-    * boundary; the JDK encoder writes no nested thumbnails. Linear in
-    * the payload, zero copies beyond the per-frame slices. */
+  /** Split a Motion-JPEG elementary stream into its JPEG frames by a
+    * REAL marker-segment walk (ITU T.81 §B): length-prefixed segments
+    * (DQT/DHT/APPn — EXIF payloads and embedded thumbnails included)
+    * are SKIPPED by their declared length, because their bodies may
+    * legally contain 0xFF 0xD9; the byte-scan for the next marker runs
+    * only inside entropy-coded scan data (after SOS), where every 0xFF
+    * is stuff-escaped (0x00) or a restart marker 0xD0-0xD7 — so an
+    * unescaped EOI there is always a true frame boundary. A raw
+    * whole-stream EOI scan (the previous form) could cut a frame early
+    * on real-world streams. Linear in the payload, zero copies beyond
+    * the per-frame slices; malformed tails are dropped rather than
+    * thrown (the per-frame decoder upstream already maps corrupt
+    * frames to sentinels). */
   def splitMjpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val n = payload.length
+    def u(i: Int) = payload(i) & 0xFF
     var start = 0
     var i = 0
-    while (i < payload.length - 1) {
-      if (payload(i) == 0xFF.toByte && payload(i + 1) == 0xD9.toByte) {
-        out += java.util.Arrays.copyOfRange(payload, start, i + 2)
-        start = i + 2
-        i += 2
-      } else i += 1
+    while (i < n - 1) {
+      if (u(i) != 0xFF) { i += 1; start = i } // resync to a marker
+      else u(i + 1) match {
+        case 0xD8 => start = i; i += 2 // SOI: frame begins here
+        case 0xD9 => // EOI: frame complete
+          out += java.util.Arrays.copyOfRange(payload, start, i + 2)
+          i += 2; start = i
+        case 0xFF => i += 1 // fill byte
+        case 0x01 | 0xD0 | 0xD1 | 0xD2 | 0xD3 | 0xD4 | 0xD5 | 0xD6 | 0xD7 =>
+          i += 2 // TEM / bare RSTn: standalone, no length
+        case 0xDA => // SOS: skip its header, then scan entropy-coded data
+          if (i + 3 >= n) i = n
+          else {
+            i += 2 + ((u(i + 2) << 8) | u(i + 3))
+            var done = false
+            while (!done && i < n) {
+              if (u(i) == 0xFF && i + 1 < n) {
+                val b = u(i + 1)
+                if (b == 0x00 || (b >= 0xD0 && b <= 0xD7)) i += 2 // stuffed/RST
+                else done = true // real marker (EOI, DNL, next SOS…)
+              } else i += 1
+            }
+          }
+        case _ => // length-prefixed segment: skip body wholesale
+          if (i + 3 >= n) i = n
+          else i += 2 + ((u(i + 2) << 8) | u(i + 3))
+      }
     }
     out.toSeq
   }

@@ -33,11 +33,17 @@ object Privacy {
 
   /** u ∈ (−0.5, 0.5) keyed by (secret seed, group key). */
   private def uniform(seed: Long, key: Column): Column =
-    // xxhash64 over (seed literal, key) — shift into (0,1) then center.
-    // 2^-64 scale; add 0.5 ulp-ish epsilon via the +0.5 before divide to
-    // keep u strictly inside the open interval (ln(0) guard).
-    (xxhash64(lit(seed), key).cast("double") + lit(0.5)) /
-      lit(2.0) / lit(Long.MaxValue.toDouble + 1.0)
+    // xxhash64 over (seed literal, key), masked to its low 53 bits so the
+    // whole transform stays EXACT in double arithmetic: h53 ∈ [0, 2^53),
+    // h53 + 0.5 is exactly representable (< 2^53 needs ≤ 53 mantissa
+    // bits), and dividing by 2^53 is a pure exponent shift. The result
+    // is strictly inside the open interval — |u| ≤ 0.5 − 2⁻⁵⁴, so the
+    // ln(1−2|u|) downstream can never see 0. (The previous full-64-bit
+    // form lost the +0.5 to rounding for |hash| ≥ 2^53 and could yield
+    // u = ±0.5 exactly within half an ulp of ±2^63 → log(0) = −Inf and
+    // a saturated release row, ~2⁻⁵⁴ per key.)
+    (xxhash64(lit(seed), key).bitwiseAND(lit((1L << 53) - 1)).cast("double")
+      + lit(0.5)) / lit((1L << 53).toDouble) - lit(0.5)
 
   /** Laplace noise with scale b = sensitivity/epsilon, keyed by
     * (seed, key): reproducible for the seed holder, Laplace(b)

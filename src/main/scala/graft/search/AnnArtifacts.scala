@@ -58,11 +58,16 @@ object AnnArtifacts {
     * Engine.loadAnnIndex). */
   def load(spark: SparkSession, dir: String): AnnArtifacts = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
-    val pqDir = new java.io.File(s"$dir/pq_codebook.parquet")
+    // Probe the optional codebook through the Hadoop FileSystem API, not
+    // java.io.File: this directory's documented home is object storage
+    // (HDFS/S3), where a local-file stat is always false and a persisted
+    // codebook would silently load as None.
+    val pqPath = new org.apache.hadoop.fs.Path(s"$dir/pq_codebook.parquet")
+    val fs = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AnnArtifacts(
       centroids = spark.read.parquet(s"$dir/centroids.parquet"),
       pqCodebook =
-        if (pqDir.exists()) Some(spark.read.parquet(s"$dir/pq_codebook.parquet"))
+        if (fs.exists(pqPath)) Some(spark.read.parquet(s"$dir/pq_codebook.parquet"))
         else None,
       sq8Scale =
         if (meta.isNullAt(meta.fieldIndex("sq8_scale"))) None

@@ -541,6 +541,29 @@ class PipelineSpec extends SparkSpec {
     assert(feat(3L).width.isEmpty)
   }
 
+  test("MJPEG splitter skips length-prefixed segments containing raw EOI bytes") {
+    // A legal JPEG may carry 0xFF 0xD9 inside an APPn/EXIF payload; the
+    // splitter must skip those segments by declared length instead of
+    // byte-scanning them (a raw EOI scan cuts the frame early).
+    val frame = Multimodal.mjpegPayload(16, 16, 1, seed = 9L)
+    assert(frame(0) == 0xFF.toByte && frame(1) == 0xD8.toByte, "fixture is a JPEG")
+    // inject APP1 right after SOI whose 8-byte body embeds FF D9 and FF D8
+    val body = Array(0x45, 0x78, 0xFF, 0xD9, 0xFF, 0xD8, 0x00, 0x01)
+      .map(_.toByte)
+    val app1 = Array(0xFF.toByte, 0xE1.toByte, 0x00.toByte,
+      (body.length + 2).toByte) ++ body
+    val poisoned = frame.take(2) ++ app1 ++ frame.drop(2)
+    val stream = poisoned ++ poisoned ++ poisoned
+    val split = Multimodal.splitMjpegFrames(stream)
+    assert(split.length == 3,
+      s"APPn body bytes must not terminate a frame: got ${split.length}")
+    assert(split.forall(_.sameElements(poisoned)), "frame boundaries exact")
+    // the poisoned frames still decode (ImageIO skips unknown APP1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(split.head))
+    assert(img != null && img.getWidth == 16)
+  }
+
   test("frame sampling: byte chunks reassemble to the payload; resize truncates") {
     val media = Multimodal.mediaFromDocuments(docs.limit(5)).as[MediaRow]
     val frames = Multimodal.frameSample(media, frameSize = 64).collect()
