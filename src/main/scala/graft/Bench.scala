@@ -83,6 +83,14 @@ object Bench {
     // compact summary line (valid JSON on its own) follows for parsers
     // that scan line-by-line.
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$envInfo}""")
+    // The driver stores only a ~2000-char stdout tail, which truncates the
+    // full per-query map to the alphabetically-late entries — so the 20 most
+    // expensive queries (the regression-relevant ones) get their own compact
+    // line right before the headline total, guaranteed to survive capture.
+    val worst20 = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"worst20","worst20":$worst20}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$envInfo}""")
     spark.stop()
   }
