@@ -78,27 +78,33 @@ object SelectionQueries {
         .select($"wid", $"step", $"node")
         .orderBy($"wid", $"step")
     },
-    Some {
-      def stepCte(t: Int) =
-        s"""w$t AS (
-           |  SELECT p.wid, $t AS step, a.v AS node
-           |  FROM w${t - 1} p JOIN adj a ON a.u = p.node
-           |  WHERE a.r = (${hvSql(s"CAST(p.wid AS VARCHAR) || ':$t:' || CAST(a.u AS VARCHAR)")})
-           |              % a.deg + 1)""".stripMargin
-      s"""WITH ${ScaleQueries.eeCte},
-         |adj AS (
-         |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS r,
-         |         COUNT(*) OVER (PARTITION BY u) AS deg
-         |  FROM (SELECT DISTINCT u, v FROM ee)),
-         |seeds AS (SELECT u AS wid FROM (SELECT DISTINCT u FROM e0) ORDER BY u LIMIT 10),
-         |w0 AS (SELECT wid, 0 AS step, wid AS node FROM seeds),
-         |${(1 to 4).map(stepCte).mkString(",\n")}
-         |SELECT wid, CAST(step AS INT) AS step, node
-         |FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
-         |      SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL
-         |      SELECT * FROM w4)
-         |ORDER BY wid, step""".stripMargin
-    })
+    Some(s"""WITH $walkCorpusCtes
+         |SELECT wid, CAST(step AS INT) AS step, node FROM walks
+         |ORDER BY wid, step""".stripMargin))
+
+  /** The deterministic-walk corpus as a reusable CTE chain ending in
+    * `walks(wid, step, node)` — shared by q_graph_walks and the
+    * embedding-training consumers so the corpus is PROVABLY the same
+    * frame in all three oracles. */
+  private def walkCorpusCtes: String = {
+    def stepCte(t: Int) =
+      s"""w$t AS (
+         |  SELECT p.wid, $t AS step, a.v AS node
+         |  FROM w${t - 1} p JOIN adj a ON a.u = p.node
+         |  WHERE a.r = (${hvSql(s"CAST(p.wid AS VARCHAR) || ':$t:' || CAST(a.u AS VARCHAR)")})
+         |              % a.deg + 1)""".stripMargin
+    s"""${ScaleQueries.eeCte},
+       |adj AS MATERIALIZED (
+       |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS r,
+       |         COUNT(*) OVER (PARTITION BY u) AS deg
+       |  FROM (SELECT DISTINCT u, v FROM ee)),
+       |seeds AS (SELECT u AS wid FROM (SELECT DISTINCT u FROM e0) ORDER BY u LIMIT 10),
+       |w0 AS (SELECT wid, 0 AS step, wid AS node FROM seeds),
+       |${(1 to 4).map(stepCte).mkString(",\n")},
+       |walks AS MATERIALIZED (SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
+       |          SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL
+       |          SELECT * FROM w4)""".stripMargin
+  }
 
   /** Node2vec-biased second-order walk corpus (Walks.node2vecWalks) over
     * the event graph — chosen over the bipartite fixture because the
@@ -167,5 +173,191 @@ object SelectionQueries {
          |ORDER BY wid, step""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(pipelineDsir, graphWalks, graphNode2vec)
+  // --------------------------------------- walk → embedding training
+  /** Shared SGNS-training CTE chain: vocabulary rank, hash-drawn
+    * negatives, pair-group multiplicities, hash-initialized in-vectors
+    * / zero out-vectors, and `iters` unrolled synchronous GD steps
+    * ending in `u$iters(n, k, val)` — the DuckDB replay of
+    * [[graft.graph.NodeEmbedding.trainSgns]] (d=4, window=2, 2
+    * negatives, lr=1). Every rounding point mirrors the engine:
+    * round-8 DECIMAL-summed dot products, round-8 sigmoid, round-8
+    * DECIMAL(20,10) gradient sums scaled by exact multiplicities,
+    * round-6 weights; untouched (node, dim) weights pass through the
+    * LEFT JOIN bit-for-bit. */
+  private def sgnsCtes(iters: Int): String = {
+    def stepCtes(t: Int) =
+      s"""e$t AS (
+         |  SELECT r.ctr, r.ctx, r.y, r.m,
+         |         round(1.0 / (1.0 + exp(-round(CAST(SUM(CAST(round(u.val * c.val, 8)
+         |                 AS DECIMAL(20,10))) AS DOUBLE), 8))), 8) - r.y AS err
+         |  FROM trn r
+         |  JOIN u${t - 1} u ON u.n = r.ctr
+         |  JOIN c${t - 1} c ON c.n = r.ctx AND c.k = u.k
+         |  GROUP BY r.ctr, r.ctx, r.y, r.m),
+         |gu$t AS MATERIALIZED (
+         |  SELECT e.ctr AS n, c.k,
+         |         SUM(CAST(round(e.err * c.val, 8) AS DECIMAL(20,10)) * e.m) AS g,
+         |         CAST(SUM(e.m) AS BIGINT) AS cnt
+         |  FROM e$t e JOIN c${t - 1} c ON c.n = e.ctx
+         |  GROUP BY e.ctr, c.k),
+         |gc$t AS MATERIALIZED (
+         |  SELECT e.ctx AS n, u.k,
+         |         SUM(CAST(round(e.err * u.val, 8) AS DECIMAL(20,10)) * e.m) AS g,
+         |         CAST(SUM(e.m) AS BIGINT) AS cnt
+         |  FROM e$t e JOIN u${t - 1} u ON u.n = e.ctr
+         |  GROUP BY e.ctx, u.k),
+         |u$t AS MATERIALIZED (
+         |  SELECT u.n, u.k,
+         |         CASE WHEN g.n IS NULL THEN u.val
+         |              ELSE round(u.val - round(1.0 * CAST(g.g AS DOUBLE) / g.cnt, 6), 6)
+         |         END AS val
+         |  FROM u${t - 1} u LEFT JOIN gu$t g ON g.n = u.n AND g.k = u.k),
+         |c$t AS MATERIALIZED (
+         |  SELECT c.n, c.k,
+         |         CASE WHEN g.n IS NULL THEN c.val
+         |              ELSE round(c.val - round(1.0 * CAST(g.g AS DOUBLE) / g.cnt, 6), 6)
+         |         END AS val
+         |  FROM c${t - 1} c LEFT JOIN gc$t g ON g.n = c.n AND g.k = c.k)"""
+        .stripMargin
+    def negLeg(j: Int) =
+      s"""SELECT p.ctr, vr.n AS ctx, 0.0 AS y
+         |  FROM pairs p CROSS JOIN nv
+         |  JOIN vr ON vr.rk = (${hvSql(
+             s"CAST(p.wid AS VARCHAR) || ':' || CAST(p.s1 AS VARCHAR) || " +
+               s"':' || CAST(p.s2 AS VARCHAR) || ':n$j'")}) % nv.nv"""
+        .stripMargin
+    s"""$walkCorpusCtes,
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS n FROM ee),
+       |vr AS MATERIALIZED (SELECT n, ROW_NUMBER() OVER (ORDER BY n) - 1 AS rk FROM nodes),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM vr),
+       |dims AS (SELECT * FROM (VALUES (0), (1), (2), (3)) d(k)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.wid, a.step AS s1, b.step AS s2, a.node AS ctr, b.node AS ctx
+       |  FROM walks a JOIN walks b ON a.wid = b.wid AND a.step <> b.step
+       |   AND abs(a.step - b.step) <= 2),
+       |trn AS MATERIALIZED (
+       |  SELECT ctr, ctx, y, CAST(COUNT(*) AS BIGINT) AS m FROM (
+       |    SELECT ctr, ctx, 1.0 AS y FROM pairs
+       |    UNION ALL ${negLeg(1)}
+       |    UNION ALL ${negLeg(2)})
+       |  GROUP BY ctr, ctx, y),
+       |u0 AS MATERIALIZED (
+       |  SELECT n, k, round((((${hvSql(
+             "'u:' || CAST(n AS VARCHAR) || ':' || CAST(k AS VARCHAR)")})
+       |           % 2001) - 1000) / 10000.0, 6) AS val
+       |  FROM vr CROSS JOIN dims),
+       |c0 AS MATERIALIZED (SELECT n, k, 0.0 AS val FROM vr CROSS JOIN dims),
+       |${(1 to iters).map(stepCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** Deterministic node-embedding training over the q_graph_walks
+    * corpus — skip-gram with negative sampling by full-batch GD
+    * ([[graft.graph.NodeEmbedding]]; Mikolov NIPS'13 / DeepWalk
+    * KDD'14), the step that makes the walk generators a complete
+    * graph-ML pipeline: corpus → trained vectors, all inside the
+    * engine, versioned with the graph they were fit on. The float
+    * discipline is Classifier.scala's (fixed 3 iterations, round-8
+    * sigmoids and DECIMAL gradient sums, round-6 weights; the ONLY
+    * libm call is the sigmoid's exp, rounded to 8dp per invariant
+    * 10), so the DuckDB oracle replays the ENTIRE training — walks,
+    * vocabulary, negative draws, all three GD iterations — and a hash
+    * match proves every weight of the trained artifact, not a summary
+    * statistic. Output: the in-vector table (node, dim, emb). */
+  val graphEmbeddings = QueryDef(
+    "q_graph_embeddings",
+    (s, dir) => {
+      import s.implicits._
+      val edges = ScaleQueries.sparseEdges(s, dir)
+      val seeds = edges.select($"src".as("wid")).distinct()
+        .orderBy($"wid").limit(10)
+      val walks = graft.graph.Walks.deterministicWalks(edges, seeds, steps = 4)
+      val nodes = edges.select($"src".as("n"))
+        .union(edges.select($"dst".as("n"))).distinct()
+      graft.graph.NodeEmbedding.trainSgns(walks, nodes)
+        .select($"n".as("node"), $"k".as("dim"), $"val".as("emb"))
+        .orderBy($"node", $"dim")
+    },
+    Some(s"""WITH ${sgnsCtes(3)}
+         |SELECT n AS node, CAST(k AS INT) AS dim, val AS emb
+         |FROM u3 ORDER BY node, dim""".stripMargin))
+
+  /** Downstream evaluation of the trained embeddings: link-prediction
+    * AUC — do in-vector dot products rank the graph's own edges above
+    * hash-drawn non-edges? Positives = canonical edges; negatives =
+    * one hash-drawn node pair per edge, anti-joined against BOTH edge
+    * orientations, deduped. Scores are round-8 DECIMAL-summed dots;
+    * AUC is the tie-aware Mann-Whitney count form (exact BIGINTs
+    * until one final division — the Classifier.evalSweep recipe; the
+    * cumulative window runs over the DISTINCT round-8 score table,
+    * never corpus rows). The oracle re-trains all three iterations
+    * AND re-derives the eval — one hash pins the whole
+    * corpus→train→evaluate pipeline. */
+  val graphEmbedAuc = QueryDef(
+    "q_graph_embed_auc",
+    (s, dir) => {
+      import s.implicits._
+      val edges = ScaleQueries.sparseEdges(s, dir)
+      val seeds = edges.select($"src".as("wid")).distinct()
+        .orderBy($"wid").limit(10)
+      val walks = graft.graph.Walks.deterministicWalks(edges, seeds, steps = 4)
+      val nodes = edges.select($"src".as("n"))
+        .union(edges.select($"dst".as("n"))).distinct()
+      val (vr, nvDf) = graft.graph.NodeEmbedding.vocabRank(nodes)
+      val emb = graft.graph.NodeEmbedding.trainSgns(walks, nodes)
+      graft.graph.NodeEmbedding.linkAuc(emb, edges, vr, nvDf)
+    },
+    Some(s"""WITH ${sgnsCtes(3)},
+         |pose AS (SELECT u AS na, v AS nb, 1.0 AS y FROM e0),
+         |cand AS (
+         |  SELECT (${hvSql(
+               "'na:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")})
+         |           % nv.nv AS rka,
+         |         (${hvSql(
+               "'nb:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")})
+         |           % nv.nv AS rkb
+         |  FROM e0 CROSS JOIN nv),
+         |candn AS (
+         |  SELECT a.n AS na, b.n AS nb
+         |  FROM cand JOIN vr a ON a.rk = cand.rka JOIN vr b ON b.rk = cand.rkb
+         |  WHERE a.n <> b.n),
+         |neg AS (
+         |  SELECT DISTINCT na, nb FROM candn
+         |  WHERE NOT EXISTS (SELECT 1 FROM ee
+         |                    WHERE ee.u = candn.na AND ee.v = candn.nb)),
+         |lab AS (SELECT na, nb, y FROM pose
+         |        UNION ALL SELECT na, nb, 0.0 AS y FROM neg),
+         |sc AS MATERIALIZED (
+         |  SELECT l.na, l.nb, l.y,
+         |         round(CAST(SUM(CAST(round(ua.val * ub.val, 8)
+         |                 AS DECIMAL(20,10))) AS DOUBLE), 8) AS s
+         |  FROM lab l
+         |  JOIN u3 ua ON ua.n = l.na
+         |  JOIN u3 ub ON ub.n = l.nb AND ub.k = ua.k
+         |  GROUP BY l.na, l.nb, l.y),
+         |grp AS (
+         |  SELECT s, CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |         CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM sc GROUP BY s),
+         |tot AS (
+         |  SELECT CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         |         round(CAST(SUM(CASE WHEN y = 1.0
+         |                 THEN CAST(s AS DECIMAL(20,10)) END) AS DOUBLE)
+         |               / SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 6) AS mean_pos,
+         |         round(CAST(SUM(CASE WHEN y = 0.0
+         |                 THEN CAST(s AS DECIMAL(20,10)) END) AS DOUBLE)
+         |               / SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END), 6) AS mean_neg
+         |  FROM sc),
+         |cum AS (
+         |  SELECT s, np, nn,
+         |         COALESCE(SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+         |           PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |  FROM grp),
+         |mwc AS (SELECT CAST(SUM(np * (2 * cumneg + nn)) AS BIGINT) AS c2 FROM cum)
+         |SELECT n_pos, n_neg, mean_pos, mean_neg,
+         |       round(CAST(c2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+         |FROM tot CROSS JOIN mwc""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(pipelineDsir, graphWalks, graphNode2vec,
+    graphEmbeddings, graphEmbedAuc)
 }

@@ -34,7 +34,14 @@ object PlanScan {
     "q_stats_ks" -> ("prefix sums over the value-bucket histogram — " +
       "bounded by the VALUE DOMAIN (floor(value*10), ≤ ~5k buckets at " +
       "any corpus size), never corpus rows; the corpus is touched only " +
-      "by the map-side bucket groupBy"))
+      "by the map-side bucket groupBy"),
+    "q_graph_embeddings" -> ("ROW_NUMBER vocabulary rank over the " +
+      "DISTINCT-node table (|V| rows — the negative-sampling index), " +
+      "never corpus/pair rows; training itself is joins + keyed groupBys"),
+    "q_graph_embed_auc" -> ("the same |V|-row vocabulary rank, plus the " +
+      "Mann-Whitney cumulative window over the DISTINCT round-8 score " +
+      "table (Classifier.evalSweep convention) — both bounded domains, " +
+      "never corpus rows"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
