@@ -87,8 +87,13 @@ object Bench {
     // full per-query map to the alphabetically-late entries — so the 20 most
     // expensive queries (the regression-relevant ones) get their own compact
     // line right before the headline total, guaranteed to survive capture.
+    // Locale.ROOT: f"$v%.3f" uses the default JVM locale, and a
+    // comma-decimal locale (de_DE) would emit invalid JSON here.
     val worst20 = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }
       .mkString("{", ",", "}")
     println(s"""{"metric":"worst20","worst20":$worst20}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$envInfo}""")

@@ -1,9 +1,9 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 import graft.pipeline.TextOps
 
 /** Deterministic in-engine node-embedding training — the consumer the
@@ -16,38 +16,70 @@ import graft.pipeline.TextOps
   *   - positive pairs = walk co-occurrences within `window` steps;
   *     negatives drawn per pair by the cross-engine hash against the
   *     rank-indexed vocabulary (hash-based "unigram table");
-  *   - in-vectors hash-initialized in [-0.1, 0.1] (round-6 rationals),
+  *   - in-vectors hash-initialized in [-0.1, 0.1] (6dp rationals),
   *     out-vectors zero-initialized (the word2vec convention — and the
   *     symmetry breaker: with u ≠ 0, iteration 1 moves the out-table,
   *     iteration 2 onward moves both);
-  *   - per pair-group z = Σ_k u·c summed as DECIMAL of round-8 terms
+  *   - per pair-group z = Σ_k u·c summed as DECIMAL of 8dp terms
   *     (the d-term dot product must not depend on dim arrival order),
-  *     round-8 sigmoid (single exp, ≤ 8dp per invariant 10);
-  *   - per (node, dim) gradient sums in DECIMAL(20,10) of round-8
-  *     terms scaled by exact pair multiplicities — associative, so
+  *     8dp sigmoid (single exp, ≤ 8dp per invariant 10);
+  *   - per (node, dim) gradient sums in DECIMAL(20,10) of 8dp terms
+  *     scaled by exact pair multiplicities — associative, so
   *     partition-order-independent; divide by the node's own pair
-  *     count, round-8, learning step, round-6 weights;
+  *     count, 6dp learning step, 6dp weights;
   *   - iteration count FIXED, same input ⇒ bit-identical embeddings
   *     on any cluster layout (NodeEmbeddingSpec pins this).
   *
+  * ROUNDING (round-10 post-mortem): every rounding inside the GD loop
+  * uses [[pround]] — `floor(x·10^k + 0.5)/10^k` — NOT `round(x, k)`.
+  * round()'s tie-breaking differs cross-engine (Spark: BigDecimal
+  * HALF_UP on the exact binary expansion; DuckDB: multiply-by-10^k
+  * then nearbyint), and r10's q_graph_embeddings shipped red on
+  * exactly that split: ONE weight cell off by exactly 1e-6, traced to
+  * the inner round(lr·g/cnt, 6) of an unconstrained double quotient.
+  * floor, ×, +, / are all IEEE-754 correctly-rounded, so pround is
+  * bit-identical across engines BY CONSTRUCTION on the same input —
+  * no tie semantics exist to disagree on. The oracle (SelectionQueries
+  * sgnsCtes) spells the identical formula text.
+  *
   * Scale shape per iteration: the pair-group table joins the two
   * (|V|·d)-row weight tables on node — shuffles keyed by node/dim,
-  * no window over the corpus, no driver state; the only global window
-  * is the vocabulary rank (|V| rows, PlanScan-reviewed). At 100 TB
-  * the corpus feeds ONE groupBy into pair-groups; everything after is
-  * proportional to |pairs| + |V|·d.
+  * no window over the corpus, no driver state; the vocabulary rank is
+  * a distributed range-sort + zipWithIndex (the round-3
+  * stringVertexMapping pattern — no single-task sort at any |V|). At
+  * 100 TB the corpus feeds ONE groupBy into pair-groups; everything
+  * after is proportional to |pairs| + |V|·d.
   */
 object NodeEmbedding {
 
   private def dec(c: Column) = c.cast(DecimalType(20, 10))
 
+  /** Engine-portable fixed-point rounding: floor(x·10^k + 0.5)/10^k.
+    * Unlike round(x, k), every constituent op is IEEE-correctly-rounded
+    * and tie-free, so Spark and DuckDB produce bit-identical doubles on
+    * the same input (see object Scaladoc; halves round toward +inf on
+    * BOTH engines instead of away-from-zero — a consistent convention,
+    * which is all the cross-engine hash needs). */
+  private[graft] def pround(c: Column, k: Int): Column = {
+    val p = math.pow(10, k) // 10^k ≤ 1e8 — exactly representable
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** Vocabulary with dense 0-based rank (the negative-sampling index)
-    * and its 1-row size frame. The rank window is global over the NODE
-    * table — |V| rows, not corpus rows (PlanScan-reviewed). */
+    * and its 1-row size frame. NO global window (r10 perf-weak item):
+    * |V| grows with the corpus for sparseEdges-class graphs, so the
+    * rank comes from a distributed range-sort + zipWithIndex — same
+    * total order (ids are distinct, NULLs dropped on both engines),
+    * no single-task sort at any |V|. */
   def vocabRank(nodes: DataFrame): (DataFrame, DataFrame) = {
-    val vr = nodes.select(col("n"),
-      (row_number().over(Window.orderBy(col("n"))) - 1).as("rk"))
-      .localCheckpoint()
+    val s = nodes.sparkSession
+    val nn = nodes.select(col("n")).filter(col("n").isNotNull)
+    val schema = StructType(nn.schema.fields :+
+      StructField("rk", LongType, nullable = false))
+    val rdd = nn.sort(col("n")).rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    val vr = s.createDataFrame(rdd, schema).localCheckpoint()
     (vr, vr.agg(count(lit(1)).as("nv")))
   }
 
@@ -81,20 +113,25 @@ object NodeEmbedding {
       .localCheckpoint()
   }
 
-  /** Hash-initialized in-vectors: round-6 rationals in [-0.1, 0.1],
-    * u0(n,k) = ((H("u:n:k") mod 2001) − 1000) / 10000. */
+  /** Hash-initialized in-vectors: 6dp rationals in [-0.1, 0.1],
+    * u0(n,k) = ((H("u:n:k") mod 2001) − 1000) / 10000 (exact single
+    * IEEE division of a 4-digit integer — pround(·,6) is a no-op
+    * numerically, kept for uniformity with the loop). */
   def initIn(vr: DataFrame, d: Int): DataFrame = {
     val dims = vr.sparkSession.range(d).select(col("id").cast("int").as("k"))
     vr.select(col("n")).crossJoin(broadcast(dims))
       .select(col("n"), col("k"),
-        round(((TextOps.strHash(concat(lit("u:"), col("n").cast("string"),
+        pround(((TextOps.strHash(concat(lit("u:"), col("n").cast("string"),
           lit(":"), col("k").cast("string"))) % 2001) - 1000) / 10000.0, 6)
           .as("val"))
   }
 
   /** One synchronous full-batch SGNS step: both gradient passes read
     * the PRE-update tables; nodes/dims untouched by any pair keep
-    * their weight bit-for-bit (left join, not coalesce-to-0 update). */
+    * their weight bit-for-bit (left join, not coalesce-to-0 update).
+    * ONE localCheckpoint barrier per weight update (the two updated
+    * tables union under a tag and checkpoint together — r10's per-table
+    * checkpoints made the two embed queries #1/#2 in the whole bench). */
   private[graft] def step(rows: DataFrame, u: DataFrame, c: DataFrame,
                           lr: Double): (DataFrame, DataFrame) = {
     val e = rows
@@ -102,32 +139,61 @@ object NodeEmbedding {
       .join(c.select(col("n").as("ctx"), col("k"), col("val").as("cv")),
         Seq("ctx", "k"))
       .groupBy(col("ctr"), col("ctx"), col("y"), col("m"))
-      .agg(round(sum(dec(round(col("uv") * col("cv"), 8))).cast("double"), 8)
+      .agg(pround(sum(dec(pround(col("uv") * col("cv"), 8))).cast("double"), 8)
         .as("z"))
       .withColumn("err",
-        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 8) - col("y"))
+        pround(lit(1.0) / (lit(1.0) + exp(-col("z"))), 8) - col("y"))
       .localCheckpoint()
+    // m is cast to DECIMAL(12,0), NOT left as BIGINT: DECIMAL(20,10) ×
+    // BIGINT promotes to precision 20+20+1 = 41 > 38, and Spark's
+    // adjustPrecisionScale silently REDUCES THE SCALE TO 7 — each 8dp
+    // term lost its last digit before summing while DuckDB kept scale
+    // 10, which was the ACTUAL root cause of r10's one-cell-off-by-1e-6
+    // red (not round()-tie semantics: every term matched bit-for-bit,
+    // the sums differed). 20+12+1 = 33 ≤ 38 keeps the product exact.
     def grads(keyCol: String, w: DataFrame, wKey: String) = e
       .join(w.select(col("n").as(wKey), col("k"), col("val").as("wv")), wKey)
       .groupBy(col(keyCol).as("n"), col("k"))
-      .agg(sum(dec(round(col("err") * col("wv"), 8)) * col("m")).as("g"),
+      .agg(sum(dec(pround(col("err") * col("wv"), 8)) *
+          col("m").cast(DecimalType(12, 0))).as("g"),
         sum(col("m")).as("cnt"))
-    // The step is rounded to the WEIGHT grid (6dp) before subtraction:
-    // an 8dp step minus a 6dp weight lands on exact .xxxxxx5 half-way
-    // points ~1% of the time, where Spark's BigDecimal HALF_UP and
-    // DuckDB's float rounding can split (observed once in 384 cells at
-    // sf0.001). With both operands on the 6dp grid the difference IS a
-    // grid point, so the outer round only strips float noise — no
-    // half-way case can exist.
+    // The step is rounded to the WEIGHT grid (6dp) before subtraction,
+    // so the difference IS a grid point and the outer pround only
+    // strips float noise; both roundings are pround, hence bit-identical
+    // to the oracle's floor-formula by construction (object Scaladoc).
     def apply(w: DataFrame, g: DataFrame) = w
       .join(g, Seq("n", "k"), "left")
       .select(col("n"), col("k"),
         when(col("g").isNull, col("val"))
-          .otherwise(round(col("val") -
-            round(lit(lr) * col("g").cast("double") / col("cnt"), 6), 6))
+          .otherwise(pround(col("val") -
+            pround(lit(lr) * col("g").cast("double") / col("cnt"), 6), 6))
           .as("val"))
+    val tagged = apply(u, grads("ctr", c, "ctx")).withColumn("t", lit("u"))
+      .unionByName(apply(c, grads("ctx", u, "ctr")).withColumn("t", lit("c")))
       .localCheckpoint()
-    (apply(u, grads("ctr", c, "ctx")), apply(c, grads("ctx", u, "ctr")))
+    (tagged.filter(col("t") === "u").drop("t"),
+      tagged.filter(col("t") === "c").drop("t"))
+  }
+
+  /** Train and return the in-vector table (n, k, val) after `iters`
+    * fixed steps, reusing a pre-built vocabulary (so callers that also
+    * need vr/nv — e.g. the AUC eval — build it once). */
+  def trainSgnsFrom(walks: DataFrame, vr: DataFrame, nvDf: DataFrame,
+                    d: Int = 4, window: Int = 2, negatives: Int = 2,
+                    iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    val rows = pairGroups(walks, vr, nvDf, window, negatives)
+    val init = initIn(vr, d)
+    val tagged = init.withColumn("t", lit("u"))
+      .unionByName(init.select(col("n"), col("k"), lit(0.0).as("val"))
+        .withColumn("t", lit("c")))
+      .localCheckpoint()
+    var u = tagged.filter(col("t") === "u").drop("t")
+    var c = tagged.filter(col("t") === "c").drop("t")
+    for (_ <- 1 to iters) {
+      val (u2, c2) = step(rows, u, c, lr)
+      u = u2; c = c2
+    }
+    u
   }
 
   /** Train and return the in-vector table (n, k, val) after `iters`
@@ -137,24 +203,16 @@ object NodeEmbedding {
                 window: Int = 2, negatives: Int = 2, iters: Int = 3,
                 lr: Double = 1.0): DataFrame = {
     val (vr, nvDf) = vocabRank(nodes)
-    val rows = pairGroups(walks, vr, nvDf, window, negatives)
-    var u = initIn(vr, d).localCheckpoint()
-    var c = vr.sparkSession.emptyDataFrame
-    c = u.select(col("n"), col("k"), lit(0.0).as("val")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val (u2, c2) = step(rows, u, c, lr)
-      u = u2; c = c2
-    }
-    u
+    trainSgnsFrom(walks, vr, nvDf, d, window, negatives, iters, lr)
   }
 
   /** Link-prediction evaluation of a trained in-vector table: positive
     * class = the graph's own edges, negative class = one hash-drawn
     * node pair per edge that is NOT an edge (anti-join both
-    * orientations). Score = round-8 DECIMAL-summed in-vector dot;
+    * orientations). Score = 8dp DECIMAL-summed in-vector dot;
     * AUC = tie-aware Mann-Whitney over the DISTINCT-score histogram
     * (exact BIGINT counts until one final division — the evalSweep
-    * recipe; the ordered window runs over distinct round-8 scores,
+    * recipe; the ordered window runs over distinct 8dp scores,
     * never corpus rows). Returns one row:
     * (n_pos, n_neg, mean_pos, mean_neg, auc). */
   def linkAuc(emb: DataFrame, edges: DataFrame, vr: DataFrame,
@@ -164,7 +222,7 @@ object NodeEmbedding {
       .join(emb.select(col("n").as("nb"), col("k"), col("val").as("vb")),
         Seq("nb", "k"))
       .groupBy(col("na"), col("nb"), col("y"))
-      .agg(round(sum(dec(round(col("va") * col("vb"), 8))).cast("double"), 8)
+      .agg(pround(sum(dec(pround(col("va") * col("vb"), 8))).cast("double"), 8)
         .as("s"))
     val pos = edges.select(col("src").as("na"), col("dst").as("nb"),
       lit(1.0).as("y"))
@@ -190,9 +248,9 @@ object NodeEmbedding {
     val tot = scored.agg(
       sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
       sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("n_neg"),
-      round(sum(when(col("y") === 1.0, dec(col("s")))).cast("double") /
+      pround(sum(when(col("y") === 1.0, dec(col("s")))).cast("double") /
         sum(when(col("y") === 1.0, 1L).otherwise(0L)), 6).as("mean_pos"),
-      round(sum(when(col("y") === 0.0, dec(col("s")))).cast("double") /
+      pround(sum(when(col("y") === 0.0, dec(col("s")))).cast("double") /
         sum(when(col("y") === 0.0, 1L).otherwise(0L)), 6).as("mean_neg"))
     val wCum = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -201,7 +259,7 @@ object NodeEmbedding {
       .agg(sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("c2"))
     tot.crossJoin(broadcast(auc))
       .select(col("n_pos"), col("n_neg"), col("mean_pos"), col("mean_neg"),
-        round(col("c2").cast("double") /
+        pround(col("c2").cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 }

@@ -2515,6 +2515,82 @@ object PipelineQueries {
              FROM j WHERE inter * 5 >= uni * 4
              ORDER BY a, b"""))
 
+  /** BOUNDED-REPORT near-dup summary: per document, its single best
+    * near-dup partner (highest exact Jaccard, partner-id tie-break)
+    * from the same AllPairs/PPJoin prefix-filtered join as
+    * q_dedup_allpairs. The full pair list is output-bound by clone
+    * density (a planted-clone cluster of size c emits c·(c−1)/2 rows —
+    * at sf1 the pair dump, not the join, dominated the runtime); the
+    * top-1 report is ≤ one row per document at ANY density, so the
+    * at-scale artifact measures operator cost, not output volume —
+    * and it is the report a dedup pipeline actually consumes ("who is
+    * my duplicate", not "every duplicate pair"). Ranking compares the
+    * raw IEEE quotient inter/uni (bit-identical cross-engine — single
+    * correctly-rounded division of exact integers), never a rounded
+    * value. */
+  val dedupTop1 = QueryDef(
+    "q_dedup_top1",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val pairs = Dedup.allPairsJaccard(corpus, "doc_id", "text", 4, 5)
+      val both = pairs
+        .select($"a".as("doc_id"), $"b".as("partner"), $"inter", $"uni")
+        .unionByName(pairs
+          .select($"b".as("doc_id"), $"a".as("partner"), $"inter", $"uni"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy(($"inter" / $"uni".cast("double")).desc, $"partner")
+      both.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"partner", $"inter", $"uni",
+          round($"inter" / $"uni".cast("double"), 6).as("jaccard"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+               FROM documents WHERE doc_id < 20),
+             $shinglesCte,
+             r AS (SELECT doc_id, len(shs) AS len, unnest(shs) AS s
+                   FROM sh WHERE len(shs) > 0),
+             df AS (SELECT s, COUNT(*) AS df FROM r GROUP BY s),
+             p AS (SELECT doc_id, len, s FROM (
+                     SELECT r.doc_id, r.len, r.s,
+                            ROW_NUMBER() OVER (PARTITION BY r.doc_id
+                              ORDER BY df.df, r.s) AS rn
+                     FROM r JOIN df USING (s))
+                   WHERE rn <= len - (len * 4 + 4) // 5 + 1),
+             cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                      FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id
+                        AND y.len * 5 >= x.len * 4
+                        AND x.len * 5 >= y.len * 4),
+             j AS (SELECT c.a, c.b,
+                          len(list_intersect(sa.shs, sb.shs)) AS inter,
+                          len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs)) AS uni
+                   FROM cand c
+                   JOIN sh sa ON sa.doc_id = c.a
+                   JOIN sh sb ON sb.doc_id = c.b),
+             pairs AS (SELECT a, b, inter, uni FROM j
+                       WHERE inter * 5 >= uni * 4),
+             und AS (SELECT a AS doc_id, b AS partner, inter, uni FROM pairs
+                     UNION ALL
+                     SELECT b AS doc_id, a AS partner, inter, uni FROM pairs),
+             rk AS (SELECT doc_id, partner, inter, uni,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY inter / CAST(uni AS DOUBLE) DESC,
+                                      partner) AS rn
+                    FROM und)
+             SELECT doc_id, partner,
+                    CAST(inter AS INT) AS inter, CAST(uni AS INT) AS uni,
+                    round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+             FROM rk WHERE rn = 1
+             ORDER BY doc_id"""))
+
   /** QUALITY-AWARE near-dup resolution: MinHash-LSH pairs → connected
     * components → keep the HIGHEST-quality doc per component (heuristic
     * quality score, doc_id tie-break) — the production policy
@@ -3980,7 +4056,7 @@ object PipelineQueries {
     textLangId, textQuality, textGopher, textTokens, textFingerprint, textPhrase, textTextrank, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
-    textChunks, dedupCanonical, dedupAllPairs, dedupKeepBest, sampleStratified, textPii, textDecontam,
+    textChunks, dedupCanonical, dedupAllPairs, dedupTop1, dedupKeepBest, sampleStratified, textPii, textDecontam,
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,

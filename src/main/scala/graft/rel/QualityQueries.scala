@@ -69,18 +69,30 @@ object QualityQueries {
     * margins derive FROM the cells, so the corpus is scanned exactly
     * once); each cell's MI term pxy·ln(pxy/(px·py)) is computed from
     * exact integer counts with identical double formula text in both
-    * engines, rounded to 8 places AND emitted as DECIMAL(18,8) (the
-    * q_text_drift/q_events_decay transcendental discipline: round-12
-    * of a raw ln-product keeps ~40 platform-dependent bits of libm
-    * output and hash-diverged on the r9 driver despite matching
-    * DuckDB 1.0.0 locally bit-for-bit — round-8 + DECIMAL crushes the
-    * ulp); the total is the EXACT DECIMAL sum of the rounded terms —
-    * associative, so partition-order-independent. Outputs stay inside
-    * the int64-backed parquet envelope (precision ≤ 18): safe because
-    * |MI| ≤ ln(min(|X|,|Y|)) = ln(25) < 4, far inside the 10 integer
-    * digits DECIMAL(18,8) carries. The feature-selection /
-    * schema-drift audit a training pipeline runs before trusting a
-    * column pair. */
+    * engines, rounded to 8 places (the q_text_drift/q_events_decay
+    * transcendental discipline: round-12 of a raw ln-product keeps
+    * ~40 platform-dependent bits of libm output and hash-diverged on
+    * the r9 driver despite matching DuckDB 1.0.0 locally
+    * bit-for-bit — round-8 crushes the ulp); the total is the EXACT
+    * integer sum of the scaled terms — associative, so
+    * partition-order-independent.
+    *
+    * OUTPUT TYPE (round-10 post-mortem): the terms are emitted as
+    * SCALED BIGINTs (`mi_term_e8` = term × 10^8), NOT DECIMAL(18,8).
+    * Three consecutive rounds of DECIMAL(18,8) terms hash-failed at
+    * the driver while matching the local oracle value-for-value, and
+    * the r10 verdict's scan showed this was the ONLY registry query
+    * emitting a NEGATIVE decimal column (63/125 terms < 0) while
+    * negative BIGINT/DOUBLE outputs pass in 28 green queries — the
+    * driver's hasher canonicalizes signed int64-backed parquet
+    * decimals differently from DuckDB (CLAUDE.md invariant 11).
+    * Signed fixed-point integers carry the identical information
+    * portably: |MI| ≤ ln(25) < 4, so |term|·10^8 < 4·10^8 ≪ 2^63.
+    * The scale factor is exact on both engines: round-8 double →
+    * DECIMAL(18,8) (no tie: the double sits ~1e-16·|x| ≪ 5e-9 from
+    * the 8dp grid point) → ×10^8 exact decimal multiply → exact
+    * integer cast. The feature-selection / schema-drift audit a
+    * training pipeline runs before trusting a column pair. */
   val statsMi = QueryDef.sqlBoth(
     "q_stats_mi",
     sparkSql = """
@@ -92,15 +104,15 @@ object QualityQueries {
       tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
       terms AS (
         SELECT nat, seg, cxy,
-               CAST(round((CAST(cxy AS DOUBLE) / n) *
+               CAST(CAST(round((CAST(cxy AS DOUBLE) / n) *
                           ln((CAST(cxy AS DOUBLE) * n) /
                              (CAST(cx AS DOUBLE) * cy)), 8)
-                    AS DECIMAL(18,8)) AS mi_term
+                    AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS mi_term_e8
         FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
       total AS (
-        SELECT CAST(SUM(mi_term) AS DECIMAL(18,8)) AS mi_total
+        SELECT CAST(SUM(mi_term_e8) AS BIGINT) AS mi_total_e8
         FROM terms)
-      SELECT nat, seg, cxy, mi_term, mi_total
+      SELECT nat, seg, cxy, mi_term_e8, mi_total_e8
       FROM terms CROSS JOIN total
       ORDER BY nat, seg""",
     duckSql = """
@@ -112,15 +124,15 @@ object QualityQueries {
       tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
       terms AS (
         SELECT nat, seg, cxy,
-               CAST(round((CAST(cxy AS DOUBLE) / n) *
+               CAST(CAST(round((CAST(cxy AS DOUBLE) / n) *
                           ln((CAST(cxy AS DOUBLE) * n) /
                              (CAST(cx AS DOUBLE) * cy)), 8)
-                    AS DECIMAL(18,8)) AS mi_term
+                    AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS mi_term_e8
         FROM cells JOIN rx USING (nat) JOIN ry USING (seg) CROSS JOIN tot),
       total AS (
-        SELECT CAST(SUM(mi_term) AS DECIMAL(18,8)) AS mi_total
+        SELECT CAST(SUM(mi_term_e8) AS BIGINT) AS mi_total_e8
         FROM terms)
-      SELECT nat, seg, cxy, mi_term, mi_total
+      SELECT nat, seg, cxy, mi_term_e8, mi_total_e8
       FROM terms CROSS JOIN total
       ORDER BY nat, seg""")
 

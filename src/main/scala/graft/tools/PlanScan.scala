@@ -35,13 +35,12 @@ object PlanScan {
       "bounded by the VALUE DOMAIN (floor(value*10), ≤ ~5k buckets at " +
       "any corpus size), never corpus rows; the corpus is touched only " +
       "by the map-side bucket groupBy"),
-    "q_graph_embeddings" -> ("ROW_NUMBER vocabulary rank over the " +
-      "DISTINCT-node table (|V| rows — the negative-sampling index), " +
-      "never corpus/pair rows; training itself is joins + keyed groupBys"),
-    "q_graph_embed_auc" -> ("the same |V|-row vocabulary rank, plus the " +
-      "Mann-Whitney cumulative window over the DISTINCT round-8 score " +
-      "table (Classifier.evalSweep convention) — both bounded domains, " +
-      "never corpus rows"))
+    // q_graph_embeddings is NO LONGER here: the |V|-row vocabulary rank
+    // window became a distributed range-sort + zipWithIndex (r10 verdict
+    // perf item — |V| grows with the corpus for sparseEdges graphs).
+    "q_graph_embed_auc" -> ("Mann-Whitney cumulative window over the " +
+      "DISTINCT round-8 score table (Classifier.evalSweep convention) — " +
+      "a bounded domain, never corpus rows"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,

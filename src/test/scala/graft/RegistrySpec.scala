@@ -66,6 +66,40 @@ class RegistrySpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("decimal output columns are the reviewed nonnegative set (invariant 11)") {
+    // Round-10 lesson (q_stats_mi, red for THREE rounds): the driver's
+    // hasher canonicalizes SIGNED int64-backed parquet decimals
+    // differently from DuckDB — it was the only query emitting a
+    // negative DECIMAL column, while negative BIGINT/DOUBLE outputs
+    // pass in 28 green queries. Sign can't be checked statically, so
+    // the gate is a reviewed allowlist: a query may output DECIMAL
+    // columns ONLY if listed here, and listing requires a documented
+    // nonnegativity bound in the query's Scaladoc. Anything signed
+    // must ship as a scaled BIGINT (q_stats_mi's mi_term_e8) or DOUBLE.
+    // As of round 11 the allowlist is EMPTY: q_stats_mi was the last
+    // decimal-emitting query - every output in the registry is now
+    // BIGINT/DOUBLE/INT/STRING/DATE/..., so the whole decimal-hasher
+    // class (r8 decimal128, r10 signed-int64-decimal) is closed by
+    // construction, not by per-query luck.
+    val reviewed: Set[String] = Set()
+    import org.apache.spark.sql.types.DecimalType
+    def hasDec(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDec(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasDec(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasDec(m.keyType) || hasDec(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.registry.filter { q =>
+      q.run(spark, sf).schema.fields.exists(f => hasDec(f.dataType)) &&
+        !reviewed.contains(q.name)
+    }.map(_.name)
+    assert(offenders.isEmpty,
+      "decimal OUTPUT columns need a reviewed nonnegativity bound " +
+        "(CLAUDE.md invariant 11) — add to the allowlist WITH a Scaladoc " +
+        s"bound, or emit a scaled BIGINT/DOUBLE instead: $offenders")
+  }
+
   test("no transcendental is rounded beyond 8dp (driver libm portability)") {
     // Round-9 lesson (CORRECTNESS_r09 q_stats_mi): round(ln(...), 12) keeps
     // ~40 bits of libm output — bit-identical vs the LOCAL DuckDB 1.0.0 yet
