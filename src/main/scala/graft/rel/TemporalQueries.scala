@@ -288,6 +288,71 @@ object TemporalQueries {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_pairs
     FROM med CROSS JOIN imed"""
 
+  // --------------------------------------------- Holt linear smoothing
+  /** Holt double-exponential smoothing (level + trend, α = β = 0.5) over
+    * the daily event-volume series — the forecasting/monitoring
+    * companion to q_stats_acf/q_stats_seasonal/q_events_decay (which
+    * smooth level only; Holt tracks a drifting TREND, the statistic a
+    * volume monitor alerts on). The recurrence runs as the SAME
+    * `WITH RECURSIVE` text on both engines (the q_graph_bfs_sql
+    * pattern): l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} — identical IEEE op
+    * sequence, so the smoothed path is bit-identical cross-engine; the
+    * 6dp output rounding uses the floor idiom (invariant 12: with
+    * α = 1/2 every state is a dyadic rational, and dyadic rationals DO
+    * land exactly on .xxxxxx5 — round() would tie-split). Recursion
+    * depth = #days (bounded by the time span, never corpus rows); the
+    * corpus is touched once by the map-side daily groupBy, and the
+    * Spark side localCheckpoints the daily table BEFORE the recursion
+    * (UnionLoop re-executes the step subtree per level — the CLAUDE.md
+    * materialize-first rule). */
+  private def holtCte(daily: String) =
+    s"""hw(t, x, l, b) AS (
+       |  SELECT CAST(1 AS BIGINT), d1.x,
+       |         CAST(d1.x AS DOUBLE),
+       |         CAST(d2.x - d1.x AS DOUBLE)
+       |  FROM $daily d1 JOIN $daily d2 ON d2.t = 2
+       |  WHERE d1.t = 1
+       |  UNION ALL
+       |  SELECT d.t, d.x,
+       |         0.5 * d.x + 0.5 * (hw.l + hw.b),
+       |         0.5 * ((0.5 * d.x + 0.5 * (hw.l + hw.b)) - hw.l) + 0.5 * hw.b
+       |  FROM hw JOIN $daily d ON d.t = hw.t + 1)""".stripMargin
+
+  private val holtSelect =
+    """SELECT t, x,
+      |       floor(l * 1e6 + 0.5) / 1e6 AS level,
+      |       floor(b * 1e6 + 0.5) / 1e6 AS trend,
+      |       floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast_next
+      |FROM hw ORDER BY t""".stripMargin
+
+  val statsHolt = QueryDef(
+    "q_stats_holt",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // one row per calendar day (bounded by the time span) — the
+      // q_stats_acf daily-table convention; checkpointed so the
+      // recursion joins a cached 30-row table, not the events scan
+      graft.Tables(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"))
+        .select(row_number().over(Window.orderBy(col("d")))
+          .cast("long").as("t"), col("x"))
+        .localCheckpoint()
+        .createOrReplaceTempView("holt_daily")
+      s.sql(s"""WITH RECURSIVE ${holtCte("holt_daily")}
+                |$holtSelect""".stripMargin)
+    },
+    Some(s"""WITH RECURSIVE daily0 AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |daily AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, x
+         |  FROM daily0),
+         |${holtCte("daily")}
+         |$holtSelect""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(intervalConcurrency, intervalUnion, statsAcf,
-    calibIsotonic, privacyDp, statsTheilsen)
+    calibIsotonic, privacyDp, statsTheilsen, statsHolt)
 }
