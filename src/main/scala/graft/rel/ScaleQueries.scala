@@ -820,7 +820,10 @@ object ScaleQueries {
     "q_graph_louvain",
     (s, dir) => {
       import s.implicits._
-      val edges = sparseEdges(s, dir)
+      // checkpoint the derived edge table once: LPA and the move round
+      // each re-derive bothWays(edges), and without the checkpoint each
+      // re-pays the events scan + JSON parse + distinct
+      val edges = sparseEdges(s, dir).localCheckpoint()
       GraphAnalytics.louvainMove(edges,
           GraphAnalytics.labelPropagation(edges, iters = 3))
         .orderBy($"node")
@@ -841,7 +844,7 @@ object ScaleQueries {
     "q_graph_coarsen",
     (s, dir) => {
       import s.implicits._
-      val edges = sparseEdges(s, dir)
+      val edges = sparseEdges(s, dir).localCheckpoint()
       GraphAnalytics.coarsenGraph(edges,
           GraphAnalytics.louvainMove(edges,
             GraphAnalytics.labelPropagation(edges, iters = 3)))
@@ -877,7 +880,7 @@ object ScaleQueries {
     "q_graph_louvain2",
     (s, dir) => {
       import s.implicits._
-      val edges = sparseEdges(s, dir)
+      val edges = sparseEdges(s, dir).localCheckpoint()
       // l1 feeds BOTH the coarsening and the final label join — checkpoint
       // once so the LPA+move chain isn't executed twice
       val l1 = GraphAnalytics.louvainMove(edges,
