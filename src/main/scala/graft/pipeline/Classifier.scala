@@ -150,6 +150,50 @@ object Classifier {
       .orderBy(col("thr"))
   }
 
+  /** Reliability table + expected calibration error of the trained
+    * model on its training set — the audit that makes the sigmoid SCORES
+    * (not just the ranking evalSweep validates) trustworthy as selection
+    * weights: per decile bin of predicted probability, does the empirical
+    * positive rate match the mean prediction? ECE = Σ_b (n_b/N)·|acc_b −
+    * conf_b| (Naeini et al. AAAI'15 / Guo et al. ICML'17's standard
+    * form). One corpus pass into a ≤10-row bin table; acc/conf are
+    * single IEEE divisions of exact aggregates (counts; the confidence
+    * numerator is an exact DECIMAL(18,8) sum of the 8dp scores); the ECE
+    * total floor-8s each bin gap onto the 1e-8 grid, scales by the exact
+    * bin count through a DECIMAL(12,0) cast (invariant 12 — a BIGINT
+    * multiply would silently clip the scale), sums exactly, and divides
+    * once. Bin index floor(s·10) is an exact integral double, so
+    * DuckDB's round-to-nearest double→int cast and Spark's truncation
+    * agree. Returns (bin, n, npos, acc, conf, ece). */
+  def calibration(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0): DataFrame = {
+    val feat = feat0.localCheckpoint()
+    val w = weightsFrame(feat, iters, lr)
+    def f(c: Column, k: Int) = {
+      val p = math.pow(10, k)
+      floor(c * lit(p) + lit(0.5)) / lit(p)
+    }
+    val agg = feat.crossJoin(broadcast(w))
+      .select(scoreExpr.as("s"), col("y"))
+      .select(least(floor(col("s") * 10), lit(9L)).cast("int").as("bin"),
+        col("s"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("npos"),
+        sum(col("s").cast(DecimalType(18, 8))).as("ssum"))
+      .localCheckpoint()
+    val acc = col("npos").cast("double") / col("n")
+    val conf = col("ssum").cast("double") / col("n")
+    val ece = agg
+      .select((f(abs(acc - conf), 8).cast(DecimalType(18, 8)) *
+        col("n").cast(DecimalType(12, 0))).as("t"), col("n"))
+      .agg(sum(col("t")).as("tsum"), sum(col("n")).as("nn"))
+      .select(f(col("tsum").cast("double") / col("nn"), 6).as("ece"))
+    agg.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("npos"),
+        f(acc, 6).as("acc"), f(conf, 6).as("conf"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
   /** The junk suffix the declared query plants to build its positive
     * class: 20 letter-free tokens — the degenerate-document shape (number
     * spam, symbol boilerplate) a production quality filter exists to

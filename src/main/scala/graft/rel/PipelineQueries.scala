@@ -3446,6 +3446,44 @@ object PipelineQueries {
          |FROM sw, tot, auc ORDER BY thr""".stripMargin
     })
 
+  /** Reliability diagram + expected calibration error of the trained
+    * quality filter ([[graft.pipeline.Classifier.calibration]]): per
+    * probability-decile bin, empirical positive rate vs mean predicted
+    * probability, plus the Σ(n_b/N)·|acc−conf| summary — the audit that
+    * licenses using the classifier's SCORES as selection weights
+    * (q_text_classifier_eval validates only the ranking). The oracle
+    * replays training via the shared unrolled GD CTEs, then the same
+    * bin algebra: exact counts, exact DECIMAL(18,8) score sums,
+    * floor-idiom gaps scaled by DECIMAL(12,0) bin counts (invariant 12),
+    * one final division. ≤ 10 bins at any corpus scale. */
+  val textClassifierEce = QueryDef(
+    "q_text_classifier_ece",
+    (s, dir) => Classifier.calibration(
+      Classifier.qualityFeatures(Tables(s, dir, "documents")),
+      iters = 5, lr = 2.0),
+    Some {
+      s"""WITH ${logRegCtes(5)},
+         |sc AS (SELECT y, round(1.0/(1.0 + exp(-$logRegZ)), 8) AS s FROM f, w5_),
+         |b AS (SELECT CAST(LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS INT) AS bin,
+         |             s, y
+         |      FROM sc),
+         |agg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         |               SUM(CAST(s AS DECIMAL(18,8))) AS ssum
+         |        FROM b GROUP BY bin),
+         |ece AS (SELECT floor((CAST(SUM(t) AS DOUBLE) / SUM(n)) * 1e6 + 0.5) / 1e6 AS ece
+         |        FROM (SELECT n,
+         |                     CAST(floor(abs(CAST(npos AS DOUBLE) / n -
+         |                                    CAST(ssum AS DOUBLE) / n) * 1e8 + 0.5) / 1e8
+         |                          AS DECIMAL(18,8)) * CAST(n AS DECIMAL(12,0)) AS t
+         |              FROM agg))
+         |SELECT bin, n, npos,
+         |       floor((CAST(npos AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS acc,
+         |       floor((CAST(ssum AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS conf,
+         |       ece
+         |FROM agg, ece ORDER BY bin""".stripMargin
+    })
+
   /** Pointwise mutual information over adjacent token pairs — collocation
     * mining, the standard phrase-detection pass (word2vec-style phrase
     * merging, stopword-collocation auditing) a corpus pipeline runs before
@@ -4060,7 +4098,7 @@ object PipelineQueries {
     textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
-    textPmi, textClassifier, textClassifierEval, dedupSemantic,
+    textPmi, textClassifier, textClassifierEval, textClassifierEce, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
     vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg, rankMrr,

@@ -63,6 +63,21 @@ class EvalSpec extends SparkSpec {
     assert((n * (n11 + n00) - e).toDouble / (n * n - e) == 1.0)
   }
 
+  test("ECE: bins partition the score range and the summary matches the bins") {
+    val rows = SparkEntry.queries("q_text_classifier_ece")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ece = rows.head.getDouble(5)
+    assert(ece >= 0.0 && ece <= 1.0)
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((0 to 9).toSet))
+    // recompute from the (floor-6) bin rows — must agree within the
+    // rounding slack the output carries (gaps floor-8 pre-sum, acc/conf
+    // floor-6 in the report)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val recomputed = rows.map(r =>
+      r.getLong(1) * math.abs(r.getDouble(3) - r.getDouble(4))).sum / n
+    assert(math.abs(recomputed - ece) < 2e-5, s"$recomputed vs $ece")
+  }
+
   test("Holt on the declared series: level+trend one-step identity") {
     // forecast_next must equal the floor-6 of (l + b) of the SAME row,
     // and the recursion must start at l1 = x1 (level equals the first
