@@ -55,8 +55,13 @@ object Classifier {
   }
 
   /** The 1-row trained weight frame (w0..w3) after `iters` fixed GD
-    * steps from a zero start — shared by [[trainLogReg]] and
-    * [[evalSweep]]. */
+    * steps from a zero start — the public entry the declared-query memo
+    * uses (training is bit-deterministic, so sharing the trained row
+    * across the three classifier queries cannot change any result; the
+    * trainedCentMemo convention). */
+  def trainWeights(feat0: DataFrame, iters: Int, lr: Double): DataFrame =
+    weightsFrame(feat0.localCheckpoint(), iters, lr).localCheckpoint()
+
   private def weightsFrame(feat: DataFrame, iters: Int, lr: Double): DataFrame = {
     var w = feat.sparkSession.range(1).select(
       lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"), lit(0.0).as("w3"))
@@ -76,12 +81,13 @@ object Classifier {
     * (feature, weight, train_acc) — train_acc is the ≥0.5-threshold
     * accuracy of the FINAL weights on the training set. */
   def trainLogReg(feat0: DataFrame, names: Seq[String],
-                  iters: Int = 3, lr: Double = 2.0): DataFrame = {
+                  iters: Int = 3, lr: Double = 2.0,
+                  trained: Option[DataFrame] = None): DataFrame = {
     require(names.length == 4, "bias + 3 feature names")
     // every GD step re-reads the features; materialize the (narrow,
     // 4-double) frame once instead of re-tokenizing the corpus per pass
     val feat = feat0.localCheckpoint()
-    val w = weightsFrame(feat, iters, lr)
+    val w = trained.getOrElse(weightsFrame(feat, iters, lr))
     val p = scoreExpr
     val acc = feat.crossJoin(broadcast(w))
       .agg(round(avg(when((p >= 0.5) === (col("y") === 1.0), 1.0)
@@ -111,9 +117,10 @@ object Classifier {
     * hash matches the oracle at any parallelism. The ordered window runs
     * over the distinct-score table only (documented bounded domain — a
     * global window over the corpus would be the rrfFuse scale-killer). */
-  def evalSweep(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0): DataFrame = {
+  def evalSweep(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0,
+                trained: Option[DataFrame] = None): DataFrame = {
     val feat = feat0.localCheckpoint()
-    val w = weightsFrame(feat, iters, lr)
+    val w = trained.getOrElse(weightsFrame(feat, iters, lr))
     val groups = feat.crossJoin(broadcast(w))
       .select(scoreExpr.as("s"), col("y"))
       .groupBy(col("s"))
@@ -165,9 +172,10 @@ object Classifier {
     * once. Bin index floor(s·10) is an exact integral double, so
     * DuckDB's round-to-nearest double→int cast and Spark's truncation
     * agree. Returns (bin, n, npos, acc, conf, ece). */
-  def calibration(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0): DataFrame = {
+  def calibration(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0,
+                  trained: Option[DataFrame] = None): DataFrame = {
     val feat = feat0.localCheckpoint()
-    val w = weightsFrame(feat, iters, lr)
+    val w = trained.getOrElse(weightsFrame(feat, iters, lr))
     def f(c: Column, k: Int) = {
       val p = math.pow(10, k)
       floor(c * lit(p) + lit(0.5)) / lit(p)

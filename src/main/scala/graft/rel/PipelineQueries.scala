@@ -113,6 +113,25 @@ object PipelineQueries {
       Similarity.kmeansCentroids(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", iters = 2,
         corpusN = Tables.rowCount(s, dir, "embeddings")))
+  /** The classifier family's shared training (trainedCentMemo
+    * convention): q_text_classifier, q_text_classifier_eval, and
+    * q_text_classifier_ece train the IDENTICAL model on the IDENTICAL
+    * feature frame — features and the 1-row weight frame are built once
+    * per (session, sfDir) and the three queries diverge only in what
+    * they report (weights / operating curve / calibration). */
+  private val qualFeatMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def qualFeat(s: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    qualFeatMemo.getOrElseUpdate((s, dir),
+      Classifier.qualityFeatures(Tables(s, dir, "documents")).localCheckpoint())
+  private val logRegMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def logRegWeights(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    logRegMemo.getOrElseUpdate((s, dir),
+      Classifier.trainWeights(qualFeat(s, dir), iters = 5, lr = 2.0))
+
   private val trainedPqMemo =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private def trainedPqCodebook(s: org.apache.spark.sql.SparkSession,
@@ -3388,9 +3407,9 @@ object PipelineQueries {
   val textClassifier = QueryDef(
     "q_text_classifier",
     (s, dir) => Classifier.trainLogReg(
-      Classifier.qualityFeatures(Tables(s, dir, "documents")),
+      qualFeat(s, dir),
       names = Seq("bias", "stop_cov", "tok_len", "nonalpha"),
-      iters = 5, lr = 2.0),
+      iters = 5, lr = 2.0, trained = Some(logRegWeights(s, dir))),
     Some {
       s"""WITH ${logRegCtes(5)},
          |acc AS (SELECT round(AVG(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_acc
@@ -3414,8 +3433,8 @@ object PipelineQueries {
   val textClassifierEval = QueryDef(
     "q_text_classifier_eval",
     (s, dir) => Classifier.evalSweep(
-      Classifier.qualityFeatures(Tables(s, dir, "documents")),
-      iters = 5, lr = 2.0),
+      qualFeat(s, dir),
+      iters = 5, lr = 2.0, trained = Some(logRegWeights(s, dir))),
     Some {
       s"""WITH ${logRegCtes(5)},
          |sc AS (SELECT y, round(1.0/(1.0 + exp(-$logRegZ)), 8) AS s FROM f, w5_),
@@ -3459,8 +3478,8 @@ object PipelineQueries {
   val textClassifierEce = QueryDef(
     "q_text_classifier_ece",
     (s, dir) => Classifier.calibration(
-      Classifier.qualityFeatures(Tables(s, dir, "documents")),
-      iters = 5, lr = 2.0),
+      qualFeat(s, dir),
+      iters = 5, lr = 2.0, trained = Some(logRegWeights(s, dir))),
     Some {
       s"""WITH ${logRegCtes(5)},
          |sc AS (SELECT y, round(1.0/(1.0 + exp(-$logRegZ)), 8) AS s FROM f, w5_),
