@@ -315,5 +315,121 @@ object EvalQueries {
          |              CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - e AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS kappa
          |FROM wide""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(evalCer, evalBleu, evalRouge, labelKappa)
+  // ---------------------------------------------------- Bradley-Terry
+  /** Bradley-Terry strength fitting from pairwise preferences (the
+    * preference-aggregation op of RLHF/eval pipelines: turn "A beat B"
+    * comparisons into per-item strengths) via Hunter's MM algorithm
+    * (Hunter, Annals of Statistics 2004), 5 fixed iterations:
+    * w_i ← (W_i + 1) / Σ_{j≠i} t_ij / (w_i + w_j), then normalize —
+    * add-one win smoothing keeps every strength strictly positive (a
+    * zero-win item would otherwise zero out and poison the shared
+    * denominators with ∞). Comparisons are a pure function of the
+    * corpus: doc 2k vs doc 2k+1 (an equi-join on doc_id parity — NO
+    * global window over the corpus), winner = more tokens, tie = lower
+    * doc_id, same-source pairs dropped; items are the SOURCES, so the
+    * fit ranks domains by document "wins". Scale shape: one corpus
+    * pass into a ≤|sources|² count matrix; the MM iterations run on
+    * that tiny table (each per-i denominator is an exact DECIMAL sum
+    * of floor-8 terms — order-independent; one double division per
+    * item per iteration). The oracle replays all 5 iterations as
+    * unrolled CTEs. */
+  val prefBt = QueryDef(
+    "q_pref_bt",
+    (s, dir) => {
+      import s.implicits._
+      def f8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      def f6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val d = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", $"source", size(TextOps.tokens($"text")).as("nt"))
+      val a = d.filter($"doc_id" % 2 === 0)
+        .select(($"doc_id" / 2).cast("long").as("p"),
+          $"source".as("sa"), $"nt".as("na"), $"doc_id".as("ida"))
+      val b = d.filter($"doc_id" % 2 === 1)
+        .select((($"doc_id" - 1) / 2).cast("long").as("p"),
+          $"source".as("sb"), $"nt".as("nb"))
+      val cmp = a.join(b, "p").filter($"sa" =!= $"sb")
+        .select(
+          when($"na" >= $"nb", $"sa").otherwise($"sb").as("wi"),
+          when($"na" >= $"nb", $"sb").otherwise($"sa").as("lj"))
+      val m = cmp.groupBy($"wi", $"lj").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val t = m.select($"wi".as("i"), $"lj".as("j"), $"n")
+        .unionByName(m.select($"lj".as("i"), $"wi".as("j"), $"n"))
+        .groupBy($"i", $"j").agg(sum($"n").as("t"))
+        .localCheckpoint()
+      val wins = t.select($"i").distinct()
+        .join(m.groupBy($"wi").agg(sum($"n").as("w0"))
+          .withColumnRenamed("wi", "i"), Seq("i"), "left")
+        .select($"i", (coalesce($"w0", lit(0L)) + 1).as("wp"))
+        .localCheckpoint()
+      val ncmp = t.groupBy($"i").agg(sum($"t").as("ncmp"))
+      var w = wins.select($"i", lit(1.0).as("w"))
+      for (_ <- 1 to 5) {
+        val den = t
+          .join(w.select($"i", $"w".as("vi")), "i")
+          .join(w.select($"i".as("j"), $"w".as("vj")), "j")
+          .groupBy($"i")
+          .agg(sum(f8($"t" / ($"vi" + $"vj")).cast(DecimalType(18, 8))).as("s"))
+        val raw = wins.join(den, "i")
+          .select($"i", f8($"wp".cast("double") / $"s".cast("double")).as("r"))
+        val z = raw.agg(sum($"r".cast(DecimalType(18, 8))).as("z"))
+        w = raw.crossJoin(broadcast(z))
+          .select($"i", f8($"r" / $"z".cast("double")).as("w"))
+          .localCheckpoint()
+      }
+      w.join(wins, "i").join(ncmp, "i")
+        .select($"i".as("source"), ($"wp" - 1).as("wins"), $"ncmp",
+          f6($"w").as("strength"))
+        .orderBy($"strength".desc, $"source")
+    },
+    Some {
+      def f(x: String, k: Int) = s"floor(($x) * 1e$k + 0.5) / 1e$k"
+      def iter(k: Int) =
+        s"""den$k AS (
+           |  SELECT t.i, SUM(CAST(${f(s"t.t / (wi.w + wj.w)", 8)}
+           |                   AS DECIMAL(18,8))) AS s
+           |  FROM t JOIN w${k - 1} wi ON wi.i = t.i
+           |         JOIN w${k - 1} wj ON wj.i = t.j
+           |  GROUP BY t.i),
+           |raw$k AS (
+           |  SELECT wins.i, ${f(s"CAST(wins.wp AS DOUBLE) / CAST(den$k.s AS DOUBLE)", 8)} AS r
+           |  FROM wins JOIN den$k ON den$k.i = wins.i),
+           |z$k AS (SELECT SUM(CAST(r AS DECIMAL(18,8))) AS z FROM raw$k),
+           |w$k AS MATERIALIZED (
+           |  SELECT i, ${f(s"r / CAST(z AS DOUBLE)", 8)} AS w FROM raw$k, z$k)"""
+          .stripMargin
+      s"""WITH d AS (SELECT doc_id, source,
+         |                  CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+         |cmp AS (
+         |  SELECT CASE WHEN a.nt >= b.nt THEN a.source ELSE b.source END AS wi,
+         |         CASE WHEN a.nt >= b.nt THEN b.source ELSE a.source END AS lj
+         |  FROM (SELECT doc_id // 2 AS p, source, nt FROM d WHERE doc_id % 2 = 0) a
+         |  JOIN (SELECT (doc_id - 1) // 2 AS p, source, nt FROM d WHERE doc_id % 2 = 1) b
+         |    ON a.p = b.p
+         |  WHERE a.source <> b.source),
+         |m AS MATERIALIZED (
+         |  SELECT wi, lj, CAST(COUNT(*) AS BIGINT) AS n FROM cmp GROUP BY wi, lj),
+         |t AS MATERIALIZED (
+         |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS t FROM (
+         |    SELECT wi AS i, lj AS j, n FROM m
+         |    UNION ALL SELECT lj AS i, wi AS j, n FROM m)
+         |  GROUP BY i, j),
+         |wins AS MATERIALIZED (
+         |  SELECT it.i, CAST(COALESCE(wm.w0, 0) + 1 AS BIGINT) AS wp
+         |  FROM (SELECT DISTINCT i FROM t) it
+         |  LEFT JOIN (SELECT wi AS i, SUM(n) AS w0 FROM m GROUP BY wi) wm
+         |    ON wm.i = it.i),
+         |ncmp AS (SELECT i, CAST(SUM(t) AS BIGINT) AS ncmp FROM t GROUP BY i),
+         |w0 AS (SELECT i, 1.0 AS w FROM wins),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT w5.i AS source, wins.wp - 1 AS wins, ncmp.ncmp,
+         |       ${f("w5.w", 6)} AS strength
+         |FROM w5 JOIN wins ON wins.i = w5.i JOIN ncmp ON ncmp.i = w5.i
+         |ORDER BY strength DESC, source""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(evalCer, evalBleu, evalRouge, labelKappa,
+    prefBt)
 }

@@ -2807,6 +2807,55 @@ object PipelineQueries {
                       AS resample_rate
              FROM bs, t ORDER BY source"""))
 
+  /** Temperature-scaled domain sampling (w_s ∝ n_s^α, α = 1/2 — the
+    * multilingual/multi-domain upsampling rule of mBERT/XLM-R/mT5-class
+    * training mixes): between natural proportions (α = 1, big domains
+    * drown small ones) and uniform (α = 0, q_mix_weights' target), the
+    * temperature exponent boosts low-resource domains by √-law. α = 1/2
+    * makes every per-item op IEEE-exact-or-rounded-identically: sqrt is
+    * CORRECTLY ROUNDED by IEEE 754 (unlike pow/exp — no libm risk at
+    * all), the normalizer is an exact DECIMAL(18,8) sum of the 8dp-cast
+    * terms (order-independent), and each weight/boost is division +
+    * floor-idiom 6dp. One groupBy over the corpus; everything after is
+    * |sources| rows. */
+  val mixTemperature = QueryDef(
+    "q_mix_temperature",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      def f6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val bySource = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", size(TextOps.tokens($"text")).cast("long").as("nt"))
+        .groupBy($"source")
+        .agg(sum($"nt").as("tokens"))
+        .select($"source", $"tokens",
+          sqrt($"tokens".cast("double")).cast(DecimalType(18, 8)).as("u"))
+      val tot = bySource.agg(
+        sum($"u").as("z"), sum($"tokens").as("total"))
+      bySource.crossJoin(broadcast(tot))
+        .select($"source", $"tokens",
+          f6($"u".cast("double") / $"z".cast("double")).as("weight"),
+          f6(($"u".cast("double") / $"z".cast("double")) /
+            ($"tokens".cast("double") / $"total".cast("double"))).as("boost"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH d AS (SELECT source,
+                    CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             bs AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tokens
+                    FROM d GROUP BY source),
+             u AS (SELECT source, tokens,
+                          CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,8)) AS u
+                   FROM bs),
+             t AS (SELECT SUM(u) AS z, CAST(SUM(tokens) AS BIGINT) AS total FROM u)
+             SELECT source, tokens,
+                    floor((CAST(u AS DOUBLE) / CAST(z AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                      AS weight,
+                    floor(((CAST(u AS DOUBLE) / CAST(z AS DOUBLE)) /
+                           (CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                      AS boost
+             FROM u, t ORDER BY source"""))
+
   /** Deterministic weighted source interleave — the executable training
     * ORDER the mixture weights feed (stride scheduling / weighted
     * round-robin): each doc's virtual time is rank-within-source divided
@@ -4114,7 +4163,7 @@ object PipelineQueries {
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupTop1, dedupKeepBest, sampleStratified, textPii, textDecontam,
-    textPack, vecQuantize, textPerplexity, mixWeights, mixSchedule, mixWaterfill, vecCentroids,
+    textPack, vecQuantize, textPerplexity, mixWeights, mixTemperature, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
     textPmi, textClassifier, textClassifierEval, textClassifierEce, dedupSemantic,

@@ -78,6 +78,35 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(recomputed - ece) < 2e-5, s"$recomputed vs $ece")
   }
 
+  test("Bradley-Terry: strengths normalize and respect dominant win rates") {
+    val rows = SparkEntry.queries("q_pref_bt")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val strengths = rows.map(_.getDouble(3))
+    assert(math.abs(strengths.sum - 1.0) < 1e-4, s"sum ${strengths.sum}")
+    assert(strengths.forall(s => s > 0.0 && s < 1.0))
+    // output is ordered strength desc — the top item must not have a
+    // lower win RATE than the bottom item (MM preserves gross dominance)
+    val top = rows.head; val bot = rows.last
+    def rate(r: org.apache.spark.sql.Row) =
+      r.getLong(1).toDouble / r.getLong(2)
+    assert(rate(top) >= rate(bot) - 1e-9)
+  }
+
+  test("temperature sampling: weights normalize, small domains boosted") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    val ws = rows.map(_.getDouble(2))
+    assert(math.abs(ws.sum - 1.0) < 1e-4)
+    val toks = rows.map(_.getLong(1))
+    val mean = toks.sum.toDouble / toks.length
+    // sqrt-law: every below-mean domain has boost > 1 iff above-mean
+    // domains exist to donate mass (true on this fixture)
+    rows.foreach { r =>
+      val boost = r.getDouble(3)
+      if (r.getLong(1) < mean * 0.5) assert(boost > 1.0,
+        s"${r.getString(0)}: boost $boost for ${r.getLong(1)} toks")
+    }
+  }
+
   test("Holt on the declared series: level+trend one-step identity") {
     // forecast_next must equal the floor-6 of (l + b) of the SAME row,
     // and the recursion must start at l1 = x1 (level equals the first
