@@ -363,6 +363,48 @@ object PipelineQueries {
              FROM g1 WHERE n < 5
              ORDER BY level"""))
 
+  /** l-diversity audit of the k-anonymous release (Machanavajjhala et
+    * al., ICDE 2006) — the homogeneity-attack check k-anonymity alone
+    * misses: a group of ≥ k rows that all share ONE sensitive value
+    * still discloses it for every member. Over q_privacy_kanon's
+    * release policy (QI = (region, segment), k = 5 — one rung up
+    * q_privacy_kanon's ladder so the audit is non-vacuous at every SF),
+    * each equivalence class reports its distinct-l of the sensitive
+    * attribute (balance bucket = floor(acctbal/2000) — exact integer)
+    * and whether it clears l ≥ 3. All-integer arithmetic; one
+    * groupBy with a distinct-count — the class table is bounded by
+    * |QI domain|, never corpus rows. */
+  val privacyLdiv = QueryDef(
+    "q_privacy_ldiv",
+    (s, dir) => {
+      import s.implicits._
+      val K = 5
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")
+          .select($"n_nationkey", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"n_regionkey", $"c_mktsegment",
+          floor($"c_acctbal" / 2000.0).cast("int").as("bucket"))
+      val g = cust.groupBy($"n_regionkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"bucket").as("l"))
+        .filter($"n" >= K)
+      g.select($"n_regionkey".as("region"), $"c_mktsegment".as("segment"),
+          $"n", $"l", ($"l" >= 3).as("diverse"))
+        .orderBy($"region", $"segment")
+    },
+    Some("""WITH c AS (SELECT n.n_regionkey, c.c_mktsegment,
+                              CAST(floor(c.c_acctbal / 2000.0) AS INT) AS bucket
+                       FROM customer c
+                       JOIN nation n ON n.n_nationkey = c.c_nationkey),
+            g AS (SELECT n_regionkey AS region, c_mktsegment AS segment,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS l
+                  FROM c GROUP BY 1, 2)
+            SELECT region, segment, n, l, l >= 3 AS diverse
+            FROM g WHERE n >= 5
+            ORDER BY region, segment"""))
+
   /** Cluster-level near-dup report — the step AFTER pair generation
     * every production dedup runs (CCNet / RefinedWeb "duplicate
     * clusters"): LSH pairs → connected components (pairs are not
@@ -4157,7 +4199,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     joinEditdist,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
-    dedupCluster, splitLeakage, privacyKanon, dedupLshPr, dedupSimhash, dedupNgram,
+    dedupCluster, splitLeakage, privacyKanon, privacyLdiv, dedupLshPr, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, textPhrase, textTextrank, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
