@@ -17,13 +17,14 @@ object SparkEntry {
       rel.ExtQueries.all ++ rel.ScaleQueries.all ++ rel.TpchQueries.all ++
       rel.SelectionQueries.all ++ rel.AnalyticQueries.all ++
       rel.QualityQueries.all ++ rel.SpatialQueries.all ++
-      rel.TemporalQueries.all ++ rel.EvalQueries.all
+      rel.TemporalQueries.all ++ rel.EvalQueries.all ++
+      rel.InferenceQueries.all
 
   /** THE documented query count — the single source of truth README and
     * SURVEY cite. RegistrySpec asserts it equals `queries.size`, so the
     * docs can never drift from the registry again (they did: 194 was
     * still documented when 196 were declared). */
-  val declaredCount: Int = 315
+  val declaredCount: Int = 319
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hybrid fusion pipeline — the reference's distinguishing operator

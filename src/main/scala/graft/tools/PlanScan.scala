@@ -40,7 +40,15 @@ object PlanScan {
     // perf item — |V| grows with the corpus for sparseEdges graphs).
     "q_graph_embed_auc" -> ("Mann-Whitney cumulative window over the " +
       "DISTINCT round-8 score table (Classifier.evalSweep convention) — " +
-      "a bounded domain, never corpus rows"))
+      "a bounded domain, never corpus rows"),
+    "q_stats_bootstrap" -> ("rank window over the replicate-mean table — " +
+      "exactly B = 200 rows by construction (the CONSTANT replicate " +
+      "count), never corpus rows; the corpus is touched only by the " +
+      "map-side per-replicate aggregation"),
+    "q_events_survival" -> ("prefix sums over the distinct-DURATION " +
+      "table — one row per distinct lifetime day count, bounded by the " +
+      "corpus day span, never corpus rows; the corpus is touched only " +
+      "by the per-user reduce (the q_stats_changepoint convention)"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,

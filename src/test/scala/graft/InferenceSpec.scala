@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property pins for the inference/mining family (rel/InferenceQueries):
+  * closed-form identities a refactor must keep, plus the estimator-level
+  * sanity bounds (CI brackets the mean, KM is a monotone step function,
+  * lift is symmetric in its definition, DoReMi weights form a smoothed
+  * distribution). */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bootstrap CI brackets the point estimate and is ordered") {
+    val r = SparkEntry.queries("q_stats_bootstrap")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (mean, lo, hi) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(lo <= hi, s"lo $lo > hi $hi")
+    // percentile CI of the mean must bracket the full-sample mean for any
+    // non-pathological resample distribution (B = 200 symmetric draws)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] misses mean $mean")
+    assert(row.getLong(0) > 0 && row.getInt(1) == 200)
+  }
+
+  test("KM survival is non-increasing, starts <= 1, risk set telescopes") {
+    val rows = SparkEntry.queries("q_events_survival")(spark, sf)
+      .orderBy($"t_days").collect()
+    assert(rows.nonEmpty)
+    var prevSurv = 1.0
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val (n, d, c, s) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(s <= prevSurv + 1e-9, s"survival increased: $s > $prevSurv")
+      assert(n <= prevRisk, "risk set grew over time")
+      assert(d + c <= n, "more removals than at-risk subjects")
+      prevSurv = s; prevRisk = n
+    }
+    // the first row's factor identity: S(t1) = floor-6(exp(round-8 ln(1-d/n)))
+    val h = rows.head
+    if (h.getLong(2) > 0 && h.getLong(2) < h.getLong(1)) {
+      val f = math.log(1.0 - h.getLong(2).toDouble / h.getLong(1))
+      val expect = math.floor(math.exp(
+        math.floor(f * 1e8 + 0.5) / 1e8) * 1e6 + 0.5) / 1e6
+      assert(h.getDouble(4) == expect, s"${h.getDouble(4)} != $expect")
+    }
+  }
+
+  test("itemset lift matches the exact count formula and support >= minsup") {
+    val rows = SparkEntry.queries("q_events_itemsets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab >= 5 && nab <= math.min(na, nb))
+      assert(r.getString(0) < r.getString(1), "pair not ordered a < b")
+    }
+  }
+
+  test("doremi weights form a distribution and upweight high-loss domains") {
+    val rows = SparkEntry.queries("q_mix_doremi")(spark, sf)
+      .select($"loss", $"weight").collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getDouble(1)).sum
+    // (1-eps)·softmax + eps·uniform sums to 1 up to the 6dp output grid
+    assert(math.abs(wsum - 1.0) <= rows.length * 1e-6 + 1e-9,
+      s"weights sum to $wsum")
+    // monotone: higher loss never gets a strictly smaller weight (exp is
+    // increasing and the smoothing term is constant across domains)
+    val sorted = rows.sortBy(_.getDouble(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getDouble(1) >= a.getDouble(1) - 1e-6,
+          s"loss ${b.getDouble(0)} weight ${b.getDouble(1)} < ${a.getDouble(1)}")
+      case _ =>
+    }
+  }
+}
