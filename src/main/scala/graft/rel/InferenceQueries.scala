@@ -327,6 +327,246 @@ object InferenceQueries {
              |       ${prSql("0.9 * (CAST(wraw AS DOUBLE) / CAST(z.z AS DOUBLE)) + 0.1 / mn.nd", 6)} AS weight
              |FROM wr, z, mn ORDER BY source""".stripMargin))
 
+  // ------------------------------------------------- Kendall tau-b
+  /** Kendall tau-b rank agreement between two orderings of the SAME item
+    * set (Kendall 1938; tau-b tie correction per Agresti) — the metric
+    * comparing two rankers (BM25 vs embedding, old vs new scorer)
+    * without assuming scores are comparable. Items: the top-50 documents
+    * by character count (deterministic doc_id tie-break — a
+    * limit-bounded set, so every downstream window/join is over ≤ 50
+    * rows at any corpus size); ranking A = characters, ranking B =
+    * whitespace tokens. All pair classification is exact integer
+    * arithmetic; tau_b = (C − D)/√((n0 − Ta)(n0 − Tb)) is one
+    * IEEE-correctly-rounded sqrt and one division, floor-rounded 6dp. */
+  val rankTau = QueryDef(
+    "q_rank_tau",
+    (s, dir) => {
+      import s.implicits._
+      val top = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", $"n_chars",
+          size(TextOps.tokens($"text")).cast("long").as("nt"))
+        .orderBy($"n_chars".desc, $"doc_id")
+        .limit(50)
+      val ranked = top
+        .withColumn("ra", rank().over(Window.orderBy($"n_chars".desc)))
+        .withColumn("rb", rank().over(Window.orderBy($"nt".desc)))
+      val pairs = ranked.as("i")
+        .join(ranked.as("j"), col("i.doc_id") < col("j.doc_id"))
+        .select(
+          (col("i.ra") - col("j.ra")).as("da"),
+          (col("i.rb") - col("j.rb")).as("db"))
+      pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when($"da" * $"db" > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when($"da" * $"db" < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when($"da" === 0, 1L).otherwise(0L)).as("ties_a"),
+        sum(when($"db" === 0, 1L).otherwise(0L)).as("ties_b"))
+        .select($"n0", $"conc", $"disc", $"ties_a", $"ties_b",
+          pr(($"conc" - $"disc").cast("double") /
+            sqrt(($"n0" - $"ties_a") * ($"n0" - $"ties_b")), 6).as("tau_b"))
+    },
+    Some(s"""WITH top AS (SELECT doc_id, n_chars,
+             |              CAST(len($toksSql) AS BIGINT) AS nt
+             |            FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50),
+             |r AS (SELECT doc_id,
+             |             RANK() OVER (ORDER BY n_chars DESC) AS ra,
+             |             RANK() OVER (ORDER BY nt DESC) AS rb
+             |      FROM top),
+             |p AS (SELECT i.ra - j.ra AS da, i.rb - j.rb AS db
+             |      FROM r i JOIN r j ON i.doc_id < j.doc_id),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             |             CAST(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             |             CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             |             CAST(SUM(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_a,
+             |             CAST(SUM(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_b
+             |      FROM p)
+             |SELECT n0, conc, disc, ties_a, ties_b,
+             |       ${prSql("CAST(conc - disc AS DOUBLE) / sqrt((n0 - ties_a) * (n0 - ties_b))", 6)} AS tau_b
+             |FROM a""".stripMargin))
+
+  // --------------------------------------------- Jensen-Shannon drift
+  /** Per-source Jensen-Shannon divergence against the REST of the corpus
+    * (Lin 1991) — the symmetric, bounded (≤ ln 2) domain-drift measure a
+    * mixture audit reads alongside q_text_drift's KL. The absent-token
+    * mass needs no source×vocab cross join: for tokens missing from
+    * source s, p = 0 and the integrand collapses to (q/2)·ln 2, so
+    * JSD = Σ_{t∈s} [p/2·ln(p/m) + q/2·ln(q/m)] + (ln 2)/2·(1 − Q_s)
+    * with Q_s the rest-mass of s's own tokens — one closed-form
+    * remainder instead of a vocabulary-sized anti-join. ln terms
+    * floor-round to 8dp and sum through DECIMAL(20,12); the rationals
+    * p, q, m are fixed IEEE op sequences spelled identically in both
+    * engines; ln 2 is the shortest-round-trip literal, not a libm call. */
+  val textJsd = QueryDef(
+    "q_text_jsd",
+    (s, dir) => {
+      import s.implicits._
+      val ln2 = 0.6931471805599453
+      val toks = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", explode(TextOps.tokens($"text")).as("w"))
+      val bySrcTok = toks.groupBy($"source", $"w").agg(count(lit(1)).as("cs"))
+      val glob = bySrcTok.groupBy($"w").agg(sum($"cs").as("cg"))
+      val bySrc = bySrcTok.groupBy($"source").agg(sum($"cs").as("ns"),
+        count(lit(1)).as("ndist"))
+      val nTot = glob.agg(sum($"cg").as("ntot"))
+      val terms = bySrcTok
+        .join(glob, "w")
+        .join(broadcast(bySrc), "source")
+        .crossJoin(broadcast(nTot))
+        .withColumn("p", $"cs".cast("double") / $"ns")
+        .withColumn("q", ($"cg" - $"cs").cast("double") / ($"ntot" - $"ns"))
+        .withColumn("m", lit(0.5) * ($"p" + $"q"))
+        .withColumn("term",
+          (pr(lit(0.5) * $"p" * log($"p" / $"m"), 8) +
+            when($"q" > 0, pr(lit(0.5) * $"q" * log($"q" / $"m"), 8))
+              .otherwise(lit(0.0))).cast(DecimalType(20, 12)))
+        .withColumn("qd", $"q".cast(DecimalType(20, 12)))
+      terms.groupBy($"source")
+        .agg(max($"ns").as("n_tokens"), max($"ndist").as("distinct_tokens"),
+          sum($"term").as("ts"), sum($"qd").as("qs"))
+        .select($"source", $"n_tokens", $"distinct_tokens",
+          pr($"ts".cast("double") +
+            lit(0.5) * lit(ln2) * (lit(1.0) - $"qs".cast("double")), 6)
+            .as("jsd"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH t AS (SELECT source, unnest($toksSql) AS w FROM documents),
+             |st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs FROM t GROUP BY 1, 2),
+             |g AS (SELECT w, CAST(SUM(cs) AS BIGINT) AS cg FROM st GROUP BY w),
+             |bs AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns,
+             |              CAST(COUNT(*) AS BIGINT) AS ndist
+             |       FROM st GROUP BY source),
+             |nt AS (SELECT CAST(SUM(cg) AS BIGINT) AS ntot FROM g),
+             |x AS (SELECT st.source, CAST(cs AS DOUBLE) / ns AS p,
+             |             CAST(cg - cs AS DOUBLE) / (ntot - ns) AS q
+             |      FROM st JOIN g USING (w) JOIN bs USING (source), nt),
+             |y AS (SELECT source,
+             |             CAST(${prSql("0.5 * p * ln(p / (0.5 * (p + q)))", 8)} +
+             |                  (CASE WHEN q > 0
+             |                        THEN ${prSql("0.5 * q * ln(q / (0.5 * (p + q)))", 8)}
+             |                        ELSE 0.0 END) AS DECIMAL(20,12)) AS term,
+             |             CAST(q AS DECIMAL(20,12)) AS qd
+             |      FROM x)
+             |SELECT bs.source, bs.ns AS n_tokens, bs.ndist AS distinct_tokens,
+             |       ${prSql("CAST(ts AS DOUBLE) + 0.5 * 0.6931471805599453 * (1.0 - CAST(qs AS DOUBLE))", 6)} AS jsd
+             |FROM (SELECT source, SUM(term) AS ts, SUM(qd) AS qs FROM y GROUP BY source) a
+             |JOIN bs USING (source) ORDER BY source""".stripMargin))
+
+  // ----------------------------------------- split-conformal interval
+  /** Distribution-free prediction interval for per-document token count
+    * by split conformal (Vovk et al.; Lei et al. JASA'18): the
+    * even-doc_id half calibrates, the odd half audits. Nonconformity =
+    * |tokens − center| with center = the calibration-mean floor (exact
+    * integer); q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual
+    * (α = 0.1), read off a prefix sum over the DISTINCT-residual
+    * histogram — bounded by the token-count domain, never corpus rows
+    * (q_stats_ks convention); audited coverage on the held-out half must
+    * land ≥ 1−α in expectation (the spec pins the guarantee's finite-
+    * sample direction). ALL-INTEGER until the one final division. */
+  val statsConformal = QueryDef(
+    "q_stats_conformal",
+    (s, dir) => {
+      import s.implicits._
+      val d = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("nt"))
+      val cal = d.filter($"doc_id" % 2 === 0)
+      val tst = d.filter($"doc_id" % 2 =!= 0)
+      val cstat = cal.agg(count(lit(1)).as("n_cal"),
+        expr("SUM(nt) DIV COUNT(*)").as("center"))
+      val res = cal.crossJoin(broadcast(cstat))
+        .select(abs($"nt" - $"center").as("r"), $"n_cal", $"center")
+      val hist = res.groupBy($"r", $"n_cal", $"center")
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy($"r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val qhat = hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .filter($"cum" >= expr("((n_cal + 1) * 9 + 9) DIV 10"))
+        .agg(min($"r").as("qhat"))
+      val tstat = tst.crossJoin(broadcast(cstat.select($"center")))
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs($"nt" - $"center") <= $"qhat", 1L).otherwise(0L))
+            .as("covered"))
+      cstat.crossJoin(broadcast(qhat)).crossJoin(broadcast(tstat))
+        .select($"n_cal", $"center", $"qhat", $"n_test", $"covered",
+          pr($"covered".cast("double") / $"n_test", 6).as("coverage"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt
+             |          FROM documents),
+             |cal AS (SELECT nt FROM d WHERE doc_id % 2 = 0),
+             |tst AS (SELECT nt FROM d WHERE doc_id % 2 <> 0),
+             |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+             |              CAST(SUM(nt) // COUNT(*) AS BIGINT) AS center
+             |       FROM cal),
+             |h AS (SELECT abs(nt - center) AS r, CAST(COUNT(*) AS BIGINT) AS c,
+             |             ANY_VALUE(n_cal) AS n_cal
+             |      FROM cal, cs GROUP BY 1),
+             |q AS (SELECT CAST(MIN(r) AS BIGINT) AS qhat FROM (
+             |        SELECT r, n_cal, SUM(c) OVER (ORDER BY r
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |        FROM h)
+             |      WHERE cum >= ((n_cal + 1) * 9 + 9) // 10),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             |             CAST(SUM(CASE WHEN abs(nt - center) <= qhat
+             |                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+             |      FROM tst, cs, q)
+             |SELECT n_cal, center, qhat, n_test, covered,
+             |       ${prSql("CAST(covered AS DOUBLE) / n_test", 6)} AS coverage
+             |FROM cs, q, t""".stripMargin))
+
+  // ------------------------------------------------- Gini concentration
+  /** Gini coefficient of token mass across documents — the corpus-
+    * concentration audit (is the training set dominated by a few huge
+    * documents?). The classic rank formula G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n
+    * needs a corpus-wide sort; over the DISTINCT-value histogram the
+    * rank-sum telescopes instead: items sharing value v occupy the rank
+    * block (C_prev, C_prev + c_v], whose rank sum is
+    * c_v·C_prev + c_v(c_v+1)/2 — so Σ i·xᵢ = Σ_v v·(that), ALL-INTEGER
+    * prefix sums over a table bounded by the token-count domain
+    * (q_stats_ks convention), two IEEE divisions at the edge. */
+  val statsGini = QueryDef(
+    "q_stats_gini",
+    (s, dir) => {
+      import s.implicits._
+      val d = TextOps.spread(Tables(s, dir, "documents"))
+        .select(size(TextOps.tokens($"text")).cast("long").as("nt"))
+      val hist = d.groupBy($"nt").agg(count(lit(1)).as("c"))
+      val wPrev = Window.orderBy($"nt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // The 2× is multiplied through (2·Σi·xᵢ = Σ_v v·(2c·C_prev + c(c+1)))
+      // so no division ever touches the integers; rank sums reach ~n²·x̄ —
+      // DECIMAL(38,0) internals (the q_label_kappa convention: exact far
+      // past int64, scale 0 so no silent scale clip; DuckDB runs the same
+      // values through HUGEINT). INTERNAL only — outputs are BIGINT/DOUBLE.
+      val d38 = DecimalType(38, 0)
+      val sums = hist
+        .withColumn("cprev", coalesce(sum($"c").over(wPrev), lit(0L)))
+        .withColumn("rsum2", lit(2).cast(d38) * $"c".cast(d38) * $"cprev".cast(d38) +
+          $"c".cast(d38) * ($"c".cast(d38) + lit(1).cast(d38)))
+        .agg(sum($"c").as("n"), sum($"nt" * $"c").as("tot"),
+          sum($"nt".cast(d38) * $"rsum2").as("rs2"))
+      sums.select($"n", $"tot",
+        pr($"rs2".cast("double") /
+          ($"n".cast("double") * $"tot".cast("double")) -
+          ($"n" + lit(1.0)) / $"n", 6).as("gini"))
+    },
+    Some(s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             |h AS (SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY nt),
+             |p AS (SELECT nt, c,
+             |             CAST(COALESCE(SUM(c) OVER (ORDER BY nt
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev
+             |      FROM h),
+             |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |             CAST(SUM(nt * c) AS BIGINT) AS tot,
+             |             SUM(CAST(nt AS HUGEINT) *
+             |                 (2 * CAST(c AS HUGEINT) * cprev +
+             |                  CAST(c AS HUGEINT) * (c + 1))) AS rs2
+             |      FROM p)
+             |SELECT n, tot,
+             |       ${prSql("CAST(rs2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) - (n + 1.0) / n", 6)} AS gini
+             |FROM a""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(statsBootstrap, eventsSurvival, eventsItemsets, mixDoremi)
+    Seq(statsBootstrap, eventsSurvival, eventsItemsets, mixDoremi,
+      rankTau, textJsd, statsConformal, statsGini)
 }

@@ -48,7 +48,15 @@ object PlanScan {
     "q_events_survival" -> ("prefix sums over the distinct-DURATION " +
       "table — one row per distinct lifetime day count, bounded by the " +
       "corpus day span, never corpus rows; the corpus is touched only " +
-      "by the per-user reduce (the q_stats_changepoint convention)"))
+      "by the per-user reduce (the q_stats_changepoint convention)"),
+    "q_stats_conformal" -> ("prefix sums over the DISTINCT-residual " +
+      "histogram — bounded by the token-count domain, never corpus rows " +
+      "(q_stats_ks convention); the corpus is touched only by the " +
+      "map-side histogram groupBy"),
+    "q_stats_gini" -> ("prefix sums over the DISTINCT token-count " +
+      "histogram — bounded by the value domain, never corpus rows " +
+      "(q_stats_ks convention); the corpus is touched only by the " +
+      "map-side histogram groupBy"))
 
   private def hasBound(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,

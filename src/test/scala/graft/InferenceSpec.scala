@@ -55,6 +55,56 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("tau-b is bounded and matches the closed-form on the counted pairs") {
+    val r = SparkEntry.queries("q_rank_tau")(spark, sf).collect().head
+    val (n0, c, d, ta, tb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val tau = r.getDouble(5)
+    assert(n0 == 50L * 49 / 2, s"pair count $n0 != C(50,2)")
+    val expect = math.floor((c - d).toDouble /
+      math.sqrt((n0 - ta).toDouble * (n0 - tb)) * 1e6 + 0.5) / 1e6
+    assert(tau == expect && tau >= -1.0 && tau <= 1.0)
+    // chars and whitespace tokens are strongly concordant by construction
+    assert(tau > 0.5, s"tau $tau suspiciously low for len-vs-tokens")
+  }
+
+  test("JSD is bounded by ln 2 and zero only for a domain matching the rest") {
+    val rows = SparkEntry.queries("q_text_jsd")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= -1e-6 && j <= 0.6931471805599453 + 1e-6,
+        s"jsd $j outside [0, ln2] for ${r.getString(0)}")
+    }
+  }
+
+  test("conformal coverage lands at >= 1 - alpha minus sampling slack") {
+    val r = SparkEntry.queries("q_stats_conformal")(spark, sf).collect().head
+    val (nCal, qhat, nTest, covered) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nCal > 0 && nTest > 0 && qhat >= 0)
+    val cov = r.getDouble(5)
+    assert(cov == math.floor(covered.toDouble / nTest * 1e6 + 0.5) / 1e6)
+    // finite-sample guarantee is >= 0.9 in EXPECTATION; allow sampling slack
+    assert(cov >= 0.80, s"coverage $cov way below the 0.9 target")
+  }
+
+  test("gini is in [0,1) and matches a local recomputation") {
+    val r = SparkEntry.queries("q_stats_gini")(spark, sf).collect().head
+    val g = r.getDouble(2)
+    assert(g >= 0.0 && g < 1.0)
+    // recompute from the raw fixture with a plain sort
+    val nts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(graft.pipeline.TextOps.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sorted
+    val n = nts.length.toLong
+    val tot = nts.sum
+    val rs = nts.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val expect = math.floor((2.0 * rs / (n.toDouble * tot) -
+      (n + 1.0) / n) * 1e6 + 0.5) / 1e6
+    assert(math.abs(g - expect) <= 2e-6, s"gini $g != recomputed $expect")
+  }
+
   test("doremi weights form a distribution and upweight high-loss domains") {
     val rows = SparkEntry.queries("q_mix_doremi")(spark, sf)
       .select($"loss", $"weight").collect()
