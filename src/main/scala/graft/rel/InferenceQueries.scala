@@ -735,8 +735,157 @@ object InferenceQueries {
          |FROM sm""".stripMargin
     })
 
+  // --------------------------------------------------- soft dedup weights
+  /** SoftDeDup-style duplication reweighting: instead of DROPPING
+    * duplicates, each document carries training weight 1/|cluster| so
+    * every distinct text contributes unit effective mass regardless of
+    * copy count (the downweight-don't-delete alternative the dedup
+    * ladder's removal ops lack). Clusters here are exact-text groups
+    * (md5 of the normalized text — the q_dedup_exact keying); the
+    * weight is one IEEE division, floor-rounded 6dp. One groupBy + one
+    * join back, both keyed by the text hash — linear at any scale. */
+  val dedupReweight = QueryDef(
+    "q_dedup_reweight",
+    (s, dir) => {
+      import s.implicits._
+      val d = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", md5(lower(trim($"text"))).as("h"))
+      val cs = d.groupBy($"h").agg(count(lit(1)).as("csize"))
+      d.join(cs, "h")
+        .select($"doc_id", $"csize",
+          pr(lit(1.0) / $"csize", 6).as("w"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+             |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS csize FROM d GROUP BY h)
+             |SELECT doc_id, csize, ${prSql("1.0 / csize", 6)} AS w
+             |FROM d JOIN c USING (h) ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------ n-gram novelty
+  /** Per-document n-gram novelty: the share of a document's DISTINCT
+    * trigrams whose global FIRST occurrence (minimum doc_id) is this
+    * document — the freshness signal that separates template/boilerplate
+    * tails from genuinely new text as a corpus accretes. Two keyed
+    * aggregations (per-(doc, gram) distinct, per-gram min) and one
+    * equi-join back — linear in corpus trigrams; the ratio is one IEEE
+    * division, floor-rounded 6dp. */
+  val textNovelty = QueryDef(
+    "q_text_novelty",
+    (s, dir) => {
+      import s.implicits._
+      val tg = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id",
+          explode(TextOps.kgrams(TextOps.tokens($"text"), 3)).as("g"))
+        .distinct()
+      val first = tg.groupBy($"g").agg(min($"doc_id").as("fdoc"))
+      tg.join(first, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"fdoc" === $"doc_id", 1L).otherwise(0L)).as("novel"))
+        .select($"doc_id", $"n_grams", $"novel",
+          pr($"novel".cast("double") / $"n_grams", 6).as("novelty"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |tg AS (SELECT DISTINCT doc_id,
+             |              toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS g
+             |       FROM t, unnest(range(greatest(len(toks) - 2, 0))) AS u(j)),
+             |f AS (SELECT g, MIN(doc_id) AS fdoc FROM tg GROUP BY g)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |       CAST(SUM(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+             |       ${prSql("CAST(SUM(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS novelty
+             |FROM tg JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // -------------------------------------------------------- pass@k
+  /** Unbiased pass@k estimator (Chen et al. 2021, the HumanEval
+    * combinatorial form): per item with n trials and c successes,
+    * pass@k = 1 − C(n−c,k)/C(n,k) = 1 − Π_{j<k}(n−c−j)/(n−j), exact
+    * when n−c ≥ k and exactly 1 otherwise (every k-subset contains a
+    * success). Items are users, trials their events, successes their
+    * purchases, k = 3 (the fixture's stand-in for per-prompt sample
+    * grading). Per-item values are fixed IEEE product chains
+    * floor-rounded 8dp, averaged through an exact DECIMAL sum. */
+  val evalPassk = QueryDef(
+    "q_eval_passk",
+    (s, dir) => {
+      import s.implicits._
+      val k = 3
+      val per = Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
+        .filter($"n" >= k)
+      val frac = (0 until k).map(j =>
+        ($"n" - $"c" - lit(j)).cast("double") / ($"n" - lit(j)))
+        .reduce(_ * _)
+      val p = per.withColumn("pk",
+        when($"n" - $"c" < k, lit(1.0)).otherwise(pr(lit(1.0) - frac, 8)))
+      p.agg(count(lit(1)).as("n_items"),
+        pr(sum($"pk".cast(DecimalType(18, 8))).cast("double") /
+          count(lit(1)), 6).as(s"pass_at_$k"))
+        .select($"n_items", lit(k).as("k"), col(s"pass_at_$k"))
+    },
+    Some(s"""WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |              CAST(SUM(CASE WHEN event_type = 'purchase'
+             |                            THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |             FROM events GROUP BY user_id),
+             |f AS (SELECT CASE WHEN n - c < 3 THEN 1.0
+             |             ELSE ${prSql(
+               "1.0 - (CAST(n - c - 0 AS DOUBLE) / (n - 0)) * " +
+                 "(CAST(n - c - 1 AS DOUBLE) / (n - 1)) * " +
+                 "(CAST(n - c - 2 AS DOUBLE) / (n - 2))", 8)} END AS pk
+             |      FROM per WHERE n >= 3)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_items, 3 AS k,
+             |       ${prSql("CAST(SUM(CAST(pk AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)", 6)} AS pass_at_3
+             |FROM f""".stripMargin))
+
+  // -------------------------------------------------- epoch allocation
+  /** Data-constrained epoch allocation (the repeat-budgeting step of
+    * Muennighoff et al. NeurIPS'23): given a token budget B = 2× the
+    * corpus and temperature-0.5 target weights w_s ∝ √n_s, each domain
+    * trains for epochs_s = min(4, w_s·B/n_s) epochs (the ~4-epoch
+    * diminishing-returns cap) for alloc_s = ⌊epochs_s·n_s⌋ tokens.
+    * The √n weights go through DECIMAL(18,8) (IEEE sqrt is correctly
+    * rounded — the q_mix_temperature convention); everything after is a
+    * fixed IEEE op sequence on exact inputs. One groupBy + a 1-row
+    * broadcast — |domains| rows end to end. */
+  val mixEpochs = QueryDef(
+    "q_mix_epochs",
+    (s, dir) => {
+      import s.implicits._
+      val bySrc = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"source", size(TextOps.tokens($"text")).cast("long").as("nt"))
+        .groupBy($"source")
+        .agg(sum($"nt").as("n"))
+        .select($"source", $"n",
+          sqrt($"n".cast("double")).cast(DecimalType(18, 8)).as("u"))
+      val tot = bySrc.agg(sum($"u").as("z"), sum($"n").as("total"))
+      val ep = least(lit(4.0),
+        ($"u".cast("double") / $"z".cast("double")) *
+          (lit(2.0) * $"total") / $"n")
+      bySrc.crossJoin(broadcast(tot))
+        .select($"source", $"n".as("n_tokens"),
+          pr($"u".cast("double") / $"z".cast("double"), 6).as("weight"),
+          pr(ep, 6).as("epochs"),
+          floor(ep * $"n").cast("long").as("alloc_tokens"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH d AS (SELECT source,
+             |            CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             |bs AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n FROM d GROUP BY source),
+             |u AS (SELECT source, n,
+             |             CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,8)) AS u
+             |      FROM bs),
+             |t AS (SELECT SUM(u) AS z, CAST(SUM(n) AS BIGINT) AS total FROM u)
+             |SELECT source, n AS n_tokens,
+             |       ${prSql("CAST(u AS DOUBLE) / CAST(z AS DOUBLE)", 6)} AS weight,
+             |       ${prSql("least(4.0, (CAST(u AS DOUBLE) / CAST(z AS DOUBLE)) * (2.0 * total) / n)", 6)} AS epochs,
+             |       CAST(floor(least(4.0, (CAST(u AS DOUBLE) / CAST(z AS DOUBLE)) * (2.0 * total) / n) * n) AS BIGINT) AS alloc_tokens
+             |FROM u, t ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(statsBootstrap, eventsSurvival, eventsItemsets, mixDoremi,
       rankTau, textJsd, statsConformal, statsGini,
-      eventsSessions, statsAbtest, textHeaps)
+      eventsSessions, statsAbtest, textHeaps,
+      dedupReweight, textNovelty, evalPassk, mixEpochs)
 }

