@@ -974,10 +974,68 @@ object GraphQueries {
        |${steps.mkString(",\n")}""".stripMargin
   }
 
+  /** Rich-club coefficient profile (Zhou & Mondragón 2004; Colizza et
+    * al. 2006 normalization left to the reader — the raw φ(k) is the
+    * audit): for each degree threshold k, the density of the subgraph
+    * induced by nodes of degree > k — do the hubs preferentially
+    * interconnect? φ(k) = 2·E_k / (N_k·(N_k−1)), guarded to 0 when
+    * fewer than 2 nodes survive. Shapes: one degree aggregation, one
+    * thresholds×edges semi-filter (|thresholds| = 4 — a constant
+    * explode, not a corpus blow-up), exact integers until one division
+    * per threshold row. */
+  val graphRichclub = QueryDef(
+    "q_graph_richclub",
+    (s, dir) => {
+      import s.implicits._
+      val und = graft.graph.GraphAnalytics.undirected(
+        eventEdges(s, dir).select($"src", $"dst").distinct())
+      val deg = graft.graph.GraphAnalytics.degrees(und)
+      val ks = s.range(0, 4).select(expr("CAST(1 AS BIGINT) << CAST(id AS INT)").as("k"))
+      val nk = deg.crossJoin(broadcast(ks))
+        .filter($"deg" > $"k")
+        .groupBy($"k").agg(count(lit(1)).as("n_k"))
+      val ek = und
+        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+        .crossJoin(broadcast(ks))
+        .filter($"du" > $"k" && $"dv" > $"k")
+        .groupBy($"k").agg(count(lit(1)).as("e_k"))
+      nk.join(ek, Seq("k"), "left")
+        .select($"k".cast("int").as("k"), $"n_k",
+          coalesce($"e_k", lit(0L)).as("e_k"),
+          when($"n_k" < 2, lit(0.0)).otherwise(
+            floor(lit(2.0) * coalesce($"e_k", lit(0L)) /
+              ($"n_k" * ($"n_k" - 1)) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("phi"))
+        .orderBy($"k")
+    },
+    Some(s"""WITH $edgesCte, $edCte,
+             |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+             |        FROM ed WHERE src <> dst),
+             |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+             |        GROUP BY n),
+             |ks AS (SELECT CAST(1 << CAST(u.i AS INT) AS BIGINT) AS k
+             |       FROM unnest(range(4)) AS u(i)),
+             |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+             |       FROM deg, ks WHERE deg > k GROUP BY k),
+             |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k
+             |       FROM und JOIN deg du ON du.n = und.u
+             |                JOIN deg dv ON dv.n = und.v, ks
+             |       WHERE du.deg > k AND dv.deg > k GROUP BY k)
+             |SELECT CAST(nk.k AS INT) AS k, nk.n_k,
+             |       CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+             |       CASE WHEN nk.n_k < 2 THEN 0.0
+             |            ELSE floor(2.0 * COALESCE(ek.e_k, 0) /
+             |                       (nk.n_k * (nk.n_k - 1)) * 1e6 + 0.5) / 1e6
+             |       END AS phi
+             |FROM nk LEFT JOIN ek ON ek.k = nk.k
+             |ORDER BY k""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(graphBfs, graphBfsTyped, graphBfsSql, graphScore, graphInduced, hybrid,
       graphDegree, graphTriangles, graphKtruss, graphAssortativity,
       graphReciprocity, graphPagerankExact, graphEigen, graphHarmonic, graphPpr,
       graphSssp, graphTemporal, graphCc, graphScc, graphClustering, graphJaccard,
-      graphClosenessApprox, graphDiameter)
+      graphClosenessApprox, graphDiameter, graphRichclub)
 }

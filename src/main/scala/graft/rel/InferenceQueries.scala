@@ -883,9 +883,110 @@ object InferenceQueries {
              |       CAST(floor(least(4.0, (CAST(u AS DOUBLE) / CAST(z AS DOUBLE)) * (2.0 * total) / n) * n) AS BIGINT) AS alloc_tokens
              |FROM u, t ORDER BY source""".stripMargin))
 
+  // -------------------------------------------------- watermark detection
+  /** Green-list watermark detection (Kirchenbauer et al. ICML'23): a
+    * watermarking sampler biases each token toward a "green list" seeded
+    * by the previous token's hash; the detector recomputes membership —
+    * green(w₁→w₂) = hash(w₁:w₂) even — and tests the green fraction
+    * against the null binomial(n, 1/2): z = (2g − n)/√n. Per-doc bigram
+    * stream (the q_text_perplexity shape), exact integer counts, one
+    * correctly-rounded sqrt + one division, floor-rounded 6dp. Unmarked
+    * text (this fixture) must read |z| ~ O(1) — the spec pins the null
+    * band. */
+  val textWatermark = QueryDef(
+    "q_text_watermark",
+    (s, dir) => {
+      import s.implicits._
+      val docs = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      val bg = docs
+        .select($"doc_id", $"toks",
+          posexplode(slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0)))))
+        .select($"doc_id", $"col".as("w1"), element_at($"toks", $"pos" + 2).as("w2"))
+      bg.select($"doc_id",
+        (TextOps.strHash(concat($"w1", lit(":"), $"w2")) % 2).as("green"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"green" === 0, 1L).otherwise(0L)).as("g"))
+        .select($"doc_id", $"n", $"g",
+          pr(($"g" * 2 - $"n").cast("double") / sqrt($"n".cast("double")), 6)
+            .as("z"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val h = s"CAST(('0x' || substr(md5(w1 || ':' || w2), 1, 15)) AS BIGINT) % ${TextOps.P}"
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[j+1] AS w1, toks[j+2] AS w2
+         |       FROM t, unnest(range(greatest(len(toks) - 1, 0))) AS u(j)),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(CASE WHEN ($h) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g
+         |       FROM bg GROUP BY doc_id)
+         |SELECT doc_id, n, g,
+         |       ${prSql("CAST(g * 2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))", 6)} AS z
+         |FROM sc ORDER BY doc_id""".stripMargin
+    })
+
+  // ----------------------------------------------- Matryoshka recall
+  /** Matryoshka truncation audit (Kusupati et al. NeurIPS'22 framing):
+    * recall@5 of HALF-dimension cosine search against the full-dim
+    * exact top-5 for the standard 5 query vectors — how much ranking
+    * survives cutting the embedding to its 32-dim prefix (the
+    * latency/quality dial MRL-style embeddings expose). Same
+    * brute-force shape as q_ann_recall's exact arm: a 5-query broadcast
+    * against the spread corpus, per-query top-5 windows (partitioned by
+    * qid), round-6 cosines on both engines. */
+  val vecMatryoshka = QueryDef(
+    "q_vec_matryoshka",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = TextOps.spread(e).select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      def top5(scoreOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+        c.join(broadcast(q))
+          .withColumn("cos", round(scoreOf($"cv", $"qv"), 6))
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .select($"qid", $"cid")
+      val full = top5((a, b) => graft.functions.vec.cosine(a, b))
+      val half = top5((a, b) =>
+        graft.functions.vec.cosine(slice(a, 1, 32), slice(b, 1, 32)))
+      full.join(half, Seq("qid", "cid"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_hit"),
+          (count(lit(1)) / 5.0).as("recall_at_5"))
+        .orderBy($"qid")
+    },
+    Some {
+      def cos(a: String, b: String) =
+        s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+           |           THEN 0.0
+           |           ELSE list_dot_product($a, $b) /
+           |                (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |sf AS (SELECT q.qid, c.vec_id AS cid, ${cos("c.v", "q.qv")} AS cos
+         |       FROM e c CROSS JOIN q),
+         |full5 AS (SELECT qid, cid FROM (
+         |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |            FROM sf) WHERE rn <= 5),
+         |sh AS (SELECT q.qid, c.vec_id AS cid,
+         |              ${cos("list_slice(c.v, 1, 32)", "list_slice(q.qv, 1, 32)")} AS cos
+         |       FROM e c CROSS JOIN q),
+         |half5 AS (SELECT qid, cid FROM (
+         |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |            FROM sh) WHERE rn <= 5)
+         |SELECT full5.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |       COUNT(*) / 5.0::DOUBLE AS recall_at_5
+         |FROM full5 JOIN half5 USING (qid, cid)
+         |GROUP BY full5.qid ORDER BY full5.qid""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(statsBootstrap, eventsSurvival, eventsItemsets, mixDoremi,
       rankTau, textJsd, statsConformal, statsGini,
       eventsSessions, statsAbtest, textHeaps,
-      dedupReweight, textNovelty, evalPassk, mixEpochs)
+      dedupReweight, textNovelty, evalPassk, mixEpochs,
+      textWatermark, vecMatryoshka)
 }

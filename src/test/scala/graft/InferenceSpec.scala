@@ -187,6 +187,47 @@ class InferenceSpec extends SparkSpec {
     assert(allocSum <= 2L * total + rows.length)
   }
 
+  test("watermark z on unmarked text stays in the null band") {
+    val rows = SparkEntry.queries("q_text_watermark")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, g, z) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(g <= n && n > 0)
+      val expect = math.floor((2.0 * g - n) / math.sqrt(n.toDouble) * 1e6 + 0.5) / 1e6
+      assert(z == expect, s"z $z != $expect")
+    }
+    // unmarked corpus: no systematic green-list bias. The binomial null
+    // assumes iid bigrams; real text repeats common bigrams whose fixed
+    // green/red status doesn't average out per doc, so the practical
+    // null band is wider than ±0.5 — a watermarked corpus reads z ≈ +√n
+    // per doc (tens), so ±2 still separates cleanly.
+    val zbar = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(zbar) < 2.0, s"mean z $zbar biased on unmarked text")
+  }
+
+  test("matryoshka recall is a valid fraction over the 5 standard queries") {
+    val rows = SparkEntry.queries("q_vec_matryoshka")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      val (hit, rec) = (r.getLong(1), r.getDouble(2))
+      assert(hit >= 1 && hit <= 5 && rec == hit / 5.0)
+    }
+  }
+
+  test("rich-club phi is a density in [0,1] and N_k shrinks with k") {
+    val rows = SparkEntry.queries("q_graph_richclub")(spark, sf)
+      .orderBy(col("k")).collect()
+    assert(rows.nonEmpty)
+    var prevN = Long.MaxValue
+    rows.foreach { r =>
+      val (nk, ek, phi) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nk <= prevN, "rich-club population must shrink as k grows")
+      assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
+      if (nk >= 2) assert(ek <= nk * (nk - 1) / 2)
+      prevN = nk
+    }
+  }
+
   test("doremi weights form a distribution and upweight high-loss domains") {
     val rows = SparkEntry.queries("q_mix_doremi")(spark, sf)
       .select($"loss", $"weight").collect()
