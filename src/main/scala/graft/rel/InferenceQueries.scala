@@ -104,7 +104,8 @@ object InferenceQueries {
         .withColumn("w", wCase)
         .groupBy($"rep")
         .agg(sum($"w").as("sw"), sum($"w" * $"cents").as("swx"))
-        .select($"rep", ($"swx".cast("double") / $"sw").as("mean_b"))
+        .select($"rep", when($"sw" =!= 0L,
+          $"swx".cast("double") / $"sw").as("mean_b"))
       val rn = Window.orderBy($"mean_b", $"rep")
       val ci = reps.withColumn("rn", row_number().over(rn))
         .agg(max(when($"rn" === 5, $"mean_b")).as("lo"),
@@ -126,7 +127,10 @@ object InferenceQueries {
              |             ${poissonCdf.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
                               .mkString(" + ")} AS w, cents
              |      FROM x),
-             |m AS (SELECT rep, 1.0 * CAST(SUM(w * cents) AS BIGINT) / CAST(SUM(w) AS BIGINT) AS mean_b
+             |m AS (SELECT rep,
+             |             CASE WHEN CAST(SUM(w) AS BIGINT) = 0 THEN NULL
+             |                  ELSE 1.0 * CAST(SUM(w * cents) AS BIGINT) / CAST(SUM(w) AS BIGINT)
+             |             END AS mean_b
              |      FROM w GROUP BY rep),
              |r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, rep) AS rn FROM m),
              |ci AS (SELECT MAX(CASE WHEN rn = 5 THEN mean_b END) AS lo,
@@ -393,9 +397,12 @@ object InferenceQueries {
     * JSD = Σ_{t∈s} [p/2·ln(p/m) + q/2·ln(q/m)] + (ln 2)/2·(1 − Q_s)
     * with Q_s the rest-mass of s's own tokens — one closed-form
     * remainder instead of a vocabulary-sized anti-join. ln terms
-    * floor-round to 8dp and sum through DECIMAL(20,12); the rationals
-    * p, q, m are fixed IEEE op sequences spelled identically in both
-    * engines; ln 2 is the shortest-round-trip literal, not a libm call. */
+    * floor-round to 8dp and sum through DECIMAL(20,12); q likewise
+    * floor-rounds to 12dp BEFORE its DECIMAL cast (round-trip casts of
+    * an unrounded double split HALF_UP vs scaled-binary cross-engine);
+    * the rationals p, q, m are fixed IEEE op sequences spelled
+    * identically in both engines; ln 2 is the shortest-round-trip
+    * literal, not a libm call. */
   val textJsd = QueryDef(
     "q_text_jsd",
     (s, dir) => {
@@ -419,7 +426,7 @@ object InferenceQueries {
           (pr(lit(0.5) * $"p" * log($"p" / $"m"), 8) +
             when($"q" > 0, pr(lit(0.5) * $"q" * log($"q" / $"m"), 8))
               .otherwise(lit(0.0))).cast(DecimalType(20, 12)))
-        .withColumn("qd", $"q".cast(DecimalType(20, 12)))
+        .withColumn("qd", pr($"q", 12).cast(DecimalType(20, 12)))
       terms.groupBy($"source")
         .agg(max($"ns").as("n_tokens"), max($"ndist").as("distinct_tokens"),
           sum($"term").as("ts"), sum($"qd").as("qs"))
@@ -444,7 +451,7 @@ object InferenceQueries {
              |                  (CASE WHEN q > 0
              |                        THEN ${prSql("0.5 * q * ln(q / (0.5 * (p + q)))", 8)}
              |                        ELSE 0.0 END) AS DECIMAL(20,12)) AS term,
-             |             CAST(q AS DECIMAL(20,12)) AS qd
+             |             CAST(${prSql("q", 12)} AS DECIMAL(20,12)) AS qd
              |      FROM x)
              |SELECT bs.source, bs.ns AS n_tokens, bs.ndist AS distinct_tokens,
              |       ${prSql("CAST(ts AS DOUBLE) + 0.5 * 0.6931471805599453 * (1.0 - CAST(qs AS DOUBLE))", 6)} AS jsd
@@ -934,7 +941,10 @@ object InferenceQueries {
     * latency/quality dial MRL-style embeddings expose). Same
     * brute-force shape as q_ann_recall's exact arm: a 5-query broadcast
     * against the spread corpus, per-query top-5 windows (partitioned by
-    * qid), round-6 cosines on both engines. */
+    * qid), round-6 cosines on both engines. Left-joins the hit counts
+    * back onto the query set so a zero-overlap query reports
+    * recall_at_5 = 0 instead of vanishing — the audit must be loudest
+    * exactly when truncation damage is worst. */
   val vecMatryoshka = QueryDef(
     "q_vec_matryoshka",
     (s, dir) => {
@@ -952,10 +962,11 @@ object InferenceQueries {
       val full = top5((a, b) => graft.functions.vec.cosine(a, b))
       val half = top5((a, b) =>
         graft.functions.vec.cosine(slice(a, 1, 32), slice(b, 1, 32)))
-      full.join(half, Seq("qid", "cid"))
-        .groupBy($"qid")
-        .agg(count(lit(1)).as("n_hit"),
-          (count(lit(1)) / 5.0).as("recall_at_5"))
+      val hits = full.join(half, Seq("qid", "cid"))
+        .groupBy($"qid").agg(count(lit(1)).as("nh"))
+      q.select($"qid").join(broadcast(hits), Seq("qid"), "left")
+        .select($"qid", coalesce($"nh", lit(0L)).as("n_hit"),
+          (coalesce($"nh", lit(0L)) / 5.0).as("recall_at_5"))
         .orderBy($"qid")
     },
     Some {
@@ -976,11 +987,12 @@ object InferenceQueries {
          |       FROM e c CROSS JOIN q),
          |half5 AS (SELECT qid, cid FROM (
          |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-         |            FROM sh) WHERE rn <= 5)
-         |SELECT full5.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
-         |       COUNT(*) / 5.0::DOUBLE AS recall_at_5
-         |FROM full5 JOIN half5 USING (qid, cid)
-         |GROUP BY full5.qid ORDER BY full5.qid""".stripMargin
+         |            FROM sh) WHERE rn <= 5),
+         |hit AS (SELECT full5.qid, CAST(COUNT(*) AS BIGINT) AS nh
+         |        FROM full5 JOIN half5 USING (qid, cid) GROUP BY full5.qid)
+         |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+         |       coalesce(nh, 0) / 5.0::DOUBLE AS recall_at_5
+         |FROM q LEFT JOIN hit USING (qid) ORDER BY q.qid""".stripMargin
     })
 
   val all: Seq[QueryDef] =
