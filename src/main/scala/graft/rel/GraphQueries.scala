@@ -550,10 +550,14 @@ object GraphQueries {
 
   /** Bounded-hop weighted shortest paths from node 0 (min-plus semiring —
     * GraphAnalytics.shortestPaths). The multigraph collapses to min-weight
-    * simple edges first (same min-plus result, and it keeps the oracle's
-    * walk enumeration polynomial). FP-safe: IEEE addition is monotonic, so
-    * relaxation's min-then-add equals the oracle's enumerate-then-min
-    * bit-for-bit. */
+    * simple edges first (same min-plus result). The oracle replays the
+    * SAME level-by-level Bellman–Ford relaxation as the engine — per hop
+    * one edge-relax + per-node MIN — instead of enumerating walks with a
+    * recursive CTE: a walk enumeration is exponential in the hop bound on
+    * a dense graph (the r12 sf0.1 sweep measured the pivot variant
+    * spilling >50 GB), while relaxation is |E| work per level. FP-safe
+    * AND result-identical: IEEE addition is monotonic, so min-then-add
+    * equals enumerate-then-min bit-for-bit. */
   val graphSssp = QueryDef(
     "q_graph_sssp",
     (s, dir) => {
@@ -564,15 +568,21 @@ object GraphQueries {
         .select($"node", round($"dist", 6).as("dist"))
         .orderBy($"node")
     },
-    Some(s"""WITH RECURSIVE $edgesCte,
-             ed2 AS (SELECT src, dst, MIN(w) AS w FROM edges GROUP BY src, dst),
-             walk(node, pw, hops) AS (
-               SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 0
-               UNION ALL
-               SELECT e.dst, w0.pw + e.w, w0.hops + 1
-               FROM walk w0 JOIN ed2 e ON e.src = w0.node WHERE w0.hops < 4)
-             SELECT node, round(MIN(pw), 6) AS dist
-             FROM walk GROUP BY node ORDER BY node"""))
+    Some {
+      val levels = (1 to 4).map { k =>
+        s"""l$k AS (SELECT node, MIN(pw) AS pw FROM (
+           |         SELECT node, pw FROM l${k - 1}
+           |         UNION ALL
+           |         SELECT e.dst, l.pw + e.w FROM l${k - 1} l
+           |         JOIN ed2 e ON e.src = l.node) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |ed2 AS (SELECT src, dst, MIN(w) AS w FROM edges GROUP BY src, dst),
+         |l0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS pw),
+         |$levels
+         |SELECT node, round(pw, 6) AS dist
+         |FROM l4 ORDER BY node""".stripMargin
+    })
 
   /** Pivot-sampled harmonic centrality — closeness's robust sibling
     * (Boldi–Vigna 2014: Σ 1/d instead of 1/Σd, so disconnection costs a
@@ -612,7 +622,7 @@ object GraphQueries {
              piv AS (SELECT n AS p FROM nodes ORDER BY n LIMIT 5),
              walk(p, node, d) AS (
                SELECT p, p, 0 FROM piv
-               UNION ALL
+               UNION
                SELECT w.p, e.dst, w.d + 1
                FROM walk w JOIN bi e ON e.src = w.node WHERE w.d < 4),
              md AS (SELECT p, node, MIN(d) AS d FROM walk GROUP BY p, node),
@@ -662,7 +672,7 @@ object GraphQueries {
              piv AS (SELECT n AS p FROM nodes ORDER BY n LIMIT 5),
              walk(p, node, d) AS (
                SELECT p, p, 0 FROM piv
-               UNION ALL
+               UNION
                SELECT w.p, e.dst, w.d + 1
                FROM walk w JOIN bi e ON e.src = w.node WHERE w.d < 4),
              md AS (SELECT p, node, MIN(d) AS d FROM walk GROUP BY p, node),
@@ -724,7 +734,7 @@ object GraphQueries {
              piv AS (SELECT n AS p FROM nodes ORDER BY n LIMIT 5),
              walk(p, node, d) AS (
                SELECT p, p, 0 FROM piv
-               UNION ALL
+               UNION
                SELECT w.p, e.dst, w.d + 1
                FROM walk w JOIN bi e ON e.src = w.node WHERE w.d < 4),
              md AS (SELECT p, node, MIN(d) AS d FROM walk GROUP BY p, node),

@@ -148,39 +148,40 @@ object PipelineQueries {
     * dim) mean. Defines pc{iters} (the trained codebook) for the caller —
     * shared by q_ann_pq_trained and q_ann_pq_err the way kmeansCtes is
     * shared by the coarse-quantizer family. */
-  private def pqKmeansCtes(iters: Int): String = {
+  private def pqKmeansCtes(iters: Int, p: String = "p",
+                           src: String = "embeddings"): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""pa$i AS (SELECT vid, s, xs, cid FROM (
-         |          SELECT psub.vid, psub.s, psub.xs, c.cid,
-         |                 ROW_NUMBER() OVER (PARTITION BY psub.vid, psub.s ORDER BY
+      s"""${p}a$i AS (SELECT vid, s, xs, cid FROM (
+         |          SELECT ${p}sub.vid, ${p}sub.s, ${p}sub.xs, c.cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY ${p}sub.vid, ${p}sub.s ORDER BY
          |                   round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
          |                         + list_dot_product(cs, cs), 6), c.cid) AS rn
-         |          FROM psub JOIN pc${i - 1} c ON c.s = psub.s) WHERE rn = 1),
-         |pm$i AS (SELECT s, cid, CAST(u.j AS INT) AS idx,
+         |          FROM ${p}sub JOIN ${p}c${i - 1} c ON c.s = ${p}sub.s) WHERE rn = 1),
+         |${p}m$i AS (SELECT s, cid, CAST(u.j AS INT) AS idx,
          |                round(CAST(SUM(CAST(xs[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
          |                      / COUNT(*), 6) AS m
-         |         FROM pa$i, unnest(range(len(xs))) AS u(j) GROUP BY s, cid, idx),
-         |pc$i AS (SELECT s, cid, list(m ORDER BY idx) AS cs FROM pm$i GROUP BY s, cid)""".stripMargin
+         |         FROM ${p}a$i, unnest(range(len(xs))) AS u(j) GROUP BY s, cid, idx),
+         |${p}c$i AS (SELECT s, cid, list(m ORDER BY idx) AS cs FROM ${p}m$i GROUP BY s, cid)""".stripMargin
     }.mkString(",\n")
-    s"""psp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
-       |pe AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |pss AS (SELECT unnest(range(8)) AS s),
-       |psub AS (SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs FROM pe CROSS JOIN pss),
-       |pc0 AS (SELECT s, vid AS cid, xs AS cs FROM psub WHERE vid % (SELECT sp FROM psp) = 0),
+    s"""${p}sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM $src),
+       |${p}e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM $src),
+       |${p}ss AS (SELECT unnest(range(8)) AS s),
+       |${p}sub AS (SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs FROM ${p}e CROSS JOIN ${p}ss),
+       |${p}c0 AS (SELECT s, vid AS cid, xs AS cs FROM ${p}sub WHERE vid % (SELECT sp FROM ${p}sp) = 0),
        |$iterCtes""".stripMargin
   }
 
-  /** DuckDB CTE fragment: (vid, s) L2²-argmin assignment of psub against
-    * codebook `cbName`, emitting (vid, s, cid, d2). */
-  private def pqAssignSql(cbName: String): String =
+  /** DuckDB CTE fragment: (vid, s) L2²-argmin assignment of `subName`
+    * against codebook `cbName`, emitting (vid, s, cid, d2). */
+  private def pqAssignSql(cbName: String, subName: String = "psub"): String =
     s"""SELECT vid, s, cid, d2 FROM (
-       |  SELECT psub.vid, psub.s, c.cid,
+       |  SELECT $subName.vid, $subName.s, c.cid,
        |         round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
        |               + list_dot_product(cs, cs), 6) AS d2,
-       |         ROW_NUMBER() OVER (PARTITION BY psub.vid, psub.s ORDER BY
+       |         ROW_NUMBER() OVER (PARTITION BY $subName.vid, $subName.s ORDER BY
        |           round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
        |                 + list_dot_product(cs, cs), 6), c.cid) AS rn
-       |  FROM psub JOIN $cbName c ON c.s = psub.s) WHERE rn = 1""".stripMargin
+       |  FROM $subName JOIN $cbName c ON c.s = $subName.s) WHERE rn = 1""".stripMargin
 
   /** The round-8 logistic margin shared by every oracle that scores the
     * trained quality filter. */
@@ -2470,6 +2471,76 @@ object PipelineQueries {
              FROM x JOIN bench USING (s)
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Longest-shared-span decontamination (Lee et al. ACL'22 "Deduplicating
+    * Training Data" framing): q_text_decontam flags ANY 3-shingle overlap;
+    * this reports HOW MUCH — the maximum run of consecutive shared word
+    * 3-grams per (corpus doc, benchmark doc) pair, i.e. the longest
+    * verbatim token span (run + 2 tokens), the number an exclusion policy
+    * actually thresholds on. Shape: positional 3-grams
+    * ([[TextOps.kgrams]]) on both sides, benchmark side broadcast; a
+    * match at corpus position p and benchmark position q lies on
+    * diagonal p − q, and consecutive matches on one diagonal form a
+    * gaps-and-islands run (pos − row_number is constant within a run).
+    * Every window is partitioned by (doc, bench doc, diagonal) — matched
+    * positions only, never corpus rows. A 12-token span from each
+    * benchmark doc is planted into a fresh 100000+b corpus doc so the
+    * span length is pinned, not vacuous (the q_text_pii convention).
+    * n_matches counts matched (position, diagonal) pairs — a gram
+    * aligning to several benchmark positions contributes once per
+    * diagonal. */
+  val textDecontamSpan = QueryDef(
+    "q_text_decontam_span",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat(lit("qx1 qx2 "),
+            concat_ws(" ", slice(TextOps.tokens($"text"), 1, 12)),
+            lit(" qx3")).as("text"))
+      val corpus = docs.select($"doc_id", $"text").unionByName(planted)
+      val grams = TextOps.spread(corpus)
+        .select($"doc_id",
+          posexplode(TextOps.kgrams(TextOps.tokens($"text"), 3)))
+        .select($"doc_id", $"pos", $"col".as("g"))
+      val bench = grams.filter($"doc_id" < 5)
+        .select($"doc_id".as("bdoc"), $"pos".as("bpos"), $"g")
+      val m = grams.filter($"doc_id" >= 5)
+        .join(broadcast(bench), "g")
+        .select($"doc_id", $"bdoc", $"pos", ($"pos" - $"bpos").as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id", $"bdoc", $"diag").orderBy($"pos")
+      m.withColumn("isl", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"bdoc", $"diag", $"isl")
+        .agg(count(lit(1)).as("run"))
+        .groupBy($"doc_id", $"bdoc")
+        .agg((max($"run") + 2).cast("int").as("max_span_toks"),
+          sum($"run").cast("long").as("n_matches"))
+        .orderBy($"doc_id", $"bdoc")
+    },
+    Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000,
+             |         'qx1 qx2 ' || array_to_string(list_slice($toksSql, 1, 12), ' ') || ' qx3'
+             |  FROM documents WHERE doc_id < 5),
+             |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             |gr AS (SELECT doc_id, CAST(u.j AS INT) AS pos,
+             |              toks[u.j+1] || ' ' || toks[u.j+2] || ' ' || toks[u.j+3] AS g
+             |       FROM t, unnest(range(greatest(len(toks) - 2, 0))) AS u(j)),
+             |b AS (SELECT doc_id AS bdoc, pos AS bpos, g FROM gr WHERE doc_id < 5),
+             |m AS (SELECT gr.doc_id, b.bdoc, gr.pos, gr.pos - b.bpos AS diag
+             |      FROM gr JOIN b USING (g) WHERE gr.doc_id >= 5),
+             |r AS (SELECT doc_id, bdoc, diag, pos,
+             |             pos - ROW_NUMBER() OVER (
+             |               PARTITION BY doc_id, bdoc, diag ORDER BY pos) AS isl
+             |      FROM m),
+             |runs AS (SELECT doc_id, bdoc, diag, isl, COUNT(*) AS run
+             |         FROM r GROUP BY 1, 2, 3, 4)
+             |SELECT doc_id, bdoc, CAST(MAX(run) + 2 AS INT) AS max_span_toks,
+             |       CAST(SUM(run) AS BIGINT) AS n_matches
+             |FROM runs GROUP BY 1, 2 ORDER BY doc_id, bdoc""".stripMargin))
+
   /** Near-dup RESOLUTION: MinHash-LSH pairs → connected components → each
     * doc mapped to its component's canonical (minimum) id + component
     * size. The step after candidate generation that actually decides which
@@ -3034,6 +3105,135 @@ object PipelineQueries {
        |$steps""".stripMargin
   }
 
+  /** Unrolled-CTE replay of [[graft.pipeline.UnigramLm]] hard-EM
+    * training: candidate substring counts, the integer-scaled piece
+    * costs (cost_e8 = ⌊−ln(p)·1e8 + 0.5⌋ — one libm call per piece,
+    * then pure BIGINT DP), TWO fixed-depth Viterbi passes (10 unrolled
+    * positions, ≤4-char pieces, smallest-k tie-break via ordered CASE),
+    * and the usage-pruned add-one-smoothed final vocabulary. Pieces ride
+    * as sorted (pl, cl) lists; lookups are
+    * COALESCE(cl[list_position(pl, piece)], BIG). Defines `upc` (the
+    * final piece table), `unp` (per-word final piece counts) and `uwt`
+    * (the token stream) for the callers. */
+  private def unigramCtes(pool: Int = 16, budget: Int = 8): String = {
+    val maxK = 4
+    val maxLen = 10
+    val big = graft.pipeline.UnigramLm.Big.toString
+    def dpPass(p: String, lists: String): String = {
+      val steps = (1 to maxLen).map { j =>
+        val ks = 1 to math.min(maxK, j)
+        val cands = ks.map { k =>
+          s"""d${j - k} + COALESCE(cl[list_position(pl, substr(w, ${j - k + 1}, $k))], $big) AS c$k,
+             |                    seg${j - k} || ' ' || substr(w, ${j - k + 1}, $k) AS t$k""".stripMargin
+        }.mkString(",\n                    ")
+        val dj = "LEAST(" + ks.map(k => s"c$k").mkString(", ") + ")"
+        def pick(rest: List[Int]): String = rest match {
+          case k :: Nil => s"t$k"
+          case k :: tl =>
+            s"CASE WHEN ${tl.map(o => s"c$k <= c$o").mkString(" AND ")} THEN t$k ELSE ${pick(tl)} END"
+          case Nil => throw new IllegalStateException("no candidates")
+        }
+        val drop = ks.map(k => s"c$k, t$k").mkString(", ")
+        s"""${p}$j AS (SELECT * EXCLUDE ($drop), $dj AS d$j, ${pick(ks.toList)} AS seg$j
+           |        FROM (SELECT *,
+           |                    ${cands}
+           |              FROM ${p}${j - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""${p}0 AS (SELECT w, cnt, pl, cl, CAST(0 AS BIGINT) AS d0, '' AS seg0
+         |        FROM uv0, $lists),
+         |$steps""".stripMargin
+    }
+    val segCase = (1 to maxLen)
+      .map(j => s"WHEN len(w) = $j THEN seg$j").mkString(" ")
+    s"""uwt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |uv0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM uwt GROUP BY w),
+       |usub AS (SELECT substr(w, CAST(u.s AS INT) + 1, CAST(x.k AS INT)) AS piece,
+       |                CAST(SUM(cnt) AS BIGINT) AS c
+       |         FROM uv0, unnest(range(len(w))) AS u(s),
+       |              unnest(range(1, ${maxK + 1})) AS x(k)
+       |         WHERE u.s + x.k <= len(w)
+       |         GROUP BY 1),
+       |uch AS (SELECT piece, c FROM usub WHERE len(piece) = 1),
+       |umu AS (SELECT piece, c FROM (
+       |          SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+       |          FROM usub WHERE len(piece) > 1) WHERE rn <= $pool),
+       |uk0 AS (SELECT piece, c FROM uch UNION ALL SELECT piece, c FROM umu),
+       |ut0 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM uk0),
+       |uc0 AS (SELECT piece,
+       |               CAST(floor((-ln(CAST(c AS DOUBLE) / tot)) * 1e8 + 0.5) AS BIGINT) AS cost_e8
+       |        FROM uk0, ut0),
+       |up0 AS (SELECT list(piece ORDER BY piece) AS pl,
+       |               list(cost_e8 ORDER BY piece) AS cl FROM uc0),
+       |${dpPass("ud", "up0")},
+       |useg AS (SELECT w, cnt,
+       |                trim(CASE $segCase
+       |                     ELSE trim(regexp_replace(w, '(.)', '\\1 ', 'g')) END) AS seg
+       |         FROM ud$maxLen),
+       |uuc AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS uc
+       |        FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM useg)
+       |        GROUP BY 1),
+       |uch1 AS (SELECT uch.piece, CAST(COALESCE(uuc.uc, 0) AS BIGINT) AS uc
+       |         FROM uch LEFT JOIN uuc USING (piece)),
+       |umu1 AS (SELECT piece, uc FROM (
+       |           SELECT piece, uc, ROW_NUMBER() OVER (ORDER BY uc DESC, piece) AS rn
+       |           FROM uuc WHERE len(piece) > 1) WHERE rn <= $budget),
+       |uk1 AS (SELECT piece, uc FROM uch1 UNION ALL SELECT piece, uc FROM umu1),
+       |ut1 AS (SELECT CAST(SUM(uc + 1) AS BIGINT) AS tot FROM uk1),
+       |upc AS (SELECT piece, uc AS usage,
+       |               CAST(floor((-ln(CAST(uc + 1 AS DOUBLE) / tot)) * 1e8 + 0.5) AS BIGINT) AS cost_e8
+       |        FROM uk1, ut1),
+       |up1 AS (SELECT list(piece ORDER BY piece) AS pl,
+       |               list(cost_e8 ORDER BY piece) AS cl FROM upc),
+       |${dpPass("vd", "up1")},
+       |vseg AS (SELECT w, cnt,
+       |                trim(CASE $segCase
+       |                     ELSE trim(regexp_replace(w, '(.)', '\\1 ', 'g')) END) AS seg
+       |         FROM vd$maxLen),
+       |unp AS (SELECT w, CAST(len(string_split(seg, ' ')) AS INT) AS np FROM vseg)""".stripMargin
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training
+    * ([[graft.pipeline.UnigramLm]] — deterministic Viterbi hard-EM, the
+    * tokenizer family's missing half beside BPE: candidate substring
+    * pool → integer-cost Viterbi segmentation → usage-pruned add-one
+    * vocabulary). Output is the final trained piece table; the oracle
+    * replays candidate counting, both unrolled 10-position DPs, and the
+    * pruning, so a hash match proves every piece, usage count, and
+    * integer cost of the trained artifact. */
+  val textUnigramLm = QueryDef(
+    "q_text_unigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      val (pieces, _) = UnigramLm.train(Tables(s, dir, "documents"), "text")
+      pieces.orderBy($"piece")
+    },
+    Some(s"""WITH ${unigramCtes()}
+             |SELECT piece, usage, cost_e8 FROM upc ORDER BY piece""".stripMargin))
+
+  /** Unigram-LM apply: per-doc whitespace vs trained-unigram token
+    * counts (UnigramLm.tokenCounts) — the Viterbi-optimal counterpart of
+    * q_text_bpe's greedy-merge budget numbers. PipelineSpec pins
+    * compression ≥ the equal-budget BPE tokenizer (8 multi-char pieces
+    * each) on the fixture; the two trainers land within ~1% of each
+    * other at every scale, with unigram ahead wherever the optimal
+    * segmentation can exploit a piece BPE's bottom-up merges never
+    * form. */
+  val textUnigramApply = QueryDef(
+    "q_text_unigram_apply",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val (_, perWord) = UnigramLm.train(docs, "text")
+      UnigramLm.tokenCounts(docs, "doc_id", "text", perWord)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${unigramCtes()}
+             |SELECT uwt.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+             |       CAST(SUM(COALESCE(unp.np, len(uwt.w))) AS BIGINT) AS uni_tokens
+             |FROM uwt LEFT JOIN unp USING (w)
+             |GROUP BY uwt.doc_id ORDER BY uwt.doc_id""".stripMargin))
+
   /** BPE merge table: 8 deterministic merges trained on the documents
     * vocabulary (Bpe.train). Hash-matching the oracle's unrolled replay
     * checks every intermediate pair count, tie-break, and greedy merge —
@@ -3385,6 +3585,66 @@ object PipelineQueries {
          |ORDER BY codebook""".stripMargin
     })
 
+  /** OPQ-style space re-layout before PQ (Ge et al. CVPR'13, the
+    * parametric eigenvalue-allocation solution specialized to the
+    * coordinate basis — [[graft.pipeline.Similarity.permuteBalanced]]):
+    * dims ranked by exact-decimal per-dim variance and dealt snake-wise
+    * into the 8 subspaces, so a spectrum-ordered embedding's variance no
+    * longer piles into the first subspaces. Publishes the falsifying
+    * number directly: mean quantization error of the trained-PQ codebook
+    * on the CONTIGUOUS layout (shared with q_ann_pq_err's trained arm —
+    * one memoized training) vs the SAME trainer on the permuted layout.
+    * The oracle replays variance ranking, the closed-form snake
+    * allocation, the re-layout, and both Lloyd trainings as unrolled
+    * CTEs. PipelineSpec asserts err(permuted) < err(contiguous). */
+  val annOpq = QueryDef(
+    "q_ann_opq",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val n = Tables.rowCount(s, dir, "embeddings")
+      val permuted = Similarity.permuteBalanced(e, "vec_id", "embedding",
+        dim = 64, m = 8)
+      val permCb = Similarity.pqCodebookTrained(permuted, "vec_id",
+        "embedding", dim = 64, m = 8, iters = 2, corpusN = n)
+      Similarity.pqMse(e, "vec_id", "embedding",
+          trainedPqCodebook(s, dir), dim = 64)
+        .select(lit("contiguous").as("codebook"), $"mse")
+        .unionByName(
+          Similarity.pqMse(permuted, "vec_id", "embedding", permCb, dim = 64)
+            .select(lit("permuted").as("codebook"), $"mse"))
+        .orderBy($"codebook")
+    },
+    Some {
+      s"""WITH ${pqKmeansCtes(2)},
+         |ovar AS (SELECT CAST(u.j AS INT) AS i,
+         |                CAST(SUM(CAST(v[u.j+1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m1,
+         |                CAST(SUM(CAST(v[u.j+1] * v[u.j+1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m2
+         |         FROM pe, unnest(range(64)) AS u(j) GROUP BY 1),
+         |ornk AS (SELECT i, ${prSql("m2 - m1 * m1", 6)} AS vr FROM ovar),
+         |orr AS (SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY vr DESC, i) AS INT) - 1 AS r FROM ornk),
+         |oal AS (SELECT i, r,
+         |               CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS sub
+         |        FROM orr),
+         |opl AS (SELECT i, sub,
+         |               CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY i) AS INT) - 1 AS k
+         |        FROM oal),
+         |oprm AS (SELECT list(i ORDER BY sub * 8 + k) AS parr FROM opl),
+         |opemb AS (SELECT vid AS vec_id, list_transform(parr, oi -> v[oi + 1]) AS embedding
+         |          FROM pe, oprm),
+         |${pqKmeansCtes(2, "o", "opemb")},
+         |casg AS (${pqAssignSql("pc2")}),
+         |oasg AS (${pqAssignSql("oc2", "osub")}),
+         |cmse AS (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,10))) AS DOUBLE)
+         |                      / COUNT(*), 6) AS mse FROM casg),
+         |omse AS (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,10))) AS DOUBLE)
+         |                      / COUNT(*), 6) AS mse FROM oasg)
+         |SELECT codebook, mse FROM (
+         |  SELECT 'contiguous' AS codebook, mse FROM cmse
+         |  UNION ALL SELECT 'permuted', mse FROM omse)
+         |ORDER BY codebook""".stripMargin
+    })
+
   /** Cluster-stratified representative selection: per TRAINED k-means
     * cell, the `perCell` members nearest their centroid — the
     * coverage-preserving subset selection (coreset/diversity sampling)
@@ -3646,6 +3906,230 @@ object PipelineQueries {
              |          JOIN uni u2 ON u2.w = pair.w2, n, m
              |WHERE pair.c12 >= 3
              |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin))
+
+  // ----------------------------------------- multi-class domain classifier
+  /** Class order (sorted) and feature layout shared by the softmax pair:
+    * x_j = floor-round-6 of 10·|dtoks ∩ stopwords_lang_j| / |dtoks| for
+    * j → (de, en, es, fr); zh has no marker list and is learned from the
+    * all-low-coverage signature (bias vs the others). */
+  private val domainClasses = Seq("de", "en", "es", "fr", "zh")
+  private val domainFeatNames = Seq("bias", "cov_de", "cov_en", "cov_es", "cov_fr")
+  private def prSql(x: String, k: Int) = s"floor(($x) * 1e$k + 0.5) / 1e$k"
+
+  /** Planted domain corpus: each doc gets its own lang's 7 stopwords
+    * appended once (the q_text_classifier planting discipline — fixture
+    * lang labels are independent of the synthetic text, so the learnable
+    * signal is planted deterministically). Feature frame (y, x1..x4). */
+  private val domainFeatMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def domainFeat(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    domainFeatMemo.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val sw = TextAnalysis.stopwords
+      val sfx = sw.tail.foldLeft(
+        when($"lang" === sw.head._1, " " + sw.head._2.mkString(" "))) {
+        case (acc, (l, ws)) => acc.when($"lang" === l, " " + ws.mkString(" "))
+      }.otherwise(lit(""))
+      val marked = TextOps.spread(Tables(s, dir, "documents"))
+        .select($"lang".as("y"), concat($"text", sfx).as("text"))
+        .select($"y", array_distinct(TextOps.tokens($"text")).as("dtoks"))
+        .filter(size($"dtoks") > 0)
+      val swMap = sw.toMap
+      val feats = Seq("de", "en", "es", "fr").zipWithIndex.map { case (l, i) =>
+        graft.graph.NodeEmbedding.pround(
+          lit(10.0) * size(array_intersect($"dtoks", typedlit(swMap(l))))
+            .cast("double") / size($"dtoks"), 6).as(s"x${i + 1}")
+      }
+      marked.select(($"y" +: feats): _*).localCheckpoint()
+    })
+
+  private val softmaxMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def softmaxWeights(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    softmaxMemo.getOrElseUpdate((s, dir),
+      Softmax.train(domainFeat(s, dir), domainClasses, d = 4,
+        iters = 4, lr = 5.0))
+
+  /** Unrolled-CTE replay of [[graft.pipeline.Softmax]] domain training:
+    * planting, coverage features, and every GD iteration's K·(d+1)
+    * decimal gradient sums — plus `spp`/`predt` (final probabilities and
+    * argmax predictions) for the callers' selects. Every rounding is the
+    * floor idiom (invariant 12), spelled identically to the Column side. */
+  private def softmaxCtes(iters: Int, lr: String = "5.0"): String = {
+    val ks = domainClasses
+    def zSql(k: String) = prSql(
+      s"w_${k}_0 + w_${k}_1*x1 + w_${k}_2*x2 + w_${k}_3*x3 + w_${k}_4*x4", 8)
+    val denom = ks.map(k => s"e_$k").mkString(" + ")
+    def probsSelect(wTab: String) =
+      s"""SELECT y, x1, x2, x3, x4,
+         |       ${ks.map(k => s"${prSql(s"e_$k / ($denom)", 8)} AS p_$k").mkString(",\n       ")}
+         |FROM (SELECT y, x1, x2, x3, x4,
+         |             ${ks.map(k => s"${prSql(s"exp(${zSql(k)})", 8)} AS e_$k").mkString(",\n             ")}
+         |      FROM sf_, $wTab)""".stripMargin
+    val markCase = TextAnalysis.stopwords.map { case (l, ws) =>
+      s"WHEN '$l' THEN ' ${ws.mkString(" ")}'"
+    }.mkString(" ")
+    val featSql = Seq("de", "en", "es", "fr").zipWithIndex.map { case (l, i) =>
+      val lit = TextAnalysis.stopwords.toMap.apply(l)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"${prSql(s"10.0 * CAST(len(list_intersect(dtoks, $lit)) AS DOUBLE) / len(dtoks)", 6)} AS x${i + 1}"
+    }.mkString(",\n       ")
+    val steps = (1 to iters).map { t =>
+      val sums = (for (k <- ks; j <- 0 to 4) yield {
+        val xj = if (j == 0) "1.0" else s"x$j"
+        s"SUM(CAST(${prSql(s"d_$k * $xj", 8)} AS DECIMAL(20,10))) AS s_${k}_$j"
+      }).mkString(",\n              ")
+      val dks = ks.map(k =>
+        s"p_$k - (CASE WHEN y = '$k' THEN 1.0 ELSE 0.0 END) AS d_$k")
+        .mkString(",\n                   ")
+      val upds = (for (k <- ks; j <- 0 to 4) yield
+        s"${prSql(s"w_${k}_$j - $lr * ${prSql(s"CAST(s_${k}_$j AS DOUBLE) / n", 8)}", 6)} AS w_${k}_$j")
+        .mkString(",\n              ")
+      s"""sp$t AS MATERIALIZED (${probsSelect(s"sw${t - 1}")}),
+         |sg$t AS MATERIALIZED (SELECT $sums,
+         |              COUNT(*) AS n
+         |       FROM (SELECT x1, x2, x3, x4,
+         |                   $dks
+         |             FROM sp$t)),
+         |sw$t AS MATERIALIZED (SELECT $upds
+         |       FROM sw${t - 1}, sg$t)""".stripMargin
+    }.mkString(",\n")
+    val predCase = {
+      def cond(k: String, rest: Seq[String]) =
+        rest.map(r => s"p_$k >= p_$r").mkString(" AND ")
+      s"""CASE WHEN ${cond("de", Seq("en", "es", "fr", "zh"))} THEN 'de'
+         |     WHEN ${cond("en", Seq("es", "fr", "zh"))} THEN 'en'
+         |     WHEN ${cond("es", Seq("fr", "zh"))} THEN 'es'
+         |     WHEN ${cond("fr", Seq("zh"))} THEN 'fr'
+         |     ELSE 'zh' END""".stripMargin
+    }
+    s"""sdoc AS (SELECT lang AS y,
+       |           text || (CASE lang $markCase ELSE '' END) AS text
+       |         FROM documents),
+       |sbase AS (SELECT y, list_distinct($toksSql) AS dtoks FROM sdoc),
+       |sf_ AS MATERIALIZED (SELECT y,
+       |       $featSql
+       |        FROM sbase WHERE len(dtoks) > 0),
+       |sw0 AS (SELECT ${(for (k <- ks; j <- 0 to 4) yield s"0.0::DOUBLE AS w_${k}_$j").mkString(", ")}),
+       |$steps,
+       |spp AS MATERIALIZED (${probsSelect(s"sw$iters")}),
+       |predt AS MATERIALIZED (SELECT y, ($predCase) AS pred FROM spp)""".stripMargin
+  }
+
+  /** In-engine trained multi-class domain classifier
+    * ([[graft.pipeline.Softmax]] — deterministic full-batch softmax GD,
+    * 4 iterations, lr 5.0) over the 5 lang domains: each doc's own
+    * domain markers are planted (labels are independent of the synthetic
+    * text), stopword-coverage fractions are the features, zh is the
+    * no-marker class. The oracle replays planting, features, and EVERY
+    * gradient step as unrolled CTEs — all 25 weights are
+    * hash-reproducible, the k-means-codebook convention. This is the
+    * LEARNED domain tagger feeding the mixture queries
+    * (q_mix_temperature / q_mix_doremi train on GIVEN domains). */
+  val textDomainClf = QueryDef(
+    "q_text_domain_clf",
+    (s, dir) => {
+      import s.implicits._
+      val w = softmaxWeights(s, dir)
+      val scored = domainFeat(s, dir).crossJoin(broadcast(w))
+        .select($"y", Softmax.predCol(domainClasses, 4).as("pred"))
+      val acc = scored.agg(graft.graph.NodeEmbedding.pround(
+        avg(when($"pred" === $"y", 1.0).otherwise(0.0)), 6).as("train_acc"))
+      val entries = (for (k <- domainClasses; j <- 0 to 4) yield
+        s"'$k', '${domainFeatNames(j)}', ${Softmax.wcol(k, j)}").mkString(", ")
+      w.crossJoin(broadcast(acc))
+        .select(expr(s"stack(25, $entries) AS (lang, feature, weight)"),
+          $"train_acc")
+        .orderBy($"lang", $"feature")
+    },
+    Some {
+      val rows = (for (k <- domainClasses; j <- 0 to 4) yield
+        if (k == "de" && j == 0)
+          s"SELECT 'de' AS lang, 'bias' AS feature, w_de_0 AS weight FROM sw4"
+        else
+          s"SELECT '$k', '${domainFeatNames(j)}', w_${k}_$j FROM sw4")
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH ${softmaxCtes(4)},
+         |acc AS (SELECT ${prSql("AVG(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END)", 6)} AS train_acc
+         |        FROM predt)
+         |SELECT lang, feature, weight, train_acc FROM (
+         |  $rows), acc
+         |ORDER BY lang, feature""".stripMargin
+    })
+
+  /** Per-class operating report of the trained domain classifier:
+    * support / predicted-count / true positives, floor-round-6 precision,
+    * recall, F1 (0-pinned when undefined on BOTH engines), and the
+    * macro-F1 summary — per-class F1s sum through exact DECIMAL(18,6)
+    * before the one mean division, so the 5-way average is
+    * order-independent. Confusion counts are exact BIGINTs off one
+    * corpus pass; everything downstream runs on the 5-row class table. */
+  val textDomainEval = QueryDef(
+    "q_text_domain_eval",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val pr6 = graft.graph.NodeEmbedding.pround(_: Column, 6)
+      val w = softmaxWeights(s, dir)
+      val conf = domainFeat(s, dir).crossJoin(broadcast(w))
+        .select($"y", Softmax.predCol(domainClasses, 4).as("pred"))
+        .groupBy($"y", $"pred").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val cls = domainClasses.toDF("lang")
+      val tr = conf.groupBy($"y".as("lang")).agg(sum($"c").as("n_true"))
+      val pd = conf.groupBy($"pred".as("lang")).agg(sum($"c").as("n_pred"))
+      val tp = conf.filter($"y" === $"pred")
+        .select($"y".as("lang"), $"c".as("tp"))
+      val m = cls
+        .join(broadcast(tr), Seq("lang"), "left")
+        .join(broadcast(pd), Seq("lang"), "left")
+        .join(broadcast(tp), Seq("lang"), "left")
+        .select($"lang", coalesce($"n_true", lit(0L)).as("n_true"),
+          coalesce($"n_pred", lit(0L)).as("n_pred"),
+          coalesce($"tp", lit(0L)).as("tp"))
+        .withColumn("precision", when($"n_pred" === 0, 0.0)
+          .otherwise(pr6($"tp".cast("double") / $"n_pred")))
+        .withColumn("recall", when($"n_true" === 0, 0.0)
+          .otherwise(pr6($"tp".cast("double") / $"n_true")))
+        .withColumn("f1", when($"precision" + $"recall" === 0.0, 0.0)
+          .otherwise(pr6(lit(2.0) * $"precision" * $"recall" /
+            ($"precision" + $"recall"))))
+      val macroF1 = m.agg(pr6(
+        sum($"f1".cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+        .as("macro_f1"))
+      m.crossJoin(broadcast(macroF1)).orderBy($"lang")
+    },
+    Some {
+      s"""WITH ${softmaxCtes(4)},
+         |conf AS (SELECT y, pred, COUNT(*) AS c FROM predt GROUP BY 1, 2),
+         |cls AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang),
+         |tr AS (SELECT y AS lang, SUM(c) AS n_true FROM conf GROUP BY 1),
+         |pd AS (SELECT pred AS lang, SUM(c) AS n_pred FROM conf GROUP BY 1),
+         |tp AS (SELECT y AS lang, c AS tp FROM conf WHERE y = pred),
+         |m AS (SELECT cls.lang,
+         |             CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+         |             CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         |             CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+         |      FROM cls LEFT JOIN tr USING (lang)
+         |               LEFT JOIN pd USING (lang)
+         |               LEFT JOIN tp USING (lang)),
+         |mm AS (SELECT lang, n_true, n_pred, tp,
+         |              CASE WHEN n_pred = 0 THEN 0.0
+         |                   ELSE ${prSql("CAST(tp AS DOUBLE) / n_pred", 6)} END AS precision,
+         |              CASE WHEN n_true = 0 THEN 0.0
+         |                   ELSE ${prSql("CAST(tp AS DOUBLE) / n_true", 6)} END AS recall
+         |       FROM m),
+         |mf AS (SELECT lang, n_true, n_pred, tp, precision, recall,
+         |              CASE WHEN precision + recall = 0.0 THEN 0.0
+         |                   ELSE ${prSql("2.0 * precision * recall / (precision + recall)", 6)} END AS f1
+         |       FROM mm),
+         |mac AS (SELECT ${prSql("CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6)} AS macro_f1
+         |        FROM mf)
+         |SELECT lang, n_true, n_pred, tp, precision, recall, f1, macro_f1
+         |FROM mf, mac ORDER BY lang""".stripMargin
+    })
 
   /** The END-TO-END training-data pipeline as ONE composed plan: plant
     * duplicates + PII → scrub → language-ID → quality filter → exact
@@ -4205,10 +4689,13 @@ object PipelineQueries {
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupTop1, dedupKeepBest, sampleStratified, textPii, textDecontam,
+    textDecontamSpan,
     textPack, vecQuantize, textPerplexity, mixWeights, mixTemperature, mixSchedule, mixWaterfill, vecCentroids,
-    annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annRq, annRqErr, vecDiverse,
+    annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annOpq, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
-    textPmi, textClassifier, textClassifierEval, textClassifierEce, dedupSemantic,
+    textUnigramLm, textUnigramApply,
+    textPmi, textClassifier, textClassifierEval, textClassifierEce,
+    textDomainClf, textDomainEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
     vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,
     textDrift, vecMmr, vecSilhouette, vecOod, rankNdcg, rankMrr,

@@ -1067,7 +1067,9 @@ object ScaleQueries {
   /** Pivot-sampled Brandes betweenness (4 pivots, hop cap 3) over the
     * sparse bipartite graph: forward level-synchronous sigma counting
     * (exact BIGINT), backward dependency accumulation with each edge
-    * contribution rounded to 8 places into DECIMAL(20,8) — per-node sums
+    * contribution floor-idiom-rounded to 8 places into DECIMAL(20,8)
+    * (invariant 12 — round(,8) split the engines on an 8dp tie at
+    * sf0.1) — per-node sums
     * exact, ranks partition-independent. The oracle unrolls both phases:
     * BFS levels l1..l3 with NOT-EXISTS visited guards, then delta tables
     * d2, d1 replaying the identical rounded expression. Top 20 central
@@ -1081,7 +1083,7 @@ object ScaleQueries {
       val pivots = edges.select($"src").distinct()
         .orderBy($"src").limit(4).select($"src".as("p"))
       GraphAnalytics.betweennessApprox(und, pivots, hops = 3)
-        .select($"node", round($"bc", 6).as("bc"))
+        .select($"node", graft.graph.NodeEmbedding.pround($"bc", 6).as("bc"))
         .orderBy($"bc".desc, $"node")
         .limit(20)
     },
@@ -1111,8 +1113,7 @@ object ScaleQueries {
              |                         WHERE x.p = l2.p AND x.node = ee.v)
              |       GROUP BY 1, 2),
              |ct2 AS (SELECT a.p, a.node,
-             |               SUM(CAST(round(CAST(a.sig AS DOUBLE) / CAST(b.sig AS DOUBLE)
-             |                              * (1.0 + 0.0), 8) AS DECIMAL(20,8))) AS delta
+             |               SUM(CAST(floor((CAST(a.sig AS DOUBLE) / CAST(b.sig AS DOUBLE) * (1.0 + 0.0)) * 1e8 + 0.5) / 1e8 AS DECIMAL(20,8))) AS delta
              |        FROM l2 a JOIN ee ON ee.u = a.node
              |        JOIN l3 b ON b.p = a.p AND b.node = ee.v
              |        GROUP BY 1, 2),
@@ -1120,9 +1121,7 @@ object ScaleQueries {
              |              COALESCE(ct2.delta, CAST(0 AS DECIMAL(20,8))) AS delta
              |       FROM l2 a LEFT JOIN ct2 ON ct2.p = a.p AND ct2.node = a.node),
              |ct1 AS (SELECT a.p, a.node,
-             |               SUM(CAST(round(CAST(a.sig AS DOUBLE) / CAST(b.sig AS DOUBLE)
-             |                              * (1.0 + CAST(b.delta AS DOUBLE)), 8)
-             |                        AS DECIMAL(20,8))) AS delta
+             |               SUM(CAST(floor((CAST(a.sig AS DOUBLE) / CAST(b.sig AS DOUBLE) * (1.0 + CAST(b.delta AS DOUBLE))) * 1e8 + 0.5) / 1e8 AS DECIMAL(20,8))) AS delta
              |        FROM l1 a JOIN ee ON ee.u = a.node
              |        JOIN d2 b ON b.p = a.p AND b.node = ee.v
              |        GROUP BY 1, 2),
@@ -1132,8 +1131,8 @@ object ScaleQueries {
              |       FROM (SELECT p, node, delta FROM d1
              |             UNION ALL SELECT p, node, delta FROM d2)
              |       GROUP BY node)
-             |SELECT node, round(bc, 6) AS bc FROM bc
-             |ORDER BY round(bc, 6) DESC, node LIMIT 20""".stripMargin))
+             |SELECT node, floor((bc) * 1e6 + 0.5) / 1e6 AS bc FROM bc
+             |ORDER BY floor((bc) * 1e6 + 0.5) / 1e6 DESC, node LIMIT 20""".stripMargin))
 
   // --------------------------------------------------- coarse-fine rerank
   private val queryVecSql =

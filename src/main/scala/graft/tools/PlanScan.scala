@@ -18,6 +18,14 @@ object PlanScan {
     * window). Reviewed per entry — adding a query here is a code-reviewed
     * decision, not a default. */
   val globalWindowReviewed: Map[String, String] = Map(
+    "q_text_unigram_lm" -> ("candidate-piece and usage rank windows over " +
+      "the piece tables — bounded by the distinct-substring domain of the " +
+      "word VOCABULARY (corpus-size-independent), never corpus rows"),
+    "q_text_unigram_apply" -> ("same trained-tokenizer piece-rank windows " +
+      "as q_text_unigram_lm (shared training), vocabulary-bounded"),
+    "q_ann_opq" -> ("dimension-variance rank over the d-row (64) moment " +
+      "table for the snake allocation — bounded by the embedding " +
+      "dimensionality, never corpus rows"),
     "q_text_classifier_eval" -> ("cumulative negatives over the DISTINCT " +
       "round-8 sigmoid-score table (Classifier.evalSweep), bounded by " +
       "distinct feature combinations, never corpus rows"),

@@ -867,4 +867,79 @@ class PipelineSpec extends SparkSpec {
       .select($"a", $"b", $"inter", $"uni").as[(Long, Long, Int, Int)].collect()
     assert(rb.toSeq == Seq((1L, 2L, 8, 10)), s"J = 4/5 boundary pair: ${rb.toSeq}")
   }
+
+  test("unigram-LM beats equal-budget BPE on corpus token count") {
+    val uni = SparkEntry.queries("q_text_unigram_apply")(spark, sf)
+      .agg(sum(col("uni_tokens"))).collect().head.getLong(0)
+    val bpe = SparkEntry.queries("q_text_bpe")(spark, sf)
+      .agg(sum(col("bpe_tokens"))).collect().head.getLong(0)
+    // equal budget: 8 multi-char pieces (unigram) vs 8 merges (BPE);
+    // Viterbi-optimal segmentation can pick pieces BPE's bottom-up
+    // greedy merges never form
+    assert(uni < bpe, s"unigram $uni vs bpe $bpe at equal piece budget")
+  }
+
+  test("unigram segmentations are valid: pieces concatenate to the word") {
+    val (_, perWord) = graft.pipeline.UnigramLm.train(
+      Tables(spark, sf, "documents"), "text")
+    val rows = perWord.select(col("w"),
+      expr("replace(seg, ' ', '')").as("joined")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"segmentation must cover the word exactly: $r"))
+  }
+
+  test("OPQ snake allocation cuts trained-PQ quantization error") {
+    val rows = SparkEntry.queries("q_ann_opq")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set("contiguous", "permuted"))
+    assert(rows("permuted") < rows("contiguous"),
+      s"variance-balanced layout must quantize better: $rows")
+  }
+
+  test("permuteBalanced is a permutation: multisets of values preserved") {
+    val e = Tables(spark, sf, "embeddings").limit(20)
+    val p = graft.pipeline.Similarity
+      .permuteBalanced(e, "vec_id", "embedding", dim = 64, m = 8)
+    val orig = e.select(col("vec_id"),
+        expr("array_sort(cast(embedding as array<double>))").as("sorted"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val perm = p.select(col("vec_id"), expr("array_sort(embedding)").as("sorted"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(orig.keySet == perm.keySet)
+    orig.foreach { case (k, v) => assert(perm(k) == v,
+      s"vec $k values changed under the re-layout") }
+  }
+
+  test("domain classifier separates the planted domains (acc and macro-F1)") {
+    val clf = SparkEntry.queries("q_text_domain_clf")(spark, sf).collect()
+    assert(clf.length == 25, "5 classes x (bias + 4 coverage features)")
+    val acc = clf.head.getDouble(3)
+    assert(acc >= 0.95, s"train accuracy separates planted domains: $acc")
+    val ev = SparkEntry.queries("q_text_domain_eval")(spark, sf).collect()
+    assert(ev.length == 5)
+    val macroF1 = ev.head.getDouble(7)
+    assert(macroF1 >= 0.95, s"macro-F1: $macroF1")
+    // zh has NO planted marker list — it must still be recovered from the
+    // all-low-coverage signature, the test that the softmax actually
+    // learned a boundary rather than memorizing one-hot markers
+    val zh = ev.find(_.getString(0) == "zh").get
+    assert(zh.getDouble(5) >= 0.9, s"zh recall: ${zh.getDouble(5)}")
+  }
+
+  test("decontam span pins the planted 12-token verbatim copy exactly") {
+    // each planted corpus doc (100000+b) pairs with its own benchmark
+    // source b at span exactly the 12 copied tokens (10 consecutive
+    // shared 3-grams + 2) — the qx guard tokens stop the run from
+    // extending past the plant; pairs with OTHER benchmark docs via
+    // natural overlap are allowed but never reach 12
+    val rows = SparkEntry.queries("q_text_decontam_span")(spark, sf)
+      .filter(col("doc_id") >= 100000 &&
+        col("doc_id") - 100000 === col("bdoc"))
+      .orderBy("doc_id").collect()
+    assert(rows.length == 5, s"planted pair per benchmark doc: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getInt(2) == 12, s"planted span must be exactly 12 tokens: $r")
+    }
+  }
 }

@@ -121,22 +121,42 @@ def split_ctes(sql):
 
 def run_oracle(sql):
     """Run one oracle query; in --staged mode materialize each top-level
-    CTE as a temp table first so no CTE body executes more than once."""
+    CTE that is REFERENCED MORE THAN ONCE downstream as a temp table, so
+    no CTE body executes more than once (the multiplicative-re-execution
+    fix) — while single-reference CTEs stay inline so DuckDB keeps its
+    filter/projection pushdown into them (materializing everything turned
+    lazily-pruned intermediates into multi-10-GB spills). Inline CTEs may
+    reference earlier temps by name; temps may be built FROM a rewritten
+    WITH carrying the still-inline prefix."""
     if not staged:
         return con.sql(sql).df()
     parts = split_ctes(sql)
     if parts is None:
         return con.sql(sql).df()
     ctes, final = parts
-    made = []
+    # downstream reference count per CTE name (identifier occurrences in
+    # later bodies + the final select). Miscounting only shifts a CTE
+    # between inline/temp execution — results are identical either way.
+    refs = {name: 0 for name, _, _ in ctes}
+    later = [body for _, _, body in ctes] + [final]
+    for idx, (name, _, _) in enumerate(ctes):
+        pat = re.compile(r"\b" + re.escape(name) + r"\b")
+        refs[name] = sum(len(pat.findall(b)) for b in later[idx + 1:])
+    made, inline = [], []
+    def with_prefix():
+        if not inline:
+            return ""
+        return "WITH " + ",\n".join(
+            f"{n}{c or ''} AS ({b})" for n, c, b in inline) + "\n"
     try:
         for name, cols, body in ctes:
-            # a CTE column list renames the body's output columns — wrap in
-            # a derived-table alias, which DuckDB applies positionally
+            if refs[name] <= 1:
+                inline.append((name, cols, body))
+                continue
             src = f"SELECT * FROM ({body}) AS __cte_src{cols}" if cols else body
-            con.sql(f'CREATE TEMP TABLE "{name}" AS {src}')
+            con.sql(f'CREATE TEMP TABLE "{name}" AS {with_prefix()}{src}')
             made.append(name)
-        return con.sql(final).df()
+        return con.sql(f"{with_prefix()}{final}").df()
     finally:
         for name in reversed(made):
             con.sql(f'DROP TABLE IF EXISTS "{name}"')
