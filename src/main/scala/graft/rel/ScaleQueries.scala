@@ -755,7 +755,13 @@ object ScaleQueries {
   /** Newman modularity of the 3-round LPA partition (GraphAnalytics
     * .modularity over labelPropagation's labels): per-community
     * q_c = e_c/2m − (d_c/2m)², exact integers until one final division —
-    * the quality number that makes the LPA communities falsifiable. */
+    * the quality number that makes the LPA communities falsifiable.
+    * The oracle adds `+ 0.0` after its round: a zero-intra community's
+    * q_c = −(d_c/2m)² rounds to NEGATIVE ZERO in DuckDB (binary round)
+    * but +0.0 in Spark (BigDecimal has no signed zero), and the two
+    * stringify/hash differently — the r12 sf0.1 staged sweep caught
+    * exactly this split; x + 0.0 normalizes −0.0 and is the identity on
+    * every other double. */
   val graphModularity = QueryDef(
     "q_graph_modularity",
     (s, dir) => {
@@ -780,7 +786,7 @@ object ScaleQueries {
                     bl.deg_sum,
                     round(CAST(COALESCE(intra.e_intra2, 0) AS DOUBLE) / m2.m2
                           - (CAST(bl.deg_sum AS DOUBLE) / m2.m2)
-                            * (CAST(bl.deg_sum AS DOUBLE) / m2.m2), 6) AS q_contrib
+                            * (CAST(bl.deg_sum AS DOUBLE) / m2.m2), 6) + 0.0 AS q_contrib
              FROM bl LEFT JOIN intra ON intra.label = bl.label, m2
              ORDER BY bl.label"""))
 
