@@ -48,5 +48,6 @@ object SparkEntry {
     * alphabetically; the warm seconds are published in the bench JSON. */
   val sharedWarmups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sgns_training" -> (rel.SelectionQueries.warmShared(_, _)),
-    "eval_base_frame" -> (rel.EvalQueries.warmShared(_, _)))
+    "eval_base_frame" -> (rel.EvalQueries.warmShared(_, _)),
+    "trained_quantizers" -> (rel.PipelineQueries.warmShared(_, _)))
 }
