@@ -3207,6 +3207,16 @@ object PipelineQueries {
        |unp AS (SELECT w, CAST(len(string_split(seg, ' ')) AS INT) AS np FROM vseg)""".stripMargin
   }
 
+  /** Session-memoized unigram-LM training — shared by the lm / apply /
+    * fertility queries (the trainedPqCodebook convention; training is
+    * bit-deterministic so sharing cannot change any result). */
+  private val unigramMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+  private def unigramTrained(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (DataFrame, DataFrame) =
+    unigramMemo.getOrElseUpdate((s, dir),
+      UnigramLm.train(Tables(s, dir, "documents"), "text"))
+
   /** Unigram-LM (SentencePiece-style) tokenizer training
     * ([[graft.pipeline.UnigramLm]] — deterministic Viterbi hard-EM, the
     * tokenizer family's missing half beside BPE: candidate substring
@@ -3219,7 +3229,7 @@ object PipelineQueries {
     "q_text_unigram_lm",
     (s, dir) => {
       import s.implicits._
-      val (pieces, _) = UnigramLm.train(Tables(s, dir, "documents"), "text")
+      val (pieces, _) = unigramTrained(s, dir)
       pieces.orderBy($"piece")
     },
     Some(s"""WITH ${unigramCtes()}
@@ -3237,9 +3247,9 @@ object PipelineQueries {
     "q_text_unigram_apply",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val (_, perWord) = UnigramLm.train(docs, "text")
-      UnigramLm.tokenCounts(docs, "doc_id", "text", perWord)
+      val (_, perWord) = unigramTrained(s, dir)
+      UnigramLm.tokenCounts(Tables(s, dir, "documents"), "doc_id", "text",
+          perWord)
         .orderBy($"doc_id")
     },
     Some(s"""WITH ${unigramCtes()}
@@ -3248,6 +3258,42 @@ object PipelineQueries {
              |       CAST(SUM(COALESCE(unp.np, len(uwt.w))) AS BIGINT) AS uni_tokens
              |FROM uwt LEFT JOIN unp USING (w)
              |GROUP BY uwt.doc_id ORDER BY uwt.doc_id""".stripMargin))
+
+  /** Per-language tokenizer fertility (pieces per word) under the
+    * trained unigram LM — the multilingual-parity audit (a tokenizer
+    * that fragments one language's words into many more pieces taxes
+    * that language's effective context window and training compute; the
+    * number parity studies report per language). One broadcast join of
+    * the lang-tagged token stream against the |vocab|-row segmentation
+    * table; out-of-vocabulary words fall back to per-character pieces,
+    * exactly the apply path. On this fixture the synthetic text is
+    * lang-independent, so the audit correctly reports near-parity — the
+    * operator, not the corpus, is under test. */
+  val textUnigramFertility = QueryDef(
+    "q_text_unigram_fertility",
+    (s, dir) => {
+      import s.implicits._
+      val (_, perWord) = unigramTrained(s, dir)
+      val np = perWord.select($"w", size(split($"seg", " ")).as("np"))
+      TextOps.spread(Tables(s, dir, "documents"))
+        .select($"lang", explode(TextOps.tokens($"text")).as("w"))
+        .join(broadcast(np), Seq("w"), "left")
+        .withColumn("np", coalesce($"np", length($"w")))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"np").cast("long").as("n_pieces"))
+        .select($"lang", $"n_words", $"n_pieces",
+          graft.graph.NodeEmbedding.pround(
+            $"n_pieces".cast("double") / $"n_words", 6).as("fertility"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH ${unigramCtes()},
+             |d AS (SELECT lang, unnest($toksSql) AS w FROM documents)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |       CAST(SUM(COALESCE(unp.np, len(d.w))) AS BIGINT) AS n_pieces,
+             |       ${prSql("CAST(SUM(COALESCE(unp.np, len(d.w))) AS DOUBLE) / COUNT(*)", 6)} AS fertility
+             |FROM d LEFT JOIN unp USING (w)
+             |GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** BPE merge table: 8 deterministic merges trained on the documents
     * vocabulary (Bpe.train). Hash-matching the oracle's unrolled replay
@@ -4708,7 +4754,7 @@ object PipelineQueries {
     textPack, vecQuantize, textPerplexity, mixWeights, mixTemperature, mixSchedule, mixWaterfill, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annOpq, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
-    textUnigramLm, textUnigramApply,
+    textUnigramLm, textUnigramApply, textUnigramFertility,
     textPmi, textClassifier, textClassifierEval, textClassifierEce,
     textDomainClf, textDomainEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,

@@ -23,6 +23,8 @@ object PlanScan {
       "word VOCABULARY (corpus-size-independent), never corpus rows"),
     "q_text_unigram_apply" -> ("same trained-tokenizer piece-rank windows " +
       "as q_text_unigram_lm (shared training), vocabulary-bounded"),
+    "q_text_unigram_fertility" -> ("same trained-tokenizer piece-rank " +
+      "windows as q_text_unigram_lm (shared training), vocabulary-bounded"),
     "q_ann_opq" -> ("dimension-variance rank over the d-row (64) moment " +
       "table for the snake allocation — bounded by the embedding " +
       "dimensionality, never corpus rows"),

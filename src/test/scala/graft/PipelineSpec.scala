@@ -879,6 +879,18 @@ class PipelineSpec extends SparkSpec {
     assert(uni < bpe, s"unigram $uni vs bpe $bpe at equal piece budget")
   }
 
+  test("unigram fertility: every language covered, pieces >= words") {
+    val rows = SparkEntry.queries("q_text_unigram_fertility")(spark, sf)
+      .collect()
+    assert(rows.length == 5, "one row per fixture language")
+    rows.foreach { r =>
+      val (w, p, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(w > 0 && p >= w, s"a word segments into >= 1 piece: $r")
+      assert(f >= 1.0 && math.abs(f - p.toDouble / w) < 1e-6,
+        s"fertility is the per-lang mean pieces per word: $r")
+    }
+  }
+
   test("unigram segmentations are valid: pieces concatenate to the word") {
     val (_, perWord) = graft.pipeline.UnigramLm.train(
       Tables(spark, sf, "documents"), "text")
