@@ -50,7 +50,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver fixtures are single files; Spark-written fixtures (e.g. the
+    # GenScaledSf benchdata/sf1 set) are directories of part files
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
 if staged:
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
