@@ -49,5 +49,6 @@ object SparkEntry {
   val sharedWarmups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sgns_training" -> (rel.SelectionQueries.warmShared(_, _)),
     "eval_base_frame" -> (rel.EvalQueries.warmShared(_, _)),
-    "trained_quantizers" -> (rel.PipelineQueries.warmShared(_, _)))
+    "trained_quantizers" -> (rel.PipelineQueries.warmShared(_, _)),
+    "pca_parts" -> (rel.VectorQueries.warmShared(_, _)))
 }

@@ -317,7 +317,14 @@ object Similarity {
       .groupBy(col("i"))
       .agg((sum(col("xv").cast(DecimalType(20, 10))).cast("double") /
         count(lit(1))).as("m1"),
-        (sum((col("xv") * col("xv")).cast(DecimalType(20, 10))).cast("double") /
+        // The square is floor-rounded to 8dp BEFORE the decimal cast
+        // (q_text_jsd precedent): a raw double product can sit on a 10dp
+        // half-boundary where Spark's HALF_UP and DuckDB's scaled-binary
+        // cast disagree by 1 ulp — enough to flip a round-6 variance and
+        // with it the whole permutation. An 8dp floor-rounded double is
+        // never on a 10dp half-boundary, so the cast is engine-exact.
+        (sum(graft.graph.NodeEmbedding.pround(col("xv") * col("xv"), 8)
+          .cast(DecimalType(20, 10))).cast("double") /
           count(lit(1))).as("m2"))
     val ranked = mom
       .select(col("i"), graft.graph.NodeEmbedding.pround(

@@ -106,7 +106,11 @@ object InferenceQueries {
         .agg(sum($"w").as("sw"), sum($"w" * $"cents").as("swx"))
         .select($"rep", when($"sw" =!= 0L,
           $"swx".cast("double") / $"sw").as("mean_b"))
-      val rn = Window.orderBy($"mean_b", $"rep")
+      // NULLS LAST pinned on both sides: the sw=0 guard can emit a NULL
+      // mean_b, and the engines' DEFAULT null order diverges (Spark asc
+      // = NULLS FIRST, DuckDB asc = NULLS LAST) — exactly the degenerate
+      // replicate the guard exists for would shift rn=5/196 otherwise.
+      val rn = Window.orderBy($"mean_b".asc_nulls_last, $"rep")
       val ci = reps.withColumn("rn", row_number().over(rn))
         .agg(max(when($"rn" === 5, $"mean_b")).as("lo"),
           max(when($"rn" === 196, $"mean_b")).as("hi"))
@@ -132,7 +136,7 @@ object InferenceQueries {
              |                  ELSE 1.0 * CAST(SUM(w * cents) AS BIGINT) / CAST(SUM(w) AS BIGINT)
              |             END AS mean_b
              |      FROM w GROUP BY rep),
-             |r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, rep) AS rn FROM m),
+             |r AS (SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b NULLS LAST, rep) AS rn FROM m),
              |ci AS (SELECT MAX(CASE WHEN rn = 5 THEN mean_b END) AS lo,
              |              MAX(CASE WHEN rn = 196 THEN mean_b END) AS hi FROM r),
              |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,

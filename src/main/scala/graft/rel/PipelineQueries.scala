@@ -119,6 +119,7 @@ object PipelineQueries {
     trainedCentroids(s, dir)
     trainedPqCodebook(s, dir)
     softmaxWeights(s, dir)
+    unigramTrained(s, dir)
     ()
   }
 
@@ -3680,7 +3681,7 @@ object PipelineQueries {
       s"""WITH ${pqKmeansCtes(2)},
          |ovar AS (SELECT CAST(u.j AS INT) AS i,
          |                CAST(SUM(CAST(v[u.j+1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m1,
-         |                CAST(SUM(CAST(v[u.j+1] * v[u.j+1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m2
+         |                CAST(SUM(CAST(${prSql("v[u.j+1] * v[u.j+1]", 8)} AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m2
          |         FROM pe, unnest(range(64)) AS u(j) GROUP BY 1),
          |ornk AS (SELECT i, ${prSql("m2 - m1 * m1", 6)} AS vr FROM ovar),
          |orr AS (SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY vr DESC, i) AS INT) - 1 AS r FROM ornk),
