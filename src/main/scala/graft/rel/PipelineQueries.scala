@@ -79,24 +79,56 @@ object PipelineQueries {
     * exact per-(cell, dim) means): defines CTEs sp, e, c0, and per round
     * a$i/m$i/c$i — consumers read the trained centroids from c$iters. */
   private def kmeansCtes(iters: Int): String = {
+    // Assignment hot loop optimized for the at-scale DuckDB sweep with
+    // BIT-IDENTICAL semantics: each side's norm sqrt(v·v) is computed
+    // once per ROW (nv/nc — the same double the inline CASE recomputed
+    // per PAIR, 5 list_dot_products → 1), and the rounded cosine is a
+    // named column so the rank window orders by it instead of
+    // re-evaluating the expression (sf1: 48 s → ~8 s per trained-ANN
+    // oracle; values, and therefore every hash, unchanged).
+    // The rank window runs over SLIM (vid, cid, ccos) rows and the
+    // winner joins back to `e` for its 64-double vector — the window
+    // form that carries the list payload through the partition sort was
+    // the actual sf1 cost (measured 23 s per centroid build vs ~2 s
+    // slim; pair count is unchanged, ordering semantics identical).
     val iterCtes = (1 to iters).map { i =>
-      s"""a$i AS (SELECT vid, v, cid FROM (
-         |         SELECT e.vid, e.v, c.cid,
-         |                ROW_NUMBER() OVER (PARTITION BY e.vid
-         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |         FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+      s"""a$i AS (SELECT t.vid, e.v, t.cid FROM (
+         |          SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid
+         |                   ORDER BY ccos DESC, cid) AS rn FROM (
+         |            SELECT e.vid, c.cid,
+         |                   round(CASE WHEN e.nv * c.nc = 0 THEN 0.0
+         |                              ELSE list_dot_product(e.v, c.cv) / (e.nv * c.nc)
+         |                         END, 6) AS ccos
+         |            FROM e CROSS JOIN c${i - 1} c)) t
+         |         JOIN e ON e.vid = t.vid WHERE t.rn = 1),
          |m$i AS (SELECT cid, CAST(u.j AS INT) AS idx,
          |               round(CAST(SUM(CAST(v[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
          |                     / COUNT(*), 6) AS m
          |        FROM a$i, unnest(range(len(v))) AS u(j) GROUP BY cid, idx),
-         |c$i AS (SELECT cid, list(m ORDER BY idx) AS cv FROM m$i GROUP BY cid)""".stripMargin
+         |c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM (
+         |          SELECT cid, list(m ORDER BY idx) AS cv FROM m$i GROUP BY cid))""".stripMargin
     }.mkString(",\n")
     s"""sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
-       |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-       |       FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
+       |e AS (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nv FROM (
+       |        SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+       |c0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM (
+       |        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |        FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0)),
        |$iterCtes""".stripMargin
   }
+  /** The optimized full-corpus assignment against a [[kmeansCtes]]
+    * centroid table (same norm-precompute discipline): emits
+    * (vid, v, cid, ccos) — one row per vector, its round-6 arg-max cell. */
+  private def kmAssignSql(cName: String): String =
+    s"""SELECT t.vid, e.v, t.cid, t.ccos FROM (
+       |  SELECT vid, cid, ccos, ROW_NUMBER() OVER (PARTITION BY vid
+       |           ORDER BY ccos DESC, cid) AS rn FROM (
+       |    SELECT e.vid, c.cid,
+       |           round(CASE WHEN e.nv * c.nc = 0 THEN 0.0
+       |                      ELSE list_dot_product(e.v, c.cv) / (e.nv * c.nc)
+       |                 END, 6) AS ccos
+       |    FROM e CROSS JOIN $cName c)) t
+       |JOIN e ON e.vid = t.vid WHERE t.rn = 1""".stripMargin
 
   /** Session-scoped memo of the trained quantizers, keyed like Tables'
     * read memo: a production system trains a codebook ONCE and serves
@@ -166,24 +198,36 @@ object PipelineQueries {
     * shared by the coarse-quantizer family. */
   private def pqKmeansCtes(iters: Int, p: String = "p",
                            src: String = "embeddings"): String = {
+    // Same bit-identical hot-loop discipline as [[kmeansCtes]]: the
+    // subvector self-term x·x (xx) and codeword self-term c·c (cc) are
+    // computed once per row, so the L2² expansion costs ONE 8-dim dot
+    // product per (vector, codeword) pair instead of six (3 dot products
+    // × the projection+ORDER BY double evaluation); d2 is a named column
+    // the rank window reads back. Values — and hashes — unchanged.
     val iterCtes = (1 to iters).map { i =>
-      s"""${p}a$i AS (SELECT vid, s, xs, cid FROM (
-         |          SELECT ${p}sub.vid, ${p}sub.s, ${p}sub.xs, c.cid,
-         |                 ROW_NUMBER() OVER (PARTITION BY ${p}sub.vid, ${p}sub.s ORDER BY
-         |                   round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
-         |                         + list_dot_product(cs, cs), 6), c.cid) AS rn
-         |          FROM ${p}sub JOIN ${p}c${i - 1} c ON c.s = ${p}sub.s) WHERE rn = 1),
+      s"""${p}a$i AS (SELECT t.vid, t.s, ${p}sub.xs, ${p}sub.xx, t.cid FROM (
+         |            SELECT vid, s, cid, ROW_NUMBER() OVER (PARTITION BY vid, s
+         |                     ORDER BY d2, cid) AS rn FROM (
+         |              SELECT ${p}sub.vid, ${p}sub.s, c.cid,
+         |                     round(${p}sub.xx - 2.0*list_dot_product(xs, cs) + c.cc, 6) AS d2
+         |              FROM ${p}sub JOIN ${p}c${i - 1} c ON c.s = ${p}sub.s)) t
+         |           JOIN ${p}sub ON ${p}sub.vid = t.vid AND ${p}sub.s = t.s
+         |           WHERE t.rn = 1),
          |${p}m$i AS (SELECT s, cid, CAST(u.j AS INT) AS idx,
          |                round(CAST(SUM(CAST(xs[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
          |                      / COUNT(*), 6) AS m
          |         FROM ${p}a$i, unnest(range(len(xs))) AS u(j) GROUP BY s, cid, idx),
-         |${p}c$i AS (SELECT s, cid, list(m ORDER BY idx) AS cs FROM ${p}m$i GROUP BY s, cid)""".stripMargin
+         |${p}c$i AS (SELECT s, cid, cs, list_dot_product(cs, cs) AS cc FROM (
+         |           SELECT s, cid, list(m ORDER BY idx) AS cs FROM ${p}m$i GROUP BY s, cid))""".stripMargin
     }.mkString(",\n")
     s"""${p}sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM $src),
        |${p}e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |${p}ss AS (SELECT unnest(range(8)) AS s),
-       |${p}sub AS (SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs FROM ${p}e CROSS JOIN ${p}ss),
-       |${p}c0 AS (SELECT s, vid AS cid, xs AS cs FROM ${p}sub WHERE vid % (SELECT sp FROM ${p}sp) = 0),
+       |${p}sub AS (SELECT vid, s, xs, list_dot_product(xs, xs) AS xx FROM (
+       |             SELECT vid, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
+       |             FROM ${p}e CROSS JOIN ${p}ss)),
+       |${p}c0 AS (SELECT s, vid AS cid, xs AS cs, xx AS cc FROM ${p}sub
+       |           WHERE vid % (SELECT sp FROM ${p}sp) = 0),
        |$iterCtes""".stripMargin
   }
 
@@ -191,13 +235,11 @@ object PipelineQueries {
     * against codebook `cbName`, emitting (vid, s, cid, d2). */
   private def pqAssignSql(cbName: String, subName: String = "psub"): String =
     s"""SELECT vid, s, cid, d2 FROM (
-       |  SELECT $subName.vid, $subName.s, c.cid,
-       |         round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
-       |               + list_dot_product(cs, cs), 6) AS d2,
-       |         ROW_NUMBER() OVER (PARTITION BY $subName.vid, $subName.s ORDER BY
-       |           round(list_dot_product(xs, xs) - 2.0*list_dot_product(xs, cs)
-       |                 + list_dot_product(cs, cs), 6), c.cid) AS rn
-       |  FROM $subName JOIN $cbName c ON c.s = $subName.s) WHERE rn = 1""".stripMargin
+       |  SELECT vid, s, cid, d2, ROW_NUMBER() OVER (PARTITION BY vid, s
+       |           ORDER BY d2, cid) AS rn FROM (
+       |    SELECT $subName.vid, $subName.s, c.cid,
+       |           round($subName.xx - 2.0*list_dot_product(xs, cs) + c.cc, 6) AS d2
+       |    FROM $subName JOIN $cbName c ON c.s = $subName.s)) WHERE rn = 1""".stripMargin
 
   /** The round-8 logistic margin shared by every oracle that scores the
     * trained quality filter. */
@@ -1074,16 +1116,23 @@ object PipelineQueries {
         .orderBy($"vec_id")
     },
     Some(s"""WITH ${kmeansCtes(2)},
-         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |         UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
-         |         FROM embeddings WHERE vec_id < 10),
-         |asg AS (SELECT vid, v, cid FROM (
-         |          SELECT corp.vec_id AS vid, corp.v, c.cid,
-         |                 ROW_NUMBER() OVER (PARTITION BY corp.vec_id
-         |                   ORDER BY round(${cosSql("corp.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |          FROM corp CROSS JOIN c2 c) WHERE rn = 1),
+         |corp AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM (
+         |           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         |           FROM embeddings WHERE vec_id < 10)),
+         |asg AS (SELECT t.vid, corp.v, corp.nv, t.cid FROM (
+         |          SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid
+         |                   ORDER BY ccos DESC, cid) AS rn FROM (
+         |            SELECT corp.vec_id AS vid, c.cid,
+         |                   round(CASE WHEN corp.nv * c.nc = 0 THEN 0.0
+         |                              ELSE list_dot_product(corp.v, c.cv) / (corp.nv * c.nc)
+         |                         END, 6) AS ccos
+         |            FROM corp CROSS JOIN c2 c)) t
+         |         JOIN corp ON corp.vec_id = t.vid WHERE t.rn = 1),
          |pr AS (SELECT x.vid AS vid, y.vid AS bvid,
-         |              round(${cosSql("x.v", "y.v")}, 6) AS cos
+         |              round(CASE WHEN x.nv * y.nv = 0 THEN 0.0
+         |                         ELSE list_dot_product(x.v, y.v) / (x.nv * y.nv)
+         |                    END, 6) AS cos
          |       FROM asg x JOIN asg y ON x.cid = y.cid AND y.vid < x.vid),
          |hit AS (SELECT vid, bvid, cos,
          |               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY bvid) AS rn
@@ -1122,20 +1171,29 @@ object PipelineQueries {
            |      THEN ${1L << b} ELSE 0 END)""".stripMargin
       }.mkString(" + ")
       s"""WITH ${kmeansCtes(2)},
-         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |         UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
-         |         FROM embeddings WHERE vec_id < 10),
-         |asg AS (SELECT vid, v, cid, cv FROM (
-         |          SELECT corp.vec_id AS vid, corp.v, c.cid, c.cv,
-         |                 ROW_NUMBER() OVER (PARTITION BY corp.vec_id
-         |                   ORDER BY round(${cosSql("corp.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |          FROM corp CROSS JOIN c2 c) WHERE rn = 1),
+         |corp AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM (
+         |           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         |           FROM embeddings WHERE vec_id < 10)),
+         |asg AS (SELECT t.vid, corp.v, corp.nv, c.cid, c.cv FROM (
+         |          SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid
+         |                   ORDER BY ccos DESC, cid) AS rn FROM (
+         |            SELECT corp.vec_id AS vid, c.cid,
+         |                   round(CASE WHEN corp.nv * c.nc = 0 THEN 0.0
+         |                              ELSE list_dot_product(corp.v, c.cv) / (corp.nv * c.nc)
+         |                         END, 6) AS ccos
+         |            FROM corp CROSS JOIN c2 c)) t
+         |         JOIN corp ON corp.vec_id = t.vid
+         |         JOIN c2 c ON c.cid = t.cid
+         |         WHERE t.rn = 1),
          |sz AS (SELECT cid, COUNT(*) AS csz FROM asg GROUP BY cid),
-         |bg AS (SELECT a.vid, a.v, a.cid,
+         |bg AS (SELECT a.vid, a.v, a.nv, a.cid,
          |              CASE WHEN s.csz > 15 THEN $subSql ELSE 0 END AS sub
          |       FROM asg a JOIN sz s ON s.cid = a.cid),
          |pr AS (SELECT x.vid AS vid, y.vid AS bvid,
-         |              round(${cosSql("x.v", "y.v")}, 6) AS cos
+         |              round(CASE WHEN x.nv * y.nv = 0 THEN 0.0
+         |                         ELSE list_dot_product(x.v, y.v) / (x.nv * y.nv)
+         |                    END, 6) AS cos
          |       FROM bg x JOIN bg y
          |         ON x.cid = y.cid AND x.sub = y.sub AND y.vid < x.vid),
          |hit AS (SELECT vid, bvid, cos,
@@ -1432,11 +1490,7 @@ object PipelineQueries {
         .orderBy($"qid")
     },
     Some(s"""WITH ${kmeansCtes(2)},
-             |af AS (SELECT vid, v, cid FROM (
-             |         SELECT e.vid, e.v, c.cid,
-             |                ROW_NUMBER() OVER (PARTITION BY e.vid
-             |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-             |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+             |af AS (${kmAssignSql("c2")}),
              |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 5),
              |pr AS (SELECT qid, qv, cid FROM (
              |         SELECT q.qid, q.qv, c.cid,
@@ -1513,11 +1567,7 @@ object PipelineQueries {
         .orderBy($"nprobe")
     },
     Some(s"""WITH ${kmeansCtes(2)},
-             |af AS (SELECT vid, v, cid FROM (
-             |         SELECT e.vid, e.v, c.cid,
-             |                ROW_NUMBER() OVER (PARTITION BY e.vid
-             |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-             |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+             |af AS (${kmAssignSql("c2")}),
              |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 5),
              |pr AS (SELECT qid, qv, cid, rn AS prn FROM (
              |         SELECT q.qid, q.qv, c.cid,
@@ -2557,6 +2607,102 @@ object PipelineQueries {
              |       CAST(SUM(run) AS BIGINT) AS n_matches
              |FROM runs GROUP BY 1, 2 ORDER BY doc_id, bdoc""".stripMargin))
 
+  /** Gap-tolerant (edit-tolerant) decontamination spans — the fuzzy
+    * extension of [[textDecontamSpan]]: one substituted token inside a
+    * copied span kills the three 3-grams that cover it, so the EXACT
+    * detector reports two short islands where a contamination policy
+    * should see one long near-verbatim span. On each (doc, bench,
+    * diagonal) the islands (start/end matched positions) are merged when
+    * separated by ≤ 3 missing positions — exactly the hole one interior
+    * token edit leaves — via a windowed lag + running-sum group pass over
+    * the ISLAND table (≤ matched-position rows, never corpus rows; no new
+    * join, the r12-verdict shape). All arithmetic is integer. A 12-token
+    * span with its 6th token swapped is planted per benchmark doc
+    * (200000+b), pinning merged span 12 vs exact span 6 (spec'd). */
+  val textDecontamFuzzy = QueryDef(
+    "q_text_decontam_fuzzy",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 200000).as("doc_id"),
+          concat(lit("qx1 qx2 "),
+            concat_ws(" ", slice(TextOps.tokens($"text"), 1, 5)),
+            lit(" qz9 "),
+            concat_ws(" ", slice(TextOps.tokens($"text"), 7, 6)),
+            lit(" qx3")).as("text"))
+      val corpus = docs.select($"doc_id", $"text").unionByName(planted)
+      val grams = TextOps.spread(corpus)
+        .select($"doc_id",
+          posexplode(TextOps.kgrams(TextOps.tokens($"text"), 3)))
+        .select($"doc_id", $"pos", $"col".as("g"))
+      val bench = grams.filter($"doc_id" < 5)
+        .select($"doc_id".as("bdoc"), $"pos".as("bpos"), $"g")
+      val m = grams.filter($"doc_id" >= 5)
+        .join(broadcast(bench), "g")
+        .select($"doc_id", $"bdoc", $"pos", ($"pos" - $"bpos").as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id", $"bdoc", $"diag").orderBy($"pos")
+      val runs = m.withColumn("isl", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"bdoc", $"diag", $"isl")
+        .agg(min($"pos").as("st"), max($"pos").as("en"),
+          count(lit(1)).as("run"))
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id", $"bdoc", $"diag").orderBy($"st")
+      runs
+        .withColumn("brk",
+          when($"st" - lag($"en", 1).over(wm) > 4, 1).otherwise(0))
+        .withColumn("grp", sum($"brk").over(wm.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"doc_id", $"bdoc", $"diag", $"grp")
+        .agg((max($"en") - min($"st") + 3).as("fspan"),
+          max($"run").as("mrun"), sum($"run").as("tm"))
+        .groupBy($"doc_id", $"bdoc")
+        .agg(max($"fspan").cast("int").as("max_fuzzy_toks"),
+          (max($"mrun") + 2).cast("int").as("max_exact_toks"),
+          sum($"tm").cast("long").as("n_matches"))
+        .orderBy($"doc_id", $"bdoc")
+    },
+    Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000,
+             |         'qx1 qx2 ' || array_to_string(list_slice($toksSql, 1, 5), ' ')
+             |         || ' qz9 ' || array_to_string(list_slice($toksSql, 7, 12), ' ') || ' qx3'
+             |  FROM documents WHERE doc_id < 5),
+             |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+             |gr AS (SELECT doc_id, CAST(u.j AS INT) AS pos,
+             |              toks[u.j+1] || ' ' || toks[u.j+2] || ' ' || toks[u.j+3] AS g
+             |       FROM t, unnest(range(greatest(len(toks) - 2, 0))) AS u(j)),
+             |b AS (SELECT doc_id AS bdoc, pos AS bpos, g FROM gr WHERE doc_id < 5),
+             |m AS (SELECT gr.doc_id, b.bdoc, gr.pos, gr.pos - b.bpos AS diag
+             |      FROM gr JOIN b USING (g) WHERE gr.doc_id >= 5),
+             |r AS (SELECT doc_id, bdoc, diag, pos,
+             |             pos - ROW_NUMBER() OVER (
+             |               PARTITION BY doc_id, bdoc, diag ORDER BY pos) AS isl
+             |      FROM m),
+             |runs AS (SELECT doc_id, bdoc, diag, isl, MIN(pos) AS st,
+             |                MAX(pos) AS en, COUNT(*) AS run
+             |         FROM r GROUP BY 1, 2, 3, 4),
+             |mg AS (SELECT *, CASE WHEN st - LAG(en) OVER (
+             |                        PARTITION BY doc_id, bdoc, diag
+             |                        ORDER BY st) > 4
+             |                      THEN 1 ELSE 0 END AS brk
+             |       FROM runs),
+             |mg2 AS (SELECT *, SUM(brk) OVER (
+             |                    PARTITION BY doc_id, bdoc, diag ORDER BY st
+             |                    ROWS UNBOUNDED PRECEDING) AS grp
+             |        FROM mg),
+             |sp AS (SELECT doc_id, bdoc, diag, grp,
+             |              MAX(en) - MIN(st) + 3 AS fspan,
+             |              MAX(run) AS mrun, SUM(run) AS tm
+             |       FROM mg2 GROUP BY 1, 2, 3, 4)
+             |SELECT doc_id, bdoc, CAST(MAX(fspan) AS INT) AS max_fuzzy_toks,
+             |       CAST(MAX(mrun) + 2 AS INT) AS max_exact_toks,
+             |       CAST(SUM(tm) AS BIGINT) AS n_matches
+             |FROM sp GROUP BY 1, 2 ORDER BY doc_id, bdoc""".stripMargin))
+
   /** Near-dup RESOLUTION: MinHash-LSH pairs → connected components → each
     * doc mapped to its component's canonical (minimum) id + component
     * size. The step after candidate generation that actually decides which
@@ -3093,6 +3239,66 @@ object PipelineQueries {
            FROM al LEFT JOIN pk ON pk.lang = al.lang
            ORDER BY al.lang"""))
 
+  /** DSIR-style data selection (Xie et al. NeurIPS'23 —
+    * [[graft.pipeline.Dsir]]): every document scored by the hashed-ngram
+    * log importance weight of the target domain (lang = 'en') over the
+    * raw pool, then resampled by Gumbel-perturbed top-64 — the public
+    * mixture/selection operator between q_mix_weights' domain shares and
+    * q_sample_weighted's weighted sampling. The Gumbel perturbation is
+    * the q_sample_weighted md5 discipline: u = (h + 0.5)/P, inner −ln
+    * floor-rounded at 8dp (and clamped at 1e-8 so a u within 5e-9 of 1
+    * cannot produce −ln(0) = ∞ at any corpus size), outer −ln at 6dp.
+    * Scale shape: corpus-linear feature explode + (doc, bucket) agg; both
+    * bag models are ≤256-row broadcasts; selection is TakeOrdered — no
+    * global window. PipelineSpec pins that planted target-lookalike docs
+    * out-rank off-domain docs by logw. */
+  val mixDsir = QueryDef(
+    "q_mix_dsir",
+    (s, dir) => {
+      import s.implicits._
+      val pr = graft.graph.NodeEmbedding.pround _
+      val lw = Dsir.logWeights(Tables(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en",
+        keep = Seq("lang"), buckets = 256)
+      lw.withColumn("h", TextOps.strHash(
+          concat(lit("dsirg:"), $"doc_id".cast("string"))))
+        .withColumn("u", ($"h" + 0.5) / TextOps.P)
+        .withColumn("t1", pr(-log($"u"), 8))
+        .withColumn("g", pr(-log(greatest($"t1", lit(1e-8))), 6))
+        .select($"doc_id", $"lang",
+          pr($"lw".cast("double"), 6).as("logw"),
+          pr($"lw".cast("double") + $"g", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(64)
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+             |gs AS (SELECT doc_id, lang, unnest(toks) AS g FROM dt
+             |       UNION ALL
+             |       SELECT doc_id, lang, toks[u.j+1] || ' ' || toks[u.j+2]
+             |       FROM dt, unnest(range(greatest(len(toks) - 1, 0))) AS u(j)),
+             |f AS (SELECT doc_id, lang,
+             |             CAST((CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+             |                   % ${TextOps.P}) % 256 AS INT) AS b,
+             |             CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM gs GROUP BY 1, 2, 3),
+             |tc AS (SELECT b, SUM(c) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+             |rc AS (SELECT b, SUM(c) AS cr FROM f GROUP BY b),
+             |tt AS (SELECT (SELECT SUM(ct) FROM tc) AS t,
+             |              (SELECT SUM(cr) FROM rc) AS r),
+             |lam AS (SELECT rc.b,
+             |               CAST(${prSql("ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / (t + 256))", 8)} AS DECIMAL(12,8))
+             |             - CAST(${prSql("ln(CAST(rc.cr + 1 AS DOUBLE) / (r + 256))", 8)} AS DECIMAL(12,8)) AS lam
+             |        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt),
+             |lw AS (SELECT doc_id, lang,
+             |              SUM(CAST(c AS DECIMAL(12,0)) * lam) AS lwdec
+             |       FROM f JOIN lam ON f.b = lam.b GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, lang, CAST(lwdec AS DOUBLE) AS lwdbl,
+             |              ${prSql(s"-ln(((CAST(('0x' || substr(md5('dsirg:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % ${TextOps.P}) + 0.5) / ${TextOps.P})", 8)} AS t1
+             |       FROM lw)
+             |SELECT doc_id, lang, ${prSql("lwdbl", 6)} AS logw,
+             |       ${prSql(s"lwdbl + ${prSql("-ln(greatest(t1, 1e-8))", 6)}", 6)} AS score
+             |FROM sc
+             |ORDER BY score DESC, doc_id LIMIT 64""".stripMargin))
+
   // ------------------------------------------------------------------ BPE
   /** Shared DuckDB replay of BPE training (mirrors Bpe.train exactly):
     * v0 = per-character piece states over the distinct-word vocabulary,
@@ -3131,12 +3337,13 @@ object PipelineQueries {
     * COALESCE(cl[list_position(pl, piece)], BIG). Defines `upc` (the
     * final piece table), `unp` (per-word final piece counts) and `uwt`
     * (the token stream) for the callers. */
-  private def unigramCtes(pool: Int = 16, budget: Int = 8): String = {
-    val maxK = 4
-    val maxLen = 10
-    val big = graft.pipeline.UnigramLm.Big.toString
-    def dpPass(p: String, lists: String): String = {
-      val steps = (1 to maxLen).map { j =>
+  private val uniMaxK = 4
+  private val uniMaxLen = 10
+  private def uniDpPass(p: String, lists: String): String = {
+    val maxK = uniMaxK
+    val maxLen = uniMaxLen
+    val big: String = graft.pipeline.UnigramLm.Big.toString
+    val steps = (1 to maxLen).map { j =>
         val ks = 1 to math.min(maxK, j)
         val cands = ks.map { k =>
           s"""d${j - k} + COALESCE(cl[list_position(pl, substr(w, ${j - k + 1}, $k))], $big) AS c$k,
@@ -3155,12 +3362,40 @@ object PipelineQueries {
            |                    ${cands}
            |              FROM ${p}${j - 1}))""".stripMargin
       }.mkString(",\n")
-      s"""${p}0 AS (SELECT w, cnt, pl, cl, CAST(0 AS BIGINT) AS d0, '' AS seg0
-         |        FROM uv0, $lists),
-         |$steps""".stripMargin
-    }
-    val segCase = (1 to maxLen)
-      .map(j => s"WHEN len(w) = $j THEN seg$j").mkString(" ")
+    s"""${p}0 AS (SELECT w, cnt, pl, cl, CAST(0 AS BIGINT) AS d0, '' AS seg0
+       |        FROM uv0, $lists),
+       |$steps""".stripMargin
+  }
+  private val uniSegCase = (1 to uniMaxLen)
+    .map(j => s"WHEN len(w) = $j THEN seg$j").mkString(" ")
+  /** Budget-dependent tail of the unigram-LM replay (M-step pruning,
+    * smoothed costs, final Viterbi pass) with every CTE name suffixed by
+    * `tag`, so q_text_unigram_curve can replay several budgets against
+    * the SHARED first-E-step prefix (uv0..uch1 are budget-independent).
+    * tag = "" reproduces the original untagged names byte-for-byte. */
+  private def unigramBudgetCtes(budget: Int, tag: String = ""): String = {
+    val maxLen = uniMaxLen
+    s"""umu1$tag AS (SELECT piece, uc FROM (
+       |           SELECT piece, uc, ROW_NUMBER() OVER (ORDER BY uc DESC, piece) AS rn
+       |           FROM uuc WHERE len(piece) > 1) WHERE rn <= $budget),
+       |uk1$tag AS (SELECT piece, uc FROM uch1 UNION ALL SELECT piece, uc FROM umu1$tag),
+       |ut1$tag AS (SELECT CAST(SUM(uc + 1) AS BIGINT) AS tot FROM uk1$tag),
+       |upc$tag AS (SELECT piece, uc AS usage,
+       |               CAST(floor((-ln(CAST(uc + 1 AS DOUBLE) / tot)) * 1e8 + 0.5) AS BIGINT) AS cost_e8
+       |        FROM uk1$tag, ut1$tag),
+       |up1$tag AS (SELECT list(piece ORDER BY piece) AS pl,
+       |               list(cost_e8 ORDER BY piece) AS cl FROM upc$tag),
+       |${uniDpPass(s"${tag}vd", s"up1$tag")},
+       |vseg$tag AS (SELECT w, cnt,
+       |                trim(CASE $uniSegCase
+       |                     ELSE trim(regexp_replace(w, '(.)', '\\1 ', 'g')) END) AS seg
+       |         FROM ${tag}vd$maxLen)""".stripMargin
+  }
+  private def unigramCtes(pool: Int = 16, budget: Int = 8): String = {
+    val maxK = uniMaxK
+    val maxLen = uniMaxLen
+    def dpPass(p: String, lists: String): String = uniDpPass(p, lists)
+    val segCase = uniSegCase
     s"""uwt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |uv0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM uwt GROUP BY w),
        |usub AS (SELECT substr(w, CAST(u.s AS INT) + 1, CAST(x.k AS INT)) AS piece,
@@ -3190,21 +3425,7 @@ object PipelineQueries {
        |        GROUP BY 1),
        |uch1 AS (SELECT uch.piece, CAST(COALESCE(uuc.uc, 0) AS BIGINT) AS uc
        |         FROM uch LEFT JOIN uuc USING (piece)),
-       |umu1 AS (SELECT piece, uc FROM (
-       |           SELECT piece, uc, ROW_NUMBER() OVER (ORDER BY uc DESC, piece) AS rn
-       |           FROM uuc WHERE len(piece) > 1) WHERE rn <= $budget),
-       |uk1 AS (SELECT piece, uc FROM uch1 UNION ALL SELECT piece, uc FROM umu1),
-       |ut1 AS (SELECT CAST(SUM(uc + 1) AS BIGINT) AS tot FROM uk1),
-       |upc AS (SELECT piece, uc AS usage,
-       |               CAST(floor((-ln(CAST(uc + 1 AS DOUBLE) / tot)) * 1e8 + 0.5) AS BIGINT) AS cost_e8
-       |        FROM uk1, ut1),
-       |up1 AS (SELECT list(piece ORDER BY piece) AS pl,
-       |               list(cost_e8 ORDER BY piece) AS cl FROM upc),
-       |${dpPass("vd", "up1")},
-       |vseg AS (SELECT w, cnt,
-       |                trim(CASE $segCase
-       |                     ELSE trim(regexp_replace(w, '(.)', '\\1 ', 'g')) END) AS seg
-       |         FROM vd$maxLen),
+       |${unigramBudgetCtes(budget)},
        |unp AS (SELECT w, CAST(len(string_split(seg, ' ')) AS INT) AS np FROM vseg)""".stripMargin
   }
 
@@ -3296,6 +3517,56 @@ object PipelineQueries {
              |FROM d LEFT JOIN unp USING (w)
              |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Compression-vs-vocabulary curve for the trained unigram-LM tokenizer
+    * (the Heaps-law counterpart for TRAINED tokenizers): total corpus
+    * tokens under multi-char piece budgets 4 / 8 / 16 — the number a
+    * vocabulary-size decision actually trades against embedding-table
+    * width. One training per budget (budget 8 shares the session memo
+    * with the lm/apply/fertility trio); the candidate pool and the first
+    * E-step are budget-independent, so the oracle replays them ONCE and
+    * forks only the M-step pruning + final Viterbi per budget
+    * ([[unigramBudgetCtes]]). Corpus tokens come from the distinct-word
+    * vocabulary (Σ cnt·|seg|) — corpus-size-independent after the word
+    * count, the flattest scale curve in the registry. PipelineSpec pins
+    * monotone compression: a larger piece budget never tokenizes worse
+    * (supersets of pieces only add Viterbi options; usage-based pruning
+    * preserves the dominant pieces on this corpus — measured, and pinned
+    * so a regression is loud). */
+  val textUnigramCurve = QueryDef(
+    "q_text_unigram_curve",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      Seq(4, 8, 16).map { budget =>
+        val (_, perWord) =
+          if (budget == 8) unigramTrained(s, dir)
+          else UnigramLm.train(docs, "text", budget = budget)
+        perWord
+          .select(($"cnt" * size(split($"seg", " ")).cast("long")).as("tok"))
+          .agg(sum($"tok").as("corpus_tokens"))
+          .select(lit(budget).as("budget"),
+            $"corpus_tokens".cast("long").as("corpus_tokens"))
+      }.reduce(_ unionByName _).orderBy($"budget")
+    },
+    Some {
+      def arm(tag: String) =
+        s"""SELECT ${tag.drop(1)} AS budget,
+           |       CAST(SUM(cnt * len(string_split(seg, ' '))) AS BIGINT) AS corpus_tokens
+           |FROM vseg$tag""".stripMargin
+      s"""WITH ${unigramCtes()},
+         |${unigramBudgetCtes(4, "b4")},
+         |${unigramBudgetCtes(16, "b16")}
+         |SELECT budget, corpus_tokens FROM (
+         |  ${arm("b4")}
+         |  UNION ALL
+         |  SELECT 8 AS budget,
+         |         CAST(SUM(cnt * len(string_split(seg, ' '))) AS BIGINT) AS corpus_tokens
+         |  FROM vseg
+         |  UNION ALL
+         |  ${arm("b16")})
+         |ORDER BY budget""".stripMargin
+    })
+
   /** BPE merge table: 8 deterministic merges trained on the documents
     * vocabulary (Bpe.train). Hash-matching the oracle's unrolled replay
     * checks every intermediate pair count, tie-break, and greedy merge —
@@ -3358,11 +3629,7 @@ object PipelineQueries {
     Some {
       val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"""WITH ${kmeansCtes(2)},
-         |af AS (SELECT vid, v, cid FROM (
-         |         SELECT e.vid, e.v, c.cid,
-         |                ROW_NUMBER() OVER (PARTITION BY e.vid
-         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         |af AS (${kmAssignSql("c2")}),
          |pr AS (SELECT cid FROM (
          |         SELECT cid, ROW_NUMBER() OVER (ORDER BY round(${cosSql("cv", qv)}, 6) DESC, cid) AS rn
          |         FROM c2) WHERE rn <= 2)
@@ -3392,11 +3659,7 @@ object PipelineQueries {
     Some {
       val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"""WITH ${kmeansCtes(2)},
-         |af AS (SELECT vid, v, cid FROM (
-         |         SELECT e.vid, e.v, c.cid,
-         |                ROW_NUMBER() OVER (PARTITION BY e.vid
-         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         |af AS (${kmAssignSql("c2")}),
          |pb AS (SELECT cid FROM (
          |         SELECT cid, ROW_NUMBER() OVER (ORDER BY round(${cosSql("cv", qv)}, 6) DESC, cid) AS rn
          |         FROM c2) WHERE rn <= 2),
@@ -3449,11 +3712,7 @@ object PipelineQueries {
         .orderBy($"qid", $"rn")
     },
     Some(s"""WITH ${kmeansCtes(2)},
-         |af AS (SELECT vid, v, cid FROM (
-         |         SELECT e.vid, e.v, c.cid,
-         |                ROW_NUMBER() OVER (PARTITION BY e.vid
-         |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-         |         FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         |af AS (${kmAssignSql("c2")}),
          |q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 3),
          |pr AS (SELECT qid, qv, cid FROM (
          |         SELECT q.qid, q.qv, c.cid,
@@ -3722,12 +3981,7 @@ object PipelineQueries {
       Similarity.cellRepresentatives(e, "vec_id", "embedding", cent, perCell = 2)
     },
     Some(s"""WITH ${kmeansCtes(2)},
-             |af AS (SELECT vid, cid, ccos FROM (
-             |         SELECT e.vid, c.cid,
-             |                round(${cosSql("e.v", "c.cv")}, 6) AS ccos,
-             |                ROW_NUMBER() OVER (PARTITION BY e.vid
-             |                  ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
-             |         FROM e CROSS JOIN c2 c) WHERE rn = 1)
+             |af AS (${kmAssignSql("c2")})
              |SELECT cid, vid AS vec_id, ccos, CAST(rn AS INT) AS rn FROM (
              |  SELECT cid, vid, ccos,
              |         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ccos DESC, vid) AS rn
@@ -4499,7 +4753,10 @@ object PipelineQueries {
     Some(s"""WITH ${kmeansCtes(2)},
          |rk AS (SELECT vid, cid, ccos, ROW_NUMBER() OVER (PARTITION BY vid
          |         ORDER BY ccos DESC, cid) AS rn
-         |       FROM (SELECT e.vid, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS ccos
+         |       FROM (SELECT e.vid, c.cid,
+         |                    round(CASE WHEN e.nv * c.nc = 0 THEN 0.0
+         |                               ELSE list_dot_product(e.v, c.cv) / (e.nv * c.nc)
+         |                          END, 6) AS ccos
          |             FROM e CROSS JOIN c2 c)),
          |t2 AS (SELECT vid, MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
          |              MAX(CASE WHEN rn = 1 THEN ccos END) AS cos1,
@@ -4539,7 +4796,10 @@ object PipelineQueries {
     Some(s"""WITH ${kmeansCtes(2)},
          |rk AS (SELECT vid, cid, ccos, ROW_NUMBER() OVER (PARTITION BY vid
          |         ORDER BY ccos DESC, cid) AS rn
-         |       FROM (SELECT e.vid, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS ccos
+         |       FROM (SELECT e.vid, c.cid,
+         |                    round(CASE WHEN e.nv * c.nc = 0 THEN 0.0
+         |                               ELSE list_dot_product(e.v, c.cv) / (e.nv * c.nc)
+         |                          END, 6) AS ccos
          |             FROM e CROSS JOIN c2 c))
          |SELECT vid AS vec_id, cid, round(1.0 - ccos, 6) AS ood
          |FROM rk WHERE rn = 1
@@ -4751,11 +5011,11 @@ object PipelineQueries {
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
     textVocab, textTfidf, sampleHash,
     textChunks, dedupCanonical, dedupAllPairs, dedupTop1, dedupKeepBest, sampleStratified, textPii, textDecontam,
-    textDecontamSpan,
-    textPack, vecQuantize, textPerplexity, mixWeights, mixTemperature, mixSchedule, mixWaterfill, vecCentroids,
+    textDecontamSpan, textDecontamFuzzy,
+    textPack, vecQuantize, textPerplexity, mixWeights, mixTemperature, mixSchedule, mixWaterfill, mixDsir, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annOpq, annRq, annRqErr, vecDiverse,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
-    textUnigramLm, textUnigramApply, textUnigramFertility,
+    textUnigramLm, textUnigramApply, textUnigramFertility, textUnigramCurve,
     textPmi, textClassifier, textClassifierEval, textClassifierEce,
     textDomainClf, textDomainEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,

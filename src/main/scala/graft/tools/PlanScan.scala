@@ -25,6 +25,9 @@ object PlanScan {
       "as q_text_unigram_lm (shared training), vocabulary-bounded"),
     "q_text_unigram_fertility" -> ("same trained-tokenizer piece-rank " +
       "windows as q_text_unigram_lm (shared training), vocabulary-bounded"),
+    "q_text_unigram_curve" -> ("same trained-tokenizer piece-rank " +
+      "windows as q_text_unigram_lm, once per piece budget (4/8/16), " +
+      "vocabulary-bounded"),
     "q_ann_opq" -> ("dimension-variance rank over the d-row (64) moment " +
       "table for the snake allocation — bounded by the embedding " +
       "dimensionality, never corpus rows"),

@@ -954,4 +954,52 @@ class PipelineSpec extends SparkSpec {
       assert(r.getInt(2) == 12, s"planted span must be exactly 12 tokens: $r")
     }
   }
+
+  test("fuzzy decontam bridges a single token edit; exact stays split") {
+    // the planted 12-token copy carries ONE substituted token: the exact
+    // detector sees islands of 3 and 4 shared 3-grams (max span 6), the
+    // gap-tolerant merge must recover the full 12 and never more
+    val rows = SparkEntry.queries("q_text_decontam_fuzzy")(spark, sf)
+      .filter(col("doc_id") >= 200000 &&
+        col("doc_id") - 200000 === col("bdoc"))
+      .orderBy("doc_id").collect()
+    assert(rows.length == 5, s"planted pair per benchmark doc: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getInt(2) == 12, s"merged fuzzy span must be 12: $r")
+      assert(r.getInt(3) == 6, s"exact span must stay 6: $r")
+      assert(r.getLong(4) == 7L, s"3 + 4 matched positions: $r")
+    }
+  }
+
+  test("dsir importance weights up-rank planted target-domain lookalikes") {
+    // target = docs repeating vocabulary A; the pool doc that shares A
+    // must out-weight the pool doc drawn from disjoint vocabulary B by a
+    // wide margin. (At 4-doc scale a doc's OWN grams inflate the raw-pool
+    // counts of exactly its buckets, so absolute signs are corpus-size
+    // artifacts — the selection invariant is the ORDERING, and the
+    // fixture-scale q_mix_dsir output shows en logw > 0 > off-domain.)
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val frame = Seq(
+      (1L, s"$a $a", true), (2L, s"$a alpha beta", true),
+      (10L, s"$a gamma delta", false), (11L, s"$b $b", false))
+      .toDF("doc_id", "text", "is_t")
+    val lw = Dsir.logWeights(frame, "doc_id", "text", col("is_t"))
+      .select($"doc_id", $"lw".cast("double")).as[(Long, Double)]
+      .collect().toMap
+    assert(lw(10L) > lw(11L) + 5.0,
+      s"lookalike must out-weight off-domain decisively: $lw")
+  }
+
+  test("unigram compression curve is monotone in the piece budget") {
+    val rows = SparkEntry.queries("q_text_unigram_curve")(spark, sf)
+      .orderBy("budget")
+      .as[(Int, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    assert(rows(0)._2 > rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      s"larger budgets must not tokenize worse: ${rows.toSeq}")
+    // budget 8 is the lm/apply trio's trained model — pin its number so
+    // the shared-memo path and the standalone trainings stay one model
+    assert(rows(1)._2 == 103301L, s"budget-8 corpus tokens: ${rows(1)._2}")
+  }
 }
