@@ -901,16 +901,36 @@ object GraphQueries {
         .connectedComponentsDf(eventEdges(s, dir), iters = 4)
         .orderBy($"node")
     },
-    Some(s"""WITH RECURSIVE $edgesCte,
-             und AS (SELECT src AS a, dst AS b FROM edges
-                     UNION SELECT dst, src FROM edges),
-             verts AS (SELECT DISTINCT a AS v FROM und),
-             reach(v, r) AS (
-               SELECT v, v FROM verts
-               UNION
-               SELECT r0.v, u.b FROM reach r0 JOIN und u ON u.a = r0.r)
-             SELECT v AS node, MIN(r) AS component FROM reach
-             GROUP BY v ORDER BY node"""))
+    Some(s"""WITH $edgesCte,
+             |${ccLabelPropSql(32)}""".stripMargin))
+
+  /** Unrolled min-label-propagation CC oracle over the `edges` CTE —
+    * replaces the `reach(v, r)` transitive closure, whose row count is
+    * Σ |component|² (the r12 walk-enumeration class, invariant 13: the
+    * dense sf1 hub graph put it past 45 min). 32 rounds is still an
+    * INDEPENDENT convergence proof, not a replay of the engine's
+    * iterations: every edge of this schema joins a user to one of the
+    * 15 hubs (dst = k % 15), so a simple path alternates user/hub and
+    * visits ≤ 15 distinct hubs — diameter ≤ 31 AT ANY CORPUS SIZE, and
+    * round-R labels equal min-id-within-R-hops, the exact fixpoint.
+    * Every round is MATERIALIZED so the unstaged driver gate evaluates
+    * each level once (the q_text_domain_clf precedent) instead of
+    * inlining level i−1 twice into level i (2³² subtree blowup). */
+  private[rel] def ccLabelPropSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, MIN(l) AS l FROM (
+         |    SELECT v, l FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT u.a AS v, p.l FROM und u JOIN l${i - 1} p ON p.v = u.b)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+       |       UNION SELECT dst, src FROM edges),
+       |l0 AS (SELECT DISTINCT a AS v, a AS l FROM und),
+       |$steps
+       |SELECT v AS node, l AS component FROM l$rounds ORDER BY node""".stripMargin
+  }
 
   /** Strongly connected components over a hash-derived DIRECTED graph
     * (≤200 nodes: src = user_id % 200, dst = md5-hash % 200, 1-in-3

@@ -39,16 +39,8 @@ object GraphXQueries {
       import s.implicits._
       GraphXOps.connectedComponents(eventEdges(s, dir)).orderBy($"node")
     },
-    Some(s"""WITH RECURSIVE $edgesCte,
-             und AS (SELECT src AS a, dst AS b FROM edges
-                     UNION SELECT dst, src FROM edges),
-             verts AS (SELECT DISTINCT a AS v FROM und),
-             reach(v, r) AS (
-               SELECT v, v FROM verts
-               UNION
-               SELECT r0.v, u.b FROM reach r0 JOIN und u ON u.a = r0.r)
-             SELECT v AS node, MIN(r) AS component FROM reach
-             GROUP BY v ORDER BY node"""))
+    Some(s"""WITH $edgesCte,
+             |${GraphQueries.ccLabelPropSql(32)}""".stripMargin))
 
   /** Pregel BFS — same semantics and same oracle as q_graph_bfs. */
   val graphxPregelBfs = QueryDef(

@@ -738,8 +738,12 @@ object InferenceQueries {
          |      FROM t GROUP BY source),
          |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
          |              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-         |              CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         |              CAST(SUM(x * y) AS DOUBLE) AS sxy
+         |              -- widen ONE operand: DuckDB plans (12,8)×(12,8) on the
+         |              -- int64 decimal path and ln(90M-token corpora)² overflows
+         |              -- DECIMAL(18,16) at sf1; the int128 product is the same
+         |              -- exact 16dp decimal (Spark's BigDecimal already is)
+         |              CAST(SUM(CAST(x AS DECIMAL(20,8)) * x) AS DOUBLE) AS sxx,
+         |              CAST(SUM(CAST(x AS DECIMAL(20,8)) * y) AS DOUBLE) AS sxy
          |       FROM p)
          |SELECT k, ${prSql(s"($nm) / ($dn)", 6)} AS beta,
          |       ${prSql(s"(sy - ($nm) / ($dn) * sx) / k", 6)} AS ln_k

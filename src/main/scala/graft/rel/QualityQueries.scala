@@ -26,9 +26,11 @@ object QualityQueries {
     * with the per-digit chi-square contribution. One groupBy over a
     * 9-key space (map-side partial agg collapses each partition to ≤ 9
     * rows), one 1-row total broadcast — constant-size intermediate at
-    * any corpus scale. Both engines evaluate the SAME double formula
-    * text over the SAME exact integers, so the statistic matches
-    * bit-for-bit before the belt-and-braces round. */
+    * any corpus scale. The log10 is floor-rounded at 8dp BEFORE the n·
+    * scaling (invariant 10 — the r13 full-sf1 sweep caught a 1-ulp JVM
+    * vs C-libm log10 split that n ≈ 1.5M amplified onto a 6dp floor
+    * boundary); after that every operand double is bit-identical, so
+    * both floor-idiom outputs match at any n. */
   val qualityBenford = QueryDef.sqlBoth(
     "q_quality_benford",
     sparkSql = """
@@ -41,10 +43,10 @@ object QualityQueries {
       tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM digits),
       e AS (
         SELECT d1, obs,
-               CAST(n AS DOUBLE) * log10(1.0 + 1.0/d1) AS exp_raw
+               CAST(n AS DOUBLE) * (floor(log10(1.0 + 1.0/d1) * 1e8 + 0.5) / 1e8) AS exp_raw
         FROM digits CROSS JOIN tot)
-      SELECT d1, obs, round(exp_raw, 6) AS expected,
-             round((obs - exp_raw) * (obs - exp_raw) / exp_raw, 6) AS chi_term
+      SELECT d1, obs, floor(exp_raw * 1e6 + 0.5) / 1e6 AS expected,
+             floor((obs - exp_raw) * (obs - exp_raw) / exp_raw * 1e6 + 0.5) / 1e6 AS chi_term
       FROM e ORDER BY d1""",
     duckSql = """
       WITH cents AS (
@@ -56,10 +58,10 @@ object QualityQueries {
       tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM digits),
       e AS (
         SELECT d1, obs,
-               CAST(n AS DOUBLE) * log10(1.0 + 1.0/d1) AS exp_raw
+               CAST(n AS DOUBLE) * (floor(log10(1.0 + 1.0/d1) * 1e8 + 0.5) / 1e8) AS exp_raw
         FROM digits CROSS JOIN tot)
-      SELECT d1, obs, round(exp_raw, 6) AS expected,
-             round((obs - exp_raw) * (obs - exp_raw) / exp_raw, 6) AS chi_term
+      SELECT d1, obs, floor(exp_raw * 1e6 + 0.5) / 1e6 AS expected,
+             floor((obs - exp_raw) * (obs - exp_raw) / exp_raw * 1e6 + 0.5) / 1e6 AS chi_term
       FROM e ORDER BY d1""")
 
   // ------------------------------------------- mutual-information profile

@@ -698,7 +698,7 @@ object ScaleQueries {
     Some {
       val rounds = 18
       val head =
-        s"""WITH RECURSIVE $eeCte,
+        s"""WITH $eeCte,
            |ew AS MATERIALIZED (
            |  SELECT u, v,
            |         (CAST(('0x'||substr(md5('w:' || CAST(u AS VARCHAR) || ':' ||
@@ -707,7 +707,26 @@ object ScaleQueries {
            |  FROM e0),
            |comp0 AS MATERIALIZED (
            |  SELECT u AS n, u AS c FROM ew UNION SELECT v, v FROM ew)""".stripMargin
+      // Per-level contraction CC over the min-edge link graph l$r by
+      // unrolled hooking+shortcutting (the q_spatial_dbscan rewrite):
+      // the previous `cl$r(c, r2)` recursion enumerated every
+      // (component, reachable-component) pair — Σ|merge group|² rows,
+      // which spilled >60 GB at sf1 (invariant 13). 14 rounds double
+      // label-chain reach each round (covers 2^14-long merge chains);
+      // an insufficient budget hash-MISMATCHES against the exact Spark
+      // Boruvka rather than silently passing.
+      val ccR = 14
       val steps = (1 to rounds).map { r =>
+        val hyb = (1 to ccR).map { j =>
+          s"""g${r}_$j AS MATERIALIZED (
+             |  SELECT v, MIN(f) AS f FROM (
+             |    SELECT v, f FROM g${r}_${j - 1}
+             |    UNION ALL
+             |    SELECT l.a AS v, p.f FROM l$r l JOIN g${r}_${j - 1} p ON p.v = l.b
+             |    UNION ALL
+             |    SELECT x.v, q.f FROM g${r}_${j - 1} x JOIN g${r}_${j - 1} q ON q.v = x.f)
+             |  GROUP BY v)""".stripMargin
+        }.mkString(",\n")
         s"""x$r AS MATERIALIZED (
            |  SELECT ew.u, ew.v, ew.w, a.c AS cu, b.c AS cv
            |  FROM ew JOIN comp${r - 1} a ON a.n = ew.u
@@ -722,11 +741,9 @@ object ScaleQueries {
            |  WHERE rn = 1),
            |l$r AS MATERIALIZED (
            |  SELECT cu AS a, cv AS b FROM m$r UNION SELECT cv, cu FROM m$r),
-           |cl$r(c, r2) AS (
-           |  SELECT c, c FROM (SELECT DISTINCT c FROM comp${r - 1})
-           |  UNION
-           |  SELECT cl.c, l.b FROM cl$r cl JOIN l$r l ON l.a = cl.r2),
-           |nc$r AS MATERIALIZED (SELECT c, MIN(r2) AS newc FROM cl$r GROUP BY c),
+           |g${r}_0 AS (SELECT DISTINCT c AS v, c AS f FROM comp${r - 1}),
+           |$hyb,
+           |nc$r AS MATERIALIZED (SELECT v AS c, f AS newc FROM g${r}_$ccR),
            |comp$r AS MATERIALIZED (
            |  SELECT p.n, nc.newc AS c FROM comp${r - 1} p JOIN nc$r nc ON nc.c = p.c)"""
           .stripMargin

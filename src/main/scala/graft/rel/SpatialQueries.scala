@@ -212,7 +212,29 @@ object SpatialQueries {
       dbscan(coords(s, dir), DbscanEps, DbscanMinPts, ccIters = 24)
         .orderBy(col("vec_id"))
     },
-    Some(s"""WITH RECURSIVE $ptsSql,
+    Some {
+      // Unrolled hooking+shortcutting CC over the core graph (FastSV /
+      // Shiloach-Vishkin shape, Zhang et al.): each round f(v) takes the
+      // min of itself, its neighbors' labels (hook), and f(f(v))
+      // (shortcut) — the `reach` transitive closure it replaces is the
+      // invariant-13 class, Σ|cluster|² rows (≈400M on the percolated
+      // sf1 square, >300 s; this is ~80M slim rows, seconds). 30 rounds
+      // is a loud-failure budget like the Spark side's 24: shortcutting
+      // doubles label-chain reach per round, and an unconverged round
+      // count hash-MISMATCHES against the exact Spark CC rather than
+      // silently passing. MATERIALIZED keeps the unstaged driver gate
+      // from inlining round i−1 three times into round i.
+      val ccRounds = (1 to 30).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT v, MIN(f) AS f FROM (
+           |    SELECT v, f FROM f${i - 1}
+           |    UNION ALL
+           |    SELECT c.a AS v, p.f FROM cc c JOIN f${i - 1} p ON p.v = c.b
+           |    UNION ALL
+           |    SELECT x.v, q.f FROM f${i - 1} x JOIN f${i - 1} q ON q.v = x.f)
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ptsSql,
              nb AS (
                SELECT a.vec_id AS a, b.vec_id AS b
                FROM pts a JOIN pts b
@@ -225,11 +247,9 @@ object SpatialQueries {
                       HAVING COUNT(*) >= $DbscanMinPts),
              cc AS (SELECT n.a, n.b FROM nb n
                     JOIN core x ON n.a = x.id JOIN core y ON n.b = y.id),
-             reach(x, r) AS (
-               SELECT id, id FROM core
-               UNION
-               SELECT r0.x, c.b FROM reach r0 JOIN cc c ON c.a = r0.r),
-             comp AS (SELECT x, MIN(r) AS c FROM reach GROUP BY x),
+             f0 AS (SELECT id AS v, id AS f FROM core),
+             $ccRounds,
+             comp AS (SELECT v AS x, f AS c FROM f30),
              border AS (
                SELECT n.a AS x, MIN(cm.c) AS c
                FROM nb n
@@ -240,7 +260,8 @@ object SpatialQueries {
              SELECT x AS vec_id, c AS cluster, 2 AS role FROM comp
              UNION ALL
              SELECT x AS vec_id, c AS cluster, 1 AS role FROM border
-             ORDER BY vec_id"""))
+             ORDER BY vec_id"""
+    })
 
   val all: Seq[QueryDef] = Seq(spatialKnn, spatialGrid, spatialCore, spatialDbscan)
 }

@@ -34,8 +34,16 @@ object GenGoldenFixtures {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val tokens = Seq("sf0.001", "sf0.01", "sf0.1")
-      .map(sf => Tables(spark, s"/root/testdata/$sf", "documents")
+    // covers the driver fixtures AND the Spark-written sf1 bench fixture
+    // (its clone suffixes introduce vocabulary the driver SFs lack — the
+    // r13 full-sf1 sweep caught the stale-mapping nnz deflation exactly
+    // as this fixture's inner-join contract intends)
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1") ++
+      (if (new java.io.File("benchdata/sf1/documents.parquet").exists)
+         Seq("benchdata/sf1") else Nil)
+    val tokens = dirs
+      .map(sf => Tables(spark, sf, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("token")))
       .reduce(_ unionByName _)
       .distinct().as[String].collect().sorted
