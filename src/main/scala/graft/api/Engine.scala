@@ -189,8 +189,20 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
               k = budget, rerank = math.max(rerank, budget))
           case AnnMode.BruteForce => throw new IllegalStateException
         }
-        eligible.join(cand.select($"node_id".as("cid")),
-          $"node_id" === $"cid", "left_semi")
+        // Serving invariant: an approximate mode must never silently
+        // return nothing when the corpus has matches. The candidate set
+        // is ≤ budget rows by construction, so collecting it is cheap
+        // (this call collects the final result anyway); an EMPTY
+        // candidate set on a non-empty corpus means a degenerate index
+        // artifact — fall back to brute force and count it (test hook)
+        // rather than propagate an empty answer.
+        val candIds = cand.select($"node_id".cast("string")).as[String].collect()
+        if (candIds.isEmpty) {
+          annFallbackCount += 1
+          Console.err.println(s"[graft] approximate mode $approx produced " +
+            "no candidates; serving this query brute-force")
+          eligible
+        } else eligible.filter($"node_id".isin(candIds: _*))
     }
     val scored = candidates
       .select($"node_id".as("id"),
@@ -218,6 +230,12 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     * lets AnnPersistSpec prove a warmed restart serves without retraining. */
   @volatile private[graft] var quantizerTrainCount: Int = 0
 
+  /** Test hook: how often an approximate serving call fell back to brute
+    * force because its candidate set came back empty — the safety net
+    * behind the non-empty-candidate serving invariant. Zero in healthy
+    * operation. */
+  @volatile private[graft] var annFallbackCount: Int = 0
+
   /** SQ8's one trained parameter — the snapshot's global max-|x| scale —
     * version-keyed exactly like the coarse quantizer; one corpus agg per
     * snapshot instead of per query. */
@@ -226,7 +244,7 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
   /** Test hook: SQ8 scale TRAININGS (corpus scans) this session. */
   @volatile private[graft] var sq8TrainCount: Int = 0
 
-  private def sq8TrainedScale(): Double = {
+  private def sq8TrainedScale(): Double = annTrainLock.synchronized {
     val v = catalog.embeddingsVersion
     sq8ScaleCache match {
       case Some((ver, sc)) if ver == v => sc
@@ -242,19 +260,38 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     }
   }
 
-  private def trainedQuantizer(): DataFrame = {
+  /** Guards the quantizer/scale memo read-modify-writes: training twice
+    * under a concurrent-read race wastes work, and a torn read of
+    * (version, artifact) pairs could serve a stale artifact against a
+    * fresh snapshot. One lock per engine — training is rare (per
+    * mutation, not per query) so contention is nil. */
+  private val annTrainLock = new Object
+
+  private def trainedQuantizer(): DataFrame = annTrainLock.synchronized {
     val v = catalog.embeddingsVersion
     quantizerCache match {
       case Some((ver, cent)) if ver == v => cent
       case _ =>
         quantizerTrainCount += 1
-        // node_id is a string; kmeansCentroids spaces seeds by `id % k`,
-        // so key the training view by a dense numeric rank derived from
-        // a hash order (deterministic, no global sort materialized)
+        // node_id is a string; kmeansCentroids spaces integer ids, so key
+        // the training view by the id hash. Seeds must be non-empty BY
+        // CONSTRUCTION: raw hash keys mod spacing select zero rows with
+        // P ≈ e^(−√n) over random UUIDs (the r13 AnnMode flake — empty
+        // centroids → empty candidates → empty search result). Take the
+        // numSeeds smallest hash keys instead: deterministic given ids,
+        // ≥ 1 seed whenever the corpus is non-empty, and bounded by
+        // min(⌈√n⌉, kMax) rows — a distributed top-k (TakeOrdered), no
+        // global sort materialized.
         val keyed = catalog.embeddings.filter($"dim" === dim)
           .select(xxhash64($"node_id").as("kid"), $"vector")
+        val n = keyed.count()
+        val numSeeds = math.max(1L, math.min(
+          math.ceil(math.sqrt(n.toDouble)).toLong,
+          graft.pipeline.Similarity.kMax))
+        val seeds = keyed.orderBy($"kid").limit(numSeeds.toInt)
         val cent = graft.pipeline.Similarity
-          .kmeansCentroids(keyed, "kid", "vector", iters = 2)
+          .kmeansCentroids(keyed, "kid", "vector", iters = 2,
+            corpusN = n, seeds = seeds)
           .localCheckpoint()
         quantizerCache = Some((v, cent))
         cent
@@ -381,10 +418,12 @@ final class Engine(val catalog: TableCatalog, val dim: Int = HashEmbed.DefaultDi
     val art = graft.search.AnnArtifacts.load(spark, dir)
     if (art.fingerprint ==
         graft.search.AnnArtifacts.fingerprintOf(catalog.embeddings)) {
-      quantizerCache =
-        Some((catalog.embeddingsVersion, art.centroids.localCheckpoint()))
-      art.sq8Scale.foreach(sc =>
-        sq8ScaleCache = Some((catalog.embeddingsVersion, sc)))
+      annTrainLock.synchronized {
+        quantizerCache =
+          Some((catalog.embeddingsVersion, art.centroids.localCheckpoint()))
+        art.sq8Scale.foreach(sc =>
+          sq8ScaleCache = Some((catalog.embeddingsVersion, sc)))
+      }
       true
     } else false
   }

@@ -17,17 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** ⌈√n⌉ codebook/centroid spacing WITHOUT a per-call count job when the
+  /** Codebooks plateau at this size: industrial PQ/IVF fixes the codeword
+    * count (256–4096) independent of n, because k growing with n makes
+    * assignment work n·k superlinear — at ⌈√n⌉ spacing the trained family
+    * was O(n^1.5) total (q_ann_opq measured 13.9× wall at 10× rows before
+    * the cap). 256 = one PQ code byte, the standard choice. The cap only
+    * binds above n = kMax² = 65,536 rows, so every fixture hash
+    * (sf0.001 … sf1, max 50k docs / 20k embeddings) is unchanged. */
+  val kMax = 256L
+
+  /** Codebook/centroid spacing WITHOUT a per-call count job when the
     * caller already knows n: every spaced-quantizer entry point takes an
     * optional `corpusN` so the serving layer can pass the (memoized)
     * corpus row count instead of paying a count job per query — at scale
     * that count is an extra scheduling round-trip before planning. Only an
-    * unparameterized ad-hoc call still counts. */
+    * unparameterized ad-hoc call still counts.
+    *
+    * Rule: `max(⌈√n⌉, ⌈n/kMax⌉)` — √n codewords below the plateau (small
+    * corpora keep fine-grained codebooks), a CONSTANT kMax codewords
+    * above it, so assignment work is O(n·kMax) = linear at scale. Both
+    * terms are portable across engines: IEEE sqrt and a single division
+    * are correctly rounded, so the oracle's
+    * `greatest(ceil(sqrt(n)), ceil(n/256.0))` is bit-identical. */
   private def sqrtSpacing(corpus: DataFrame, explicitEvery: Long,
                           corpusN: Long): Long =
     if (explicitEvery > 0) explicitEvery
-    else math.ceil(math.sqrt(
-      (if (corpusN > 0) corpusN else corpus.count()).toDouble)).toLong
+    else {
+      val n = (if (corpusN > 0) corpusN else corpus.count()).toDouble
+      math.max(math.ceil(math.sqrt(n)), math.ceil(n / kMax.toDouble)).toLong
+    }
 
   /** H fixed hyperplanes with exact-quarter components — deterministic
     * across engines (no RNG; values in {-3/4..3/4} are exact doubles). */
@@ -1172,16 +1190,23 @@ object Similarity {
     * cells keep their seed id. Returns (cid, cv: array<double>). */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 2, centroidEvery: Long = 0L,
-                      roundTo: Int = 6, corpusN: Long = 0L): DataFrame = {
+                      roundTo: Int = 6, corpusN: Long = 0L,
+                      seeds: DataFrame = null): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val spacing = sqrtSpacing(emb, centroidEvery, corpusN)
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val e = TextOps.spread(emb).select(col(idCol).as("vid"), vd.as("v"))
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid"))
-    var cent = emb.filter(col(idCol) % spacing === 0)
-      .select(col(idCol).as("cid"), vd.as("cv"))
+    // Seed rule: `id % spacing == 0` replays exactly in a SQL oracle, but
+    // it is only guaranteed non-empty for DENSE integer ids. Callers whose
+    // ids are hashes (the Engine's UUID-keyed serving path) pass explicit
+    // `seeds` — raw 64-bit hash keys mod spacing select ZERO rows with
+    // P ≈ e^(−√n), which surfaced as the r13 AnnMode empty-result flake.
+    var cent =
+      if (seeds != null) seeds.select(col(idCol).as("cid"), vd.as("cv"))
+      else emb.filter(col(idCol) % sqrtSpacing(emb, centroidEvery, corpusN) === 0)
+        .select(col(idCol).as("cid"), vd.as("cv"))
     for (_ <- 1 to iters) {
       val assigned = e.join(broadcast(cent))
         .withColumn("ccos", round(vec.cosine(col("v"), col("cv")), roundTo))

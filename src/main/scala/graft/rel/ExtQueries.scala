@@ -620,7 +620,7 @@ object ExtQueries {
            |     ELSE list_dot_product($a, $b) /
            |          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
            |END""".stripMargin
-      s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
+      s"""WITH sp AS (SELECT CAST(greatest(ceil(sqrt(COUNT(*))), ceil(COUNT(*)/256.0)) AS BIGINT) AS s FROM embeddings),
          |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
          |      FROM embeddings WHERE vec_id % (SELECT s FROM sp) = 0),
          |e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

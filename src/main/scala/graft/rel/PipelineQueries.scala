@@ -108,7 +108,7 @@ object PipelineQueries {
          |c$i AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM (
          |          SELECT cid, list(m ORDER BY idx) AS cv FROM m$i GROUP BY cid))""".stripMargin
     }.mkString(",\n")
-    s"""sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS s FROM embeddings),
+    s"""sp AS (SELECT CAST(greatest(ceil(sqrt(COUNT(*))), ceil(COUNT(*)/256.0)) AS BIGINT) AS s FROM embeddings),
        |e AS (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nv FROM (
        |        SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
        |c0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM (
@@ -220,7 +220,7 @@ object PipelineQueries {
          |${p}c$i AS (SELECT s, cid, cs, list_dot_product(cs, cs) AS cc FROM (
          |           SELECT s, cid, list(m ORDER BY idx) AS cs FROM ${p}m$i GROUP BY s, cid))""".stripMargin
     }.mkString(",\n")
-    s"""${p}sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM $src),
+    s"""${p}sp AS (SELECT CAST(greatest(ceil(sqrt(COUNT(*))), ceil(COUNT(*)/256.0)) AS BIGINT) AS sp FROM $src),
        |${p}e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |${p}ss AS (SELECT unnest(range(8)) AS s),
        |${p}sub AS (SELECT vid, s, xs, list_dot_product(xs, xs) AS xx FROM (
@@ -1333,7 +1333,7 @@ object PipelineQueries {
     },
     Some {
       val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
-      s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+      s"""WITH sp AS (SELECT CAST(greatest(ceil(sqrt(COUNT(*))), ceil(COUNT(*)/256.0)) AS BIGINT) AS sp FROM embeddings),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ss AS (SELECT unnest(range(8)) AS s),
          |sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
@@ -1372,7 +1372,7 @@ object PipelineQueries {
           corpusN = Tables.rowCount(s, dir, "embeddings"), queriesN = 3L)
         .orderBy($"qid", $"rn")
     },
-    Some(s"""WITH sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+    Some(s"""WITH sp AS (SELECT CAST(greatest(ceil(sqrt(COUNT(*))), ceil(COUNT(*)/256.0)) AS BIGINT) AS sp FROM embeddings),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ss AS (SELECT unnest(range(8)) AS s),
          |sub AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS xs
@@ -3795,7 +3795,7 @@ object PipelineQueries {
     * zip_with residuals)/cb2/a2 (argmin level 2 with both error terms).
     * Consumed by q_ann_rq and q_ann_rq_err. */
   private val rqCtes: String =
-    s"""sp AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS sp FROM embeddings),
+    s"""sp AS (SELECT CAST(greatest(ceil(sqrt(COUNT(*))), ceil(COUNT(*)/256.0)) AS BIGINT) AS sp FROM embeddings),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cb1 AS (SELECT vec_id AS cid1, v AS c1 FROM e
        |        WHERE vec_id % (SELECT sp FROM sp) = 0),
