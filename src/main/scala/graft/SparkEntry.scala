@@ -24,7 +24,7 @@ object SparkEntry {
     * SURVEY cite. RegistrySpec asserts it equals `queries.size`, so the
     * docs can never drift from the registry again (they did: 194 was
     * still documented when 196 were declared). */
-  val declaredCount: Int = 343
+  val declaredCount: Int = 347
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hybrid fusion pipeline — the reference's distinguishing operator

@@ -202,6 +202,48 @@ object Classifier {
       .orderBy(col("bin"))
   }
 
+  /** Token-weighted yield curve of the trained quality filter — the
+    * production knob a filtering pipeline actually reports: for each
+    * threshold t ∈ {0.1 … 0.9}, KEEP documents whose junk score s < t and
+    * publish how much of the corpus survives (docs and tokens) and how
+    * much planted junk leaks through. `feat` must carry (y, ntoks,
+    * x1..x3); same one-pass-to-distinct-score-groups shape as
+    * [[evalSweep]], so corpus cost is one scan + one bounded aggregate.
+    * Returns (thr, kept_docs, kept_tokens, kept_token_share,
+    * bad_leak_rate), ordered by thr. */
+  def yieldCurve(feat0: DataFrame, iters: Int = 5, lr: Double = 2.0,
+                 trained: Option[DataFrame] = None): DataFrame = {
+    val feat = feat0.localCheckpoint()
+    val w = trained.getOrElse(weightsFrame(feat, iters, lr))
+    val groups = feat.crossJoin(broadcast(w))
+      .select(scoreExpr.as("s"), col("y"), col("ntoks"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("nbad"),
+        sum(col("ntoks")).as("tok"))
+      .localCheckpoint()
+    val tot = groups.agg(sum(col("nbad")).as("npos"),
+      sum(col("tok")).as("toktot"))
+    val thr = feat.sparkSession.range(1)
+      .select(explode(sequence(lit(1), lit(9))).as("k"))
+      .select((col("k") / 10.0).as("thr"))
+    thr.crossJoin(groups)
+      .groupBy(col("thr"))
+      .agg(coalesce(sum(when(col("s") < col("thr"), col("n"))), lit(0L))
+          .as("kept_docs"),
+        coalesce(sum(when(col("s") < col("thr"), col("tok"))), lit(0L))
+          .as("kept_tokens"),
+        coalesce(sum(when(col("s") < col("thr"), col("nbad"))), lit(0L))
+          .as("bad_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), col("kept_docs"), col("kept_tokens"),
+        round(col("kept_tokens").cast("double") / col("toktot"), 6)
+          .as("kept_token_share"),
+        round(col("bad_kept").cast("double") / col("npos"), 6)
+          .as("bad_leak_rate"))
+      .orderBy(col("thr"))
+  }
+
   /** The junk suffix the declared query plants to build its positive
     * class: 20 letter-free tokens — the degenerate-document shape (number
     * spam, symbol boilerplate) a production quality filter exists to
@@ -226,6 +268,9 @@ object Classifier {
       .filter(size(col("toks")) > 0 && length(col("text")) > 0)
       .select(
         col("y"),
+        // token count rides along for token-weighted reporting
+        // (yieldCurve); training/eval consumers ignore it
+        size(col("toks")).cast("long").as("ntoks"),
         round(size(array_intersect(array_distinct(col("toks")),
             lit(enStop.toArray))).cast("double") /
           size(array_distinct(col("toks"))), 6).as("x1"),

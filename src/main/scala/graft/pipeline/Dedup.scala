@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.vec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -621,5 +621,32 @@ object Dedup {
       .withColumn("containment", col("inter") / col("len_a").cast("double"))
       .select(col("a"), col("b"), col("len_a"), col("len_b"), col("inter"),
         col("containment"))
+  }
+
+  /** Closed-form MinHash-LSH collision probability ("S-curve"): with `b`
+    * bands of `r` rows over an ideal signature, a pair at Jaccard s is a
+    * candidate with P = 1 − (1 − s^r)^b — the formula every LSH parameter
+    * choice is made from (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+    *
+    * Both powers are expanded as LEFT-ASSOCIATIVE multiplication chains,
+    * never `pow()`: IEEE * is correctly rounded so the chain is
+    * bit-identical on any engine, while libm pow is not (invariant 10
+    * territory). The result is floor-idiom-rounded to 6dp (invariant 12)
+    * so downstream sums/ranks are tie-stable cross-engine. */
+  def lshSCurve(s: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1)
+    val sr = (1 to rowsPerBand).map(_ => s).reduce(_ * _)
+    val miss = lit(1.0) - sr
+    val pmiss = (1 to bands).map(_ => miss).reduce(_ * _)
+    floor((lit(1.0) - pmiss) * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
+  /** The identical S-curve as DuckDB SQL text over a column named `s` —
+    * the oracle-side twin of [[lshSCurve]], same chains, same floor
+    * idiom. */
+  def lshSCurveSql(bands: Int, rowsPerBand: Int): String = {
+    val sr = "(" + List.fill(rowsPerBand)("s").mkString(" * ") + ")"
+    val pmiss = "(" + List.fill(bands)(s"(1.0 - $sr)").mkString(" * ") + ")"
+    s"floor((1.0 - $pmiss) * 1e6 + 0.5) / 1e6"
   }
 }

@@ -152,6 +152,7 @@ object PipelineQueries {
     trainedPqCodebook(s, dir)
     softmaxWeights(s, dir)
     unigramTrained(s, dir)
+    nswGraphShared(s, dir)
     ()
   }
 
@@ -274,6 +275,7 @@ object PipelineQueries {
        |  UNION ALL SELECT text || '$junkLit', 1.0::DOUBLE FROM documents),
        |base AS (SELECT y, text, $toksSql AS toks FROM corpus),
        |f AS (SELECT y,
+       |             CAST(len(toks) AS BIGINT) AS ntoks,
        |             round(CAST(len(list_intersect(list_distinct(toks), $enStopLit)) AS DOUBLE)
        |                   / len(list_distinct(toks)), 6) AS x1,
        |             round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
@@ -796,6 +798,119 @@ object PipelineQueries {
                     round(CAST(tp AS DOUBLE) / np, 6) AS prec,
                     round(CAST(tp AS DOUBLE) / nt, 6) AS rec
              FROM c"""))
+
+  /** MinHash-LSH parameter auto-tuning — the knob a 100 TB dedup run
+    * turns first. The 16-perm signature admits five (bands, rows) splits;
+    * for each, the closed-form S-curve P(candidate | s) = 1 − (1 − s^r)^b
+    * ([[graft.pipeline.Dedup.lshSCurve]], MMDS ch. 3) is evaluated at the
+    * EXACT Jaccard of every audit-sample pair (the q_dedup_lsh_pr
+    * sample: 20 planted originals + clones, 780 pairs — constant size at
+    * any SF), giving the EXPECTED true-positive / false-positive /
+    * false-negative candidate mass against the ≥ 0.5 target threshold and
+    * the expected-F1 each split would score. Output is ordered best split
+    * first — row 1 IS the tuning choice (PipelineSpec pins that it
+    * maximizes F1 and that the engine's shipped 4×4 banding is on the
+    * efficient frontier). All powers are multiplication chains (never
+    * libm pow), masses sum in DECIMAL(18,6) of floor-6 values, ratios are
+    * floor-idiom-rounded — hash-portable at any scale. */
+  val dedupLshTune = QueryDef(
+    "q_dedup_lsh_tune",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select($"doc_id", $"text").unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat($"text", lit(" qq17 zz88")).as("text")))
+      val inSample = (c: Column) => c < 20 || c >= 100000
+      val ids = corpus.filter(inSample($"doc_id")).select($"doc_id")
+      val pairsAll = ids.toDF("a")
+        .join(broadcast(ids.toDF("b")), $"a" < $"b")
+      val sj = Dedup.ngramJaccard(corpus, "doc_id", "text", pairsAll)
+        .select(round($"jaccard", 6).as("s"))
+      val splits = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+      val withPs = splits.foldLeft(sj) { case (df, (b, r)) =>
+        df.withColumn(s"p_${b}_$r", Dedup.lshSCurve(col("s"), b, r)) }
+      val stackArgs = splits.map { case (b, r) => s"$b, $r, p_${b}_$r" }
+        .mkString(", ")
+      val longF = withPs.select($"s",
+        expr(s"stack(${splits.size}, $stackArgs) AS (bands, rows_per_band, p)"))
+      val pd = col("p").cast(DecimalType(18, 6))
+      val zero = lit(BigDecimal(0)).cast(DecimalType(18, 6))
+      val one = lit(BigDecimal(1)).cast(DecimalType(18, 6))
+      def fl6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      longF.groupBy($"bands", $"rows_per_band")
+        .agg(
+          sum(when($"s" >= 0.5, pd).otherwise(zero)).as("tp_d"),
+          sum(when($"s" < 0.5, pd).otherwise(zero)).as("fp_d"),
+          sum(when($"s" >= 0.5, one - pd).otherwise(zero)).as("fn_d"))
+        .select($"bands".cast("int").as("bands"),
+          $"rows_per_band".cast("int").as("rows_per_band"),
+          $"tp_d".cast("double").as("exp_tp"),
+          $"fp_d".cast("double").as("exp_fp"),
+          $"fn_d".cast("double").as("exp_fn"))
+        .withColumn("prec",
+          when($"exp_tp" + $"exp_fp" === 0.0, 0.0)
+            .otherwise(fl6($"exp_tp" / ($"exp_tp" + $"exp_fp"))))
+        .withColumn("rec",
+          when($"exp_tp" + $"exp_fn" === 0.0, 0.0)
+            .otherwise(fl6($"exp_tp" / ($"exp_tp" + $"exp_fn"))))
+        .withColumn("f1",
+          when($"prec" + $"rec" === 0.0, 0.0)
+            .otherwise(fl6(lit(2.0) * $"prec" * $"rec" / ($"prec" + $"rec"))))
+        .orderBy($"f1".desc, $"bands")
+    },
+    Some {
+      val branches = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+        .zipWithIndex.map { case ((b, r), i) =>
+          val head = if (i == 0) s"SELECT $b AS bands, $r AS rows_per_band, " +
+            s"${Dedup.lshSCurveSql(b, r)} AS p, s" else s"SELECT $b, $r, ${Dedup.lshSCurveSql(b, r)}, s"
+          s"$head FROM x"
+        }.mkString("\n                      UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' qq17 zz88'
+         |  FROM documents WHERE doc_id < 20),
+         |$shinglesCte,
+         |ids AS (SELECT doc_id FROM corpus WHERE doc_id < 20 OR doc_id >= 100000),
+         |pairs AS (SELECT i1.doc_id AS a, i2.doc_id AS b
+         |          FROM ids i1 JOIN ids i2 ON i1.doc_id < i2.doc_id),
+         |x AS (SELECT round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |             (len(sa.shs) + len(sb.shs)
+         |              - len(list_intersect(sa.shs, sb.shs))), 6) AS s
+         |      FROM pairs p JOIN sh sa ON sa.doc_id = p.a
+         |                   JOIN sh sb ON sb.doc_id = p.b),
+         |br AS ($branches),
+         |agg AS (SELECT bands, rows_per_band,
+         |          SUM(CASE WHEN s >= 0.5 THEN CAST(p AS DECIMAL(18,6))
+         |                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS tp_d,
+         |          SUM(CASE WHEN s < 0.5 THEN CAST(p AS DECIMAL(18,6))
+         |                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS fp_d,
+         |          SUM(CASE WHEN s >= 0.5
+         |                   THEN CAST(1 AS DECIMAL(18,6)) - CAST(p AS DECIMAL(18,6))
+         |                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS fn_d
+         |        FROM br GROUP BY bands, rows_per_band),
+         |m AS (SELECT CAST(bands AS INT) AS bands,
+         |             CAST(rows_per_band AS INT) AS rows_per_band,
+         |             CAST(tp_d AS DOUBLE) AS exp_tp,
+         |             CAST(fp_d AS DOUBLE) AS exp_fp,
+         |             CAST(fn_d AS DOUBLE) AS exp_fn
+         |      FROM agg),
+         |pr AS (SELECT bands, rows_per_band, exp_tp, exp_fp, exp_fn,
+         |         CASE WHEN exp_tp + exp_fp = 0 THEN 0.0
+         |              ELSE floor((exp_tp / (exp_tp + exp_fp)) * 1e6 + 0.5) / 1e6
+         |         END AS prec,
+         |         CASE WHEN exp_tp + exp_fn = 0 THEN 0.0
+         |              ELSE floor((exp_tp / (exp_tp + exp_fn)) * 1e6 + 0.5) / 1e6
+         |         END AS rec
+         |       FROM m)
+         |SELECT bands, rows_per_band, exp_tp, exp_fp, exp_fn, prec, rec,
+         |       CASE WHEN prec + rec = 0 THEN 0.0
+         |            ELSE floor((2.0 * prec * rec / (prec + rec)) * 1e6 + 0.5) / 1e6
+         |       END AS f1
+         |FROM pr ORDER BY f1 DESC, bands""".stripMargin
+    })
 
   /** 32-bit SimHash per document. */
   val dedupSimhash = QueryDef(
@@ -1525,6 +1640,174 @@ object PipelineQueries {
     * be non-decreasing in nprobe by construction (candidate sets nest) —
     * spec-asserted, and the left join from the settings table keeps a
     * zero-recall setting present rather than silently absent. */
+  // ---------------------------------------------------- graph ANN (NSW)
+
+  /** NSW navigation parameters — one place, cited by both the Spark path
+    * (Similarity.nswGraph/nswTopKQueries defaults) and the oracle CTEs. */
+  private val NswM = 8
+  private val NswBeam = 16
+  private val NswHops = 6
+
+  /** Session-scoped memo of the navigable graph (trainedCentMemo
+    * convention): built once per (session, sfDir), shared by q_ann_nsw
+    * and q_ann_nsw_recall — a production NSW index is a per-snapshot
+    * artifact, not a per-query build. Bit-deterministic, so sharing
+    * cannot change any result. */
+  private val nswGraphMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def nswGraphShared(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    nswGraphMemo.getOrElseUpdate((s, dir),
+      Similarity.nswGraph(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", m = NswM).localCheckpoint())
+
+  /** Unrolled-CTE replay of Similarity.nswGraph + fixed-hop beam search:
+    * defines nb (bucketed corpus with precomputed norms), nedges (local
+    * top-M + rep star + rep clique, MATERIALIZED — referenced at every
+    * hop), the caller-supplied query CTE nq (qid, qv, nn), and per hop
+    * the expansion/beam/visited triple nex$i / nlv$i / nvis$i — all
+    * MATERIALIZED so the unstaged driver gate never inlines level i−1
+    * multiple times into level i (invariant 13). Consumers read the
+    * final candidate set from nvis$NswHops. */
+  private def nswCtes(nqSql: String): String = {
+    val planes = Similarity.hyperplanes(6, 64)
+    val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
+      val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    def sc(c: String, q: String, cn: String, qn: String) =
+      s"round(CASE WHEN $cn * $qn = 0 THEN 0.0 ELSE list_dot_product($c, $q) / ($cn * $qn) END, 6)"
+    val lvls = (1 to NswHops).map { i =>
+      s"""nex$i AS MATERIALIZED (
+         |  SELECT DISTINCT f.qid, g.dst AS cid,
+         |         ${sc("c.v", "q.qv", "c.nv", "q.nn")} AS score
+         |  FROM nlv${i - 1} f JOIN nedges g ON g.src = f.cid
+         |       JOIN nb c ON c.vid = g.dst JOIN nq q ON q.qid = f.qid),
+         |nlv$i AS MATERIALIZED (
+         |  SELECT qid, cid, score FROM (
+         |    SELECT qid, cid, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, cid) AS rn
+         |    FROM (SELECT qid, cid, score FROM nex$i
+         |          UNION SELECT qid, cid, score FROM nlv${i - 1}) u)
+         |  WHERE rn <= $NswBeam),
+         |nvis$i AS MATERIALIZED (
+         |  SELECT qid, cid, score FROM nvis${i - 1}
+         |  UNION SELECT qid, cid, score FROM nex$i)""".stripMargin
+    }.mkString(",\n")
+    s"""ne AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nb AS MATERIALIZED (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nv,
+       |                           ${bucketSql("v")} AS bucket FROM ne),
+       |nlp AS (SELECT x.vid AS src, y.vid AS dst,
+       |               ${sc("x.v", "y.v", "x.nv", "y.nv")} AS cos
+       |        FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vid <> y.vid),
+       |nloc AS (SELECT src, dst FROM (
+       |           SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |                    ORDER BY cos DESC, dst) AS rn FROM nlp)
+       |         WHERE rn <= $NswM),
+       |nrep AS MATERIALIZED (SELECT bucket, MIN(vid) AS rid FROM nb GROUP BY bucket),
+       |nedges AS MATERIALIZED (
+       |  SELECT src, dst FROM nloc
+       |  UNION SELECT dst, src FROM nloc
+       |  UNION SELECT b.vid, r.rid FROM nb b JOIN nrep r ON r.bucket = b.bucket AND r.rid <> b.vid
+       |  UNION SELECT r.rid, b.vid FROM nb b JOIN nrep r ON r.bucket = b.bucket AND r.rid <> b.vid
+       |  UNION SELECT x.rid, y.rid FROM nrep x JOIN nrep y ON x.rid <> y.rid),
+       |nq AS ($nqSql),
+       |nent AS (SELECT vid, v, nv FROM nb WHERE vid = (SELECT MIN(vid) FROM nb)),
+       |nlv0 AS MATERIALIZED (SELECT q.qid, c.vid AS cid,
+       |         ${sc("c.v", "q.qv", "c.nv", "q.nn")} AS score
+       |       FROM nq q CROSS JOIN nent c),
+       |nvis0 AS (SELECT qid, cid, score FROM nlv0),
+       |$lvls""".stripMargin
+  }
+
+  /** Graph-based ANN (NSW-style) — the industry-dominant vector-serving
+    * method, absent from the family until round 14: deterministic
+    * navigable graph ([[graft.pipeline.Similarity.nswGraph]]: bucket-local
+    * top-M kNN edges + a rep-clique navigation layer) and a fixed-hop
+    * greedy beam search from the min-id entry node
+    * ([[graft.pipeline.Similarity.nswTopK]]). Reference contrast:
+    * app.py:390-392 is explicitly index-free full scan — this is the
+    * builder-mandate vector-indexing surface. The oracle rebuilds the
+    * graph and replays every beam hop as MATERIALIZED level CTEs (the
+    * q_graph_sssp shape). Serving cost per query after the one-time
+    * build: beam·degree candidate scorings per hop, independent of n. */
+  val annNsw = QueryDef(
+    "q_ann_nsw",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.nswTopK(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", VectorQueries.queryVec, k = 10, m = NswM,
+          beamWidth = NswBeam, hops = NswHops,
+          graph = Some(nswGraphShared(s, dir)))
+        .orderBy($"score".desc, $"vec_id")
+    },
+    Some {
+      val qv = VectorQueries.queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH ${nswCtes(
+           s"SELECT CAST(0 AS BIGINT) AS qid, $qv AS qv, " +
+           s"sqrt(list_dot_product($qv, $qv)) AS nn")}
+         |SELECT cid AS vec_id, score FROM nvis$NswHops
+         |ORDER BY score DESC, cid LIMIT 10""".stripMargin
+    })
+
+  /** Recall@5 of the NSW beam search against exact brute force on the
+    * 5-query batch — the published quality number for the graph-ANN
+    * path (the q_ann_recall convention: LSH, trained-IVF, and now NSW
+    * each carry their own recall audit). Beam levels replayed per query;
+    * exact side is the same full-scan window as q_ann_recall. */
+  val annNswRecall = QueryDef(
+    "q_ann_nsw_recall",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val approx = Similarity.nswTopKQueries(e, "vec_id", "embedding",
+          e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, m = NswM,
+          beamWidth = NswBeam, hops = NswHops,
+          graph = Some(nswGraphShared(s, dir)))
+        .select($"qid", $"cand".as("cid"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"),
+          $"embedding".cast("array<double>").as("qv"))
+        .withColumn("nq", graft.functions.vec.norm($"qv"))
+      val c = TextOps.spread(e)
+        .select($"vec_id".as("cid"),
+          $"embedding".cast("array<double>").as("cv"))
+        .withColumn("ncv", graft.functions.vec.norm($"cv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val exact = c.join(broadcast(q))
+        .withColumn("cos", round(when($"ncv" * $"nq" === 0, 0.0)
+          .otherwise(graft.functions.vec.dot($"cv", $"qv") /
+            ($"ncv" * $"nq")), 6))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"cid")
+      exact.join(approx, Seq("qid", "cid"))
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_hit"),
+          (count(lit(1)) / 5.0).as("recall_at_5"))
+        .orderBy($"qid")
+    },
+    Some {
+      s"""WITH ${nswCtes("SELECT vid AS qid, v AS qv, nv AS nn FROM nb WHERE vid < 5")},
+         |approx AS (SELECT qid, cid FROM (
+         |             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY score DESC, cid) AS rn
+         |             FROM nvis$NswHops) WHERE rn <= 5),
+         |se AS (SELECT q.qid, c.vid AS cid,
+         |              round(CASE WHEN c.nv * q.nn = 0 THEN 0.0
+         |                         ELSE list_dot_product(c.v, q.qv) / (c.nv * q.nn)
+         |                    END, 6) AS cos
+         |       FROM nb c CROSS JOIN nq q),
+         |exact AS (SELECT qid, cid FROM (
+         |            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |              ORDER BY cos DESC, cid) AS rn
+         |            FROM se) WHERE rn <= 5)
+         |SELECT exact.qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |       COUNT(*) / 5.0::DOUBLE AS recall_at_5
+         |FROM exact JOIN approx USING (qid, cid)
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
+    })
+
   val annNprobeCurve = QueryDef(
     "q_ann_nprobe_curve",
     (s, dir) => {
@@ -4170,6 +4453,45 @@ object PipelineQueries {
          |FROM agg, ece ORDER BY bin""".stripMargin
     })
 
+  /** Quality-threshold yield curve ([[graft.pipeline.Classifier
+    * .yieldCurve]]): for each of 9 fixed cut points, keep documents whose
+    * trained junk score is BELOW the cut and publish kept-doc count,
+    * kept-token count, kept-token share, and the planted-bad leak rate —
+    * the kept-volume-vs-contamination trade-off a production filtering
+    * run reports before committing a threshold (q_text_classifier_eval
+    * scores the CLASSIFIER; this scores the CORPUS outcome, token-
+    * weighted, which is what a token-budgeted pretraining mix needs).
+    * Rides the shared feature/weights memos; corpus cost is one scan into
+    * the bounded distinct-score group table. Yield is monotone
+    * nondecreasing in the threshold (PipelineSpec pins it). Oracle
+    * replays training via the shared unrolled GD CTEs, then the same
+    * exact-BIGINT sweep algebra with two single-division round-6 ratios. */
+  val qualityYield = QueryDef(
+    "q_quality_yield",
+    (s, dir) => Classifier.yieldCurve(
+      qualFeat(s, dir),
+      iters = 5, lr = 2.0, trained = Some(logRegWeights(s, dir))),
+    Some {
+      s"""WITH ${logRegCtes(5)},
+         |sc AS (SELECT y, ntoks, round(1.0/(1.0 + exp(-$logRegZ)), 8) AS s FROM f, w5_),
+         |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS nbad,
+         |             CAST(SUM(ntoks) AS BIGINT) AS tok
+         |      FROM sc GROUP BY s),
+         |tot AS (SELECT CAST(SUM(nbad) AS BIGINT) AS npos,
+         |               CAST(SUM(tok) AS BIGINT) AS toktot FROM g),
+         |thr AS (SELECT u.k / 10.0 AS thr FROM unnest(range(1, 10)) AS u(k)),
+         |sw AS (SELECT thr,
+         |              CAST(COALESCE(SUM(CASE WHEN s < thr THEN n END), 0) AS BIGINT) AS kept_docs,
+         |              CAST(COALESCE(SUM(CASE WHEN s < thr THEN tok END), 0) AS BIGINT) AS kept_tokens,
+         |              CAST(COALESCE(SUM(CASE WHEN s < thr THEN nbad END), 0) AS BIGINT) AS bad_kept
+         |       FROM thr, g GROUP BY thr)
+         |SELECT thr, kept_docs, kept_tokens,
+         |       round(CAST(kept_tokens AS DOUBLE) / toktot, 6) AS kept_token_share,
+         |       round(CAST(bad_kept AS DOUBLE) / npos, 6) AS bad_leak_rate
+         |FROM sw, tot ORDER BY thr""".stripMargin
+    })
+
   /** Pointwise mutual information over adjacent token pairs — collocation
     * mining, the standard phrase-detection pass (word2vec-style phrase
     * merging, stopword-collocation auditing) a corpus pipeline runs before
@@ -5005,7 +5327,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     joinEditdist,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupMinhashEval,
-    dedupCluster, splitLeakage, privacyKanon, privacyLdiv, dedupLshPr, dedupSimhash, dedupNgram,
+    dedupCluster, splitLeakage, privacyKanon, privacyLdiv, dedupLshPr, dedupLshTune, dedupSimhash, dedupNgram,
     dedupEmbCosLsh, annLsh, annLshMultiprobe, annLsh256, annPq, annRecall,
     textLangId, textQuality, textGopher, textTokens, textFingerprint, textPhrase, textTextrank, multimodal,
     multimodalImage, multimodalAudio, multimodalFrames, multimodalPhash, multimodalVideo,
@@ -5014,9 +5336,10 @@ object PipelineQueries {
     textDecontamSpan, textDecontamFuzzy,
     textPack, vecQuantize, textPerplexity, mixWeights, mixTemperature, mixSchedule, mixWaterfill, mixDsir, vecCentroids,
     annIvfTrained, annIvfPq, annIvfPqBatch, annPqBatch, annPqTrained, annPqErr, annOpq, annRq, annRqErr, vecDiverse,
+    annNsw, annNswRecall,
     annRecallTrained, annNprobeCurve, vecHubness, vecLabelprop, textBpeMerges, textBpe,
     textUnigramLm, textUnigramApply, textUnigramFertility, textUnigramCurve,
-    textPmi, textClassifier, textClassifierEval, textClassifierEce,
+    textPmi, textClassifier, textClassifierEval, textClassifierEce, qualityYield,
     textDomainClf, textDomainEval, dedupSemantic,
     dedupSemanticBudget, vecHamming, vecHammingBatch, annSq8, annSq8Batch,
     vecNcm, vecLabelConsistency, textOov, textSourceSim, profileDataset,

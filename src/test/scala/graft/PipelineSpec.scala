@@ -1002,4 +1002,39 @@ class PipelineSpec extends SparkSpec {
     // the shared-memo path and the standalone trainings stay one model
     assert(rows(1)._2 == 103301L, s"budget-8 corpus tokens: ${rows(1)._2}")
   }
+
+  test("LSH tuning: chosen split maximizes expected F1 and the shipped " +
+      "4x4 banding is the argmax on the planted pairs") {
+    val rows = SparkEntry.queries("q_dedup_lsh_tune")(spark, sf)
+      .select($"bands", $"rows_per_band", $"f1")
+      .as[(Int, Int, Double)].collect()
+    assert(rows.length == 5, "all five 16-perm factorizations present")
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      Set((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+    // output is ordered best-first: row 1 IS the tuning choice
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq,
+      s"rows must be ordered by expected F1 desc: ${rows.toSeq}")
+    // the engine's minhashPairs ships i // 4 banding = 4 bands x 4 rows;
+    // the closed-form curve must agree that it is the right default for
+    // the >= 0.5 target threshold
+    assert((rows.head._1, rows.head._2) == (4, 4),
+      s"expected the shipped 4x4 banding to win: ${rows.toSeq}")
+  }
+
+  test("quality yield curve: kept volume and leak rate are monotone " +
+      "nondecreasing in the threshold") {
+    val rows = SparkEntry.queries("q_quality_yield")(spark, sf)
+      .select($"thr", $"kept_docs", $"kept_token_share", $"bad_leak_rate")
+      .as[(Double, Long, Double, Double)].collect()
+    assert(rows.length == 9)
+    assert(rows.map(_._1).toSeq == (1 to 9).map(_ / 10.0))
+    def mono(xs: Seq[Double]) = xs.zip(xs.tail).forall { case (a, b) => a <= b }
+    assert(mono(rows.map(_._2.toDouble).toSeq), s"kept_docs: ${rows.toSeq}")
+    assert(mono(rows.map(_._3).toSeq), s"kept_token_share: ${rows.toSeq}")
+    assert(mono(rows.map(_._4).toSeq), s"bad_leak_rate: ${rows.toSeq}")
+    // the planted junk class must be separable: some cut keeps >= 40% of
+    // tokens while leaking < 1% of planted-bad docs
+    assert(rows.exists(r => r._3 >= 0.4 && r._4 < 0.01),
+      s"no acceptable operating point on the curve: ${rows.toSeq}")
+  }
 }

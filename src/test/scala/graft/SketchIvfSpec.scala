@@ -545,4 +545,42 @@ class SketchIvfSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(rq == exact, s"spacing-1 RQ must equal exact ranking: $rq vs $exact")
   }
+
+  test("nswGraph: symmetric, self-loop-free, globally connected via the " +
+      "rep layer; exhaustive beam search equals exact brute force") {
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val g = Similarity.nswGraph(emb, "vec_id", "embedding")
+    val edges = g.as[(Long, Long)].collect()
+    assert(edges.forall { case (s, d) => s != d }, "no self-loops")
+    val eset = edges.toSet
+    assert(edges.forall { case (s, d) => eset((d, s)) },
+      "navigable graph must be symmetric")
+    // connectivity: union-find over the collected edge list (test-only)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (s, d) => parent(find(s)) = find(d) }
+    val ids = emb.select($"vec_id").as[Long].collect()
+    ids.foreach(i => find(i))
+    assert(ids.map(find).toSet.size == 1,
+      "the rep star + rep clique must make the graph one component")
+    // exhaustive contract: beam >= n and hops >= the hub-design diameter
+    // bound (node -> rep -> rep' -> node' = 3, +margin) visits every node,
+    // so the answer MUST equal the exact full-scan top-k
+    val qv = graft.rel.VectorQueries.queryVec
+    val nsw = Similarity.nswTopK(emb, "vec_id", "embedding", qv, k = 10,
+        beamWidth = n + 1, hops = 5, graph = Some(g))
+      .orderBy($"score".desc, $"vec_id")
+      .as[(Long, Double)].collect().toSeq
+    val exact = emb
+      .select($"vec_id", round(graft.functions.vec.cosine(
+        $"embedding".cast("array<double>"), typedlit(qv)), 6).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(nsw == exact,
+      s"exhaustive beam must equal brute force:\n$nsw\n$exact")
+  }
 }
