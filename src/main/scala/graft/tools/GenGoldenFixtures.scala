@@ -38,10 +38,19 @@ object GenGoldenFixtures {
     // (its clone suffixes introduce vocabulary the driver SFs lack — the
     // r13 full-sf1 sweep caught the stale-mapping nnz deflation exactly
     // as this fixture's inner-join contract intends)
+    // sf1 lives under the REPO ROOT, not the cwd: run from anywhere else,
+    // a cwd-relative path would silently regenerate the fixture WITHOUT
+    // the sf1 clone-marker vocabulary — the exact stale-fixture nnz
+    // deflation the sf1 coverage exists to prevent. Resolve against
+    // SPARK_GRAFT_REPO (default /root/repo) and be LOUD when skipping.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val sf1 = s"$repoRoot/benchdata/sf1"
+    val sf1Present = new java.io.File(s"$sf1/documents.parquet").exists
+    if (!sf1Present)
+      System.err.println(s"[gen-golden] WARNING: $sf1 absent — golden " +
+        "token fixture will NOT cover the sf1 clone-marker vocabulary")
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1") ++
-      (if (new java.io.File("benchdata/sf1/documents.parquet").exists)
-         Seq("benchdata/sf1") else Nil)
+      "/root/testdata/sf0.1") ++ (if (sf1Present) Seq(sf1) else Nil)
     val tokens = dirs
       .map(sf => Tables(spark, sf, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("token")))

@@ -50,10 +50,18 @@ con.sql("SET temp_directory='/tmp/duckdb_spill'")
 con.sql("SET memory_limit='40GB'")
 
 
-def run_staged(sql):
+def run_staged(sql, timer=None):
+    # the cap timer is cancelled HERE, right after the final fetchall —
+    # cancelling only in the caller's finally left a window where the
+    # interrupt could fire during the DROP cleanup (query mislabeled ERR)
+    # or leave a pending interrupt that cancels the NEXT query
+    def done():
+        if timer is not None:
+            timer.cancel()
     parts = split_ctes(sql)
     if parts is None:
         con.sql(sql).fetchall()
+        done()
         return
     ctes, final = parts
     refs = {name: 0 for name, _, _ in ctes}
@@ -76,6 +84,7 @@ def run_staged(sql):
             con.sql(f'CREATE TEMP TABLE "{name}" AS {with_prefix()}{s}')
             made.append(name)
         con.sql(f"{with_prefix()}{final}").fetchall()
+        done()
     finally:
         for name in reversed(made):
             con.sql(f'DROP TABLE IF EXISTS "{name}"')
@@ -93,7 +102,7 @@ for name in names:
     timer = threading.Timer(cap, con.interrupt)
     timer.start()
     try:
-        run_staged(oracle[name])
+        run_staged(oracle[name], timer=timer)
         dt = time.time() - t0
         print(f"ok   {name} ({dt:.1f}s)", flush=True)
         report[name] = {"ok": True, "sec": round(dt, 1)}

@@ -13,12 +13,21 @@ import would run the whole gate).
 import json, os, re, sys, time
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-staged = "--staged" in sys.argv
-mem = "48GB"
-if "--mem" in sys.argv:
-    mem = sys.argv[sys.argv.index("--mem") + 1]
-    args.remove(mem)
+# index-based flag parsing (oracle_probe.py convention): --mem's VALUE is
+# consumed at its own index, so a query name that happens to equal the mem
+# string can never be swallowed
+argv = sys.argv[1:]
+staged, mem, args = False, "48GB", []
+i = 0
+while i < len(argv):
+    if argv[i] == "--staged":
+        staged = True
+    elif argv[i] == "--mem":
+        mem = argv[i + 1]
+        i += 1
+    else:
+        args.append(argv[i])
+    i += 1
 sf_dir, oracle_path, names = args[0], args[1], args[2:]
 
 src = open(os.path.join(os.path.dirname(__file__), "check.py")).read()
