@@ -1306,6 +1306,34 @@ object Similarity {
 
   // ------------------------------------------------------- graph ANN (NSW)
 
+  /** Adaptive NSW bucket count: the minimal H ∈ [4, 12] with
+    * 2^H ≥ n / 32 — cells stay ≈ 32 vectors at ANY corpus size, so the
+    * graph build's bucket equi-join is O(n · 32) pairs = LINEAR in n
+    * (a FIXED H degrades as n²/2^H: the r14 sf1 sweep measured recall@5
+    * falling 0.64 → 0.24 as cells grew 8× past the local edge budget).
+    * Computed by exact integer comparisons — never ceil(log2(n)), whose
+    * libm tail could flip the answer at exact power-of-two boundaries —
+    * and replayed in the oracle as the SAME 9-branch CASE chain over
+    * COUNT(*). The H ≤ 12 clamp bounds the rep clique at 4096² edges;
+    * beyond ~130k vectors per partition-group a second navigation level
+    * (bucketing the reps themselves) is the documented extension. */
+  def nswPlanesFor(n: Long): Int = {
+    var h = 4
+    while (h < 12 && (32L << h) < n) h += 1
+    h
+  }
+
+  /** NSW's own hyperplane generator, period 13: the shared
+    * [[hyperplanes]] formula repeats with period 7 (plane b+7 ≡ plane b
+    * mod-7 algebra), which silently collapses 2^H buckets to 2^7 for
+    * H > 7 — fine for the fixed-H=4 LSH queries that own it, fatal for
+    * the adaptive H ≤ 12 here. (b+3, b²) is injective mod 13 on
+    * b ∈ [0, 12), so all 12 planes are distinct; components are exact
+    * dyadic rationals in {-6/8 … 6/8} — deterministic cross-engine. */
+  def nswHyperplanes(h: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(h)(b => Seq.tabulate(dim)(j =>
+      (((j * (b + 3) + b * b) % 13) - 6) / 8.0))
+
   /** Deterministic NSW-style navigable graph over the corpus — the
     * graph-ANN family member (Malkov & Yashunin's NSW/HNSW is the method
     * that dominates industrial vector serving; this is its deterministic,
@@ -1326,10 +1354,25 @@ object Similarity {
     * reps) ⇒ the same graph on any cluster layout, so a DuckDB oracle
     * rebuilds it bit-identically. Returns directed (src, dst), symmetric
     * by construction. */
-  def nswGraph(corpus: DataFrame, idCol: String, vecCol: String,
-               m: Int = 8, numPlanes: Int = 6, roundTo: Int = 6,
-               dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+  /** [[nswGraph]] plus the navigation layer: per bucket, the min-id rep
+    * node and the bucket CENTROID (decimal-exact per-dimension means,
+    * the kmeansCentroids m-step discipline — order-independent at any
+    * partitioning, round-6, so the oracle replays it bit-identically).
+    * The search ranks buckets by centroid cosine (an arbitrary member's
+    * vector is far too noisy a proxy once buckets number in the
+    * thousands — the r14 sf1 measurement: recall 0.20 rep-ranked vs
+    * centroid-ranked probing) and seeds its beam with the chosen
+    * buckets' reps. A serving index is the PAIR (edges, reps) with
+    * reps = (bucket, rid, cent). */
+  def nswIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, numPlanes: Int = 0, roundTo: Int = 6,
+               dim: Int = 64, corpusN: Long = 0L): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    // numPlanes <= 0 → adaptive H(n): ~32-vector cells at any scale
+    val h =
+      if (numPlanes > 0) numPlanes
+      else nswPlanesFor(if (corpusN > 0) corpusN else corpus.count())
+    val planes = nswHyperplanes(h, dim)
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val b = TextOps.spread(corpus)
@@ -1358,35 +1401,60 @@ object Similarity {
     val hub = rep.select(col("rid").as("src"))
       .join(broadcast(rep.select(col("rid").as("dst"))),
         col("src") =!= col("dst"))
-    loc
+    val edges = loc
       .union(loc.select(col("dst").as("src"), col("src").as("dst")))
       .union(star)
       .union(star.select(col("dst").as("src"), col("src").as("dst")))
       .union(hub)
       .distinct()
+    val cent = b.select(col("bucket"), posexplode(col("v")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(round(sum(col("col").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1)), roundTo).as("m"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent"))
+    (edges, rep.join(cent, "bucket")
+      .select(col("bucket"), col("rid"), col("cent")))
   }
 
-  /** Greedy beam search over [[nswGraph]] for a query BATCH: start every
-    * query at the min-id entry node, expand the beam's out-edges for a
-    * FIXED number of hops, keep the `beamWidth` best (round-6 cosine,
-    * id tie-break) after each hop, answer top-k over everything VISITED.
-    * The fixed unroll is what makes the search oracle-replayable as
-    * MATERIALIZED level CTEs (the q_graph_sssp / min-label-propagation
-    * shape) — and it is also the honest serving bound: per hop the work
-    * is |Q|·beamWidth·degree candidate rows, independent of n once the
-    * graph is built. Returns (qid, cand, score, rn ≤ k). */
+  /** Edge list only — see [[nswIndex]]. */
+  def nswGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, numPlanes: Int = 0, roundTo: Int = 6,
+               dim: Int = 64, corpusN: Long = 0L): DataFrame =
+    nswIndex(corpus, idCol, vecCol, m, numPlanes, roundTo, dim, corpusN)._1
+
+  /** Greedy beam search over [[nswIndex]] for a query BATCH — the HNSW
+    * two-phase shape: (1) search the NAVIGATION layer exhaustively —
+    * score every rep against the query (reps ≈ n/32, a 32×-cheaper
+    * coarse scan, exactly IVF's centroid ranking) and seed the beam with
+    * the `beamWidth` best; (2) descend — expand the beam's out-edges for
+    * a FIXED number of hops, keeping the `beamWidth` best (round-6
+    * cosine, id tie-break) after each hop; answer = top-k over
+    * everything VISITED. Seeding from the min-id node alone was the r14
+    * first cut — greedy eviction drops hub reps before their buckets are
+    * explored (hubs score poorly as query matches), which cost recall at
+    * every scale. The fixed unroll is what makes the search
+    * oracle-replayable as MATERIALIZED level CTEs (the q_graph_sssp
+    * shape); per hop the work is |Q|·beamWidth·degree candidate rows,
+    * independent of n once the graph is built.
+    * Returns (qid, cand, score, rn ≤ k). */
   def nswTopKQueries(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
-                     k: Int, m: Int = 8, numPlanes: Int = 6,
+                     k: Int, m: Int = 8, numPlanes: Int = 0,
                      beamWidth: Int = 8, hops: Int = 3,
                      roundTo: Int = 6, dim: Int = 64,
-                     graph: Option[DataFrame] = None): DataFrame = {
-    // a production serving path builds the navigable graph ONCE per
+                     index: Option[(DataFrame, DataFrame)] = None,
+                     corpusN: Long = 0L): DataFrame = {
+    // a production serving path builds the navigable index ONCE per
     // corpus snapshot and amortizes it across queries — callers pass the
-    // memoized (already-checkpointed) graph; ad-hoc calls build inline
-    val edges = graph.getOrElse(
-      nswGraph(corpus, idCol, vecCol, m, numPlanes, roundTo, dim)
-        .localCheckpoint())
+    // memoized (already-checkpointed) (edges, reps); ad-hoc calls build
+    // inline
+    val (edges, reps) = index.getOrElse {
+      val (e0, r0) = nswIndex(corpus, idCol, vecCol, m, numPlanes,
+        roundTo, dim, corpusN)
+      (e0.localCheckpoint(), r0.localCheckpoint())
+    }
     val vd = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
     val qd = col(qVecCol).cast(org.apache.spark.sql.types.ArrayType(
@@ -1399,10 +1467,28 @@ object Similarity {
     val score = round(when(col("ncv") * col("nq") === 0, 0.0)
       .otherwise(vec.dot(col("cv"), col("qv")) /
         (col("ncv") * col("nq"))), roundTo)
-    val entry = c.agg(min(col("cid")).as("cid")) // 1-row aggregate
     val wB = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid"))
-    var beam = q.crossJoin(broadcast(entry)).join(c, "cid")
+    // phase 1 — upper-layer search: rank BUCKETS by centroid cosine
+    // (~n/32 centroid rows; queries broadcast), pick the beamWidth best
+    // per query, seed the beam with their rep nodes scored by their OWN
+    // vectors (so every visited row carries a true node score). Windows
+    // partition by qid — never global.
+    val centScore = round(when(col("ncn") * col("nq") === 0, 0.0)
+      .otherwise(vec.dot(col("cent"), col("qv")) /
+        (col("ncn") * col("nq"))), roundTo)
+    val wSel = Window.partitionBy(col("qid"))
+      .orderBy(col("cscore").desc, col("bucket"))
+    // probe 2× beamWidth buckets: seeding costs one tiny join and every
+    // probed bucket's members land in VISITED at hop 1 (the answer pool),
+    // so extra probes buy recall even though the beam then narrows
+    val sel = reps.withColumn("ncn", vec.norm(col("cent")))
+      .join(broadcast(q))
+      .select(col("qid"), col("bucket"), col("rid"), centScore.as("cscore"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= 2 * beamWidth)
+      .select(col("qid"), col("rid").as("cid"))
+    var beam = sel.join(c, "cid").join(broadcast(q), "qid")
       .select(col("qid"), col("cid"), score.as("score"))
       .localCheckpoint()
     var visited = beam
@@ -1429,13 +1515,15 @@ object Similarity {
     * returns (idCol, score) top-k, the q_ann_ivf-style serving shape. */
   def nswTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryVec: Seq[Double], k: Int, m: Int = 8,
-              numPlanes: Int = 6, beamWidth: Int = 8, hops: Int = 3,
-              roundTo: Int = 6, graph: Option[DataFrame] = None): DataFrame = {
+              numPlanes: Int = 0, beamWidth: Int = 8, hops: Int = 3,
+              roundTo: Int = 6,
+              index: Option[(DataFrame, DataFrame)] = None,
+              corpusN: Long = 0L): DataFrame = {
     val q = corpus.sparkSession.range(1)
       .select(lit(0L).as("qid"), typedlit(queryVec).as("qv"))
     nswTopKQueries(corpus, idCol, vecCol, q, "qid", "qv", k, m,
         numPlanes, beamWidth, hops, roundTo, dim = queryVec.length,
-        graph = graph)
+        index = index, corpusN = corpusN)
       .select(col("cand").as(idCol), col("score"))
   }
 }

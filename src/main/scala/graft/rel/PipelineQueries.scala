@@ -152,7 +152,7 @@ object PipelineQueries {
     trainedPqCodebook(s, dir)
     softmaxWeights(s, dir)
     unigramTrained(s, dir)
-    nswGraphShared(s, dir)
+    nswIndexShared(s, dir)
     ()
   }
 
@@ -1654,12 +1654,15 @@ object PipelineQueries {
     * artifact, not a per-query build. Bit-deterministic, so sharing
     * cannot change any result. */
   private val nswGraphMemo =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
-  private def nswGraphShared(s: org.apache.spark.sql.SparkSession,
-                             dir: String): DataFrame =
-    nswGraphMemo.getOrElseUpdate((s, dir),
-      Similarity.nswGraph(Tables(s, dir, "embeddings"), "vec_id",
-        "embedding", m = NswM).localCheckpoint())
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+  private def nswIndexShared(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (DataFrame, DataFrame) =
+    nswGraphMemo.getOrElseUpdate((s, dir), {
+      val (e, r) = Similarity.nswIndex(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", m = NswM,
+        corpusN = Tables.rowCount(s, dir, "embeddings"))
+      (e.localCheckpoint(), r.localCheckpoint())
+    })
 
   /** Unrolled-CTE replay of Similarity.nswGraph + fixed-hop beam search:
     * defines nb (bucketed corpus with precomputed norms), nedges (local
@@ -1670,10 +1673,22 @@ object PipelineQueries {
     * multiple times into level i (invariant 13). Consumers read the
     * final candidate set from nvis$NswHops. */
   private def nswCtes(nqSql: String): String = {
-    val planes = Similarity.hyperplanes(6, 64)
+    // adaptive H (Similarity.nswPlanesFor): the SAME minimal-H-with-
+    // 2^H >= n/32 rule as exact integer comparisons — a 9-branch CASE
+    // chain over COUNT(*), never ceil(log2(n)) (libm tail at power-of-two
+    // boundaries). All 12 candidate planes are emitted; bits b >= h are
+    // masked off, which equals Spark's sum over the first h planes.
+    val nhSql =
+      """nh AS (SELECT CASE WHEN c <= 512 THEN 4 WHEN c <= 1024 THEN 5
+        |               WHEN c <= 2048 THEN 6 WHEN c <= 4096 THEN 7
+        |               WHEN c <= 8192 THEN 8 WHEN c <= 16384 THEN 9
+        |               WHEN c <= 32768 THEN 10 WHEN c <= 65536 THEN 11
+        |               ELSE 12 END AS h
+        |        FROM (SELECT COUNT(*) AS c FROM embeddings))""".stripMargin
+    val planes = Similarity.nswHyperplanes(12, 64)
     val bucketSql = (v: String) => planes.zipWithIndex.map { case (p, b) =>
       val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
-      s"(CASE WHEN list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
+      s"(CASE WHEN $b < (SELECT h FROM nh) AND list_dot_product($v, $lit) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
     def sc(c: String, q: String, cn: String, qn: String) =
       s"round(CASE WHEN $cn * $qn = 0 THEN 0.0 ELSE list_dot_product($c, $q) / ($cn * $qn) END, 6)"
@@ -1694,7 +1709,8 @@ object PipelineQueries {
          |  SELECT qid, cid, score FROM nvis${i - 1}
          |  UNION SELECT qid, cid, score FROM nex$i)""".stripMargin
     }.mkString(",\n")
-    s"""ne AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""$nhSql,
+       |ne AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nb AS MATERIALIZED (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nv,
        |                           ${bucketSql("v")} AS bucket FROM ne),
        |nlp AS (SELECT x.vid AS src, y.vid AS dst,
@@ -1711,11 +1727,27 @@ object PipelineQueries {
        |  UNION SELECT b.vid, r.rid FROM nb b JOIN nrep r ON r.bucket = b.bucket AND r.rid <> b.vid
        |  UNION SELECT r.rid, b.vid FROM nb b JOIN nrep r ON r.bucket = b.bucket AND r.rid <> b.vid
        |  UNION SELECT x.rid, y.rid FROM nrep x JOIN nrep y ON x.rid <> y.rid),
+       |ncent AS MATERIALIZED (
+       |  SELECT bucket, cent, sqrt(list_dot_product(cent, cent)) AS ncn FROM (
+       |    SELECT bucket, list(m ORDER BY idx) AS cent FROM (
+       |      SELECT bucket, CAST(u.j AS INT) AS idx,
+       |             round(CAST(SUM(CAST(v[u.j + 1] AS DECIMAL(20,10))) AS DOUBLE)
+       |                   / COUNT(*), 6) AS m
+       |      FROM nb, unnest(range(len(v))) AS u(j) GROUP BY bucket, idx) mm
+       |    GROUP BY bucket) cc),
        |nq AS ($nqSql),
-       |nent AS (SELECT vid, v, nv FROM nb WHERE vid = (SELECT MIN(vid) FROM nb)),
-       |nlv0 AS MATERIALIZED (SELECT q.qid, c.vid AS cid,
+       |nsel AS MATERIALIZED (
+       |  SELECT qid, bucket FROM (
+       |    SELECT q.qid, cc.bucket, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY ${sc("cc.cent", "q.qv", "cc.ncn", "q.nn")} DESC,
+       |                      cc.bucket) AS rn
+       |    FROM nq q CROSS JOIN ncent cc) z
+       |  WHERE rn <= ${2 * NswBeam}),
+       |nlv0 AS MATERIALIZED (
+       |  SELECT s.qid, c.vid AS cid,
        |         ${sc("c.v", "q.qv", "c.nv", "q.nn")} AS score
-       |       FROM nq q CROSS JOIN nent c),
+       |  FROM nsel s JOIN nrep r ON r.bucket = s.bucket
+       |       JOIN nb c ON c.vid = r.rid JOIN nq q ON q.qid = s.qid),
        |nvis0 AS (SELECT qid, cid, score FROM nlv0),
        |$lvls""".stripMargin
   }
@@ -1738,7 +1770,7 @@ object PipelineQueries {
       Similarity.nswTopK(Tables(s, dir, "embeddings"), "vec_id",
           "embedding", VectorQueries.queryVec, k = 10, m = NswM,
           beamWidth = NswBeam, hops = NswHops,
-          graph = Some(nswGraphShared(s, dir)))
+          index = Some(nswIndexShared(s, dir)))
         .orderBy($"score".desc, $"vec_id")
     },
     Some {
@@ -1764,7 +1796,7 @@ object PipelineQueries {
       val approx = Similarity.nswTopKQueries(e, "vec_id", "embedding",
           e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, m = NswM,
           beamWidth = NswBeam, hops = NswHops,
-          graph = Some(nswGraphShared(s, dir)))
+          index = Some(nswIndexShared(s, dir)))
         .select($"qid", $"cand".as("cid"))
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("qid"),

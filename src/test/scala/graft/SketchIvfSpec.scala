@@ -550,7 +550,7 @@ class SketchIvfSpec extends SparkSpec {
       "rep layer; exhaustive beam search equals exact brute force") {
     val emb = Tables(spark, sf, "embeddings")
     val n = emb.count().toInt
-    val g = Similarity.nswGraph(emb, "vec_id", "embedding")
+    val (g, reps) = Similarity.nswIndex(emb, "vec_id", "embedding")
     val edges = g.as[(Long, Long)].collect()
     assert(edges.forall { case (s, d) => s != d }, "no self-loops")
     val eset = edges.toSet
@@ -567,12 +567,12 @@ class SketchIvfSpec extends SparkSpec {
     ids.foreach(i => find(i))
     assert(ids.map(find).toSet.size == 1,
       "the rep star + rep clique must make the graph one component")
-    // exhaustive contract: beam >= n and hops >= the hub-design diameter
-    // bound (node -> rep -> rep' -> node' = 3, +margin) visits every node,
-    // so the answer MUST equal the exact full-scan top-k
+    // exhaustive contract: beam >= n seeds EVERY rep, and one hop from
+    // all reps covers the corpus (the rep star), +margin — the answer
+    // MUST equal the exact full-scan top-k
     val qv = graft.rel.VectorQueries.queryVec
     val nsw = Similarity.nswTopK(emb, "vec_id", "embedding", qv, k = 10,
-        beamWidth = n + 1, hops = 5, graph = Some(g))
+        beamWidth = n + 1, hops = 5, index = Some((g, reps)))
       .orderBy($"score".desc, $"vec_id")
       .as[(Long, Double)].collect().toSeq
     val exact = emb
