@@ -343,6 +343,14 @@ object GraphAnalytics {
     und.unionAll(und.select(col("v"), col("u"))).toDF("u", "v")
   }
 
+  /** The checkpointed both-ways adjacency helpers derive internally —
+    * public so a COMPOSED query (LPA feeding a Louvain move / modularity
+    * score) can build it ONCE and hand the same frame to every stage
+    * (r14-opt: each helper re-deriving it paid one extra undirected
+    * distinct + materialization of the full edge list per stage). */
+  def bothWaysCheckpointed(edges: DataFrame): DataFrame =
+    bothWays(edges).localCheckpoint()
+
   /** Synchronous min-label propagation, `iters` rounds of
     * label(v) ← min(label(v), min over neighbors label(u)), labels seeded
     * with node ids. The min semiring makes every round order-independent —
@@ -351,8 +359,10 @@ object GraphAnalytics {
     * components; at fewer rounds it is bounded-radius community labels
     * (what the declared query uses). One equi-join + one min-agg shuffle
     * per round, lineage cut per round. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val ee = bothWays(edges).localCheckpoint()
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       prebuiltEe: DataFrame = null): DataFrame = {
+    val ee = if (prebuiltEe != null) prebuiltEe
+      else bothWays(edges).localCheckpoint()
     var lab = ee.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
@@ -488,8 +498,10 @@ object GraphAnalytics {
     * two label joins on the edge list + two small aggs — linear, no
     * all-pairs anywhere. Returns (label, n_nodes, e_intra2, deg_sum,
     * q_contrib). */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val ee = bothWays(edges).localCheckpoint()
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 prebuiltEe: DataFrame = null): DataFrame = {
+    val ee = if (prebuiltEe != null) prebuiltEe
+      else bothWays(edges).localCheckpoint()
     val m2 = ee.agg(count(lit(1)).as("m2"))
     val lu = labels.select(col("node").as("u"), col("label").as("lu"))
     val lv = labels.select(col("node").as("v"), col("label").as("lv"))
@@ -551,8 +563,10 @@ object GraphAnalytics {
     * Scale shape: degree/community aggregations + one (u, neighbor-label)
     * groupBy + one per-node argmax window — all linear in |E|, keyed by
     * node or label, never all-pairs. Returns (node, label). */
-  def louvainMove(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val ee = bothWays(edges).localCheckpoint()
+  def louvainMove(edges: DataFrame, labels: DataFrame,
+                  prebuiltEe: DataFrame = null): DataFrame = {
+    val ee = if (prebuiltEe != null) prebuiltEe
+      else bothWays(edges).localCheckpoint()
     val m2 = ee.agg(count(lit(1)).as("m2"))
     val deg = ee.groupBy("u").agg(count(lit(1)).as("deg"))
     val dc = deg.join(labels.select(col("node").as("u"), col("label")), "u")

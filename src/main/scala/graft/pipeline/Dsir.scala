@@ -43,12 +43,21 @@ object Dsir {
       .select(col(idCol) +: col("__t") +: keep.map(col) :+
         explode(concat(col("__toks"), TextOps.kgrams(col("__toks"), 2)))
           .as("g"): _*)
+    // r14-opt: feats feeds THREE consumers (target counts tc, raw counts
+    // rc, and the final per-doc weight join) whose subtrees canonicalize
+    // differently (tc's __t filter pushes below the aggregate), so
+    // without a materialization the tokenizer+bigram explode and the
+    // per-occurrence md5 bucket hash — the dominant corpus-linear cost —
+    // execute three times (q_mix_dsir measured 2.56 → 1.45 s warm at
+    // sf0.1). A production DSIR run materializes the featurized corpus
+    // once for the same reason.
     val feats = grams
       .withColumn("b",
         (TextOps.strHash(concat(lit("dsir:"), col("g"))) % buckets)
           .cast("int"))
       .groupBy(col(idCol) +: col("__t") +: keep.map(col) :+ col("b"): _*)
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tc = feats.filter(col("__t"))
       .groupBy(col("b")).agg(sum(col("c")).as("ct"))
     val rc = feats.groupBy(col("b")).agg(sum(col("c")).as("cr"))

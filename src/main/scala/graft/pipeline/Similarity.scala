@@ -190,11 +190,23 @@ object Similarity {
     * tie-break — the shared quantization step of ADC scoring, Lloyd
     * training, and MSE measurement. Returns (vid, s, cid, d2). */
   private def pqAssign(sub: DataFrame, cb: DataFrame, roundTo: Int): DataFrame = {
+    // r14-opt ×2, same result row-for-row:
+    //  - the self-terms x·x and c·c are per-ROW quantities — compute them
+    //    below the join (once per subvector / once per codeword) instead
+    //    of per PAIR, so the n·k·m pair kernel runs ONE dot, not three
+    //    (the CLAUDE.md oracle-perf rule, applied to the engine side);
+    //    same left-to-right summation (xx − 2·x·c) + cc ⇒ identical d2.
+    // (an arg-min min_by(struct…) aggregation was tried here — map-side
+    // partial aggregation in place of the rank-1 window — but a struct
+    // payload with an array field forces ObjectHashAggregate with its
+    // 128-group sort fallback, and measured ~30% SLOWER than the window
+    // at sf0.1; the window sort stays.)
     val wA = Window.partitionBy(col("vid"), col("s")).orderBy(col("d2"), col("cid"))
-    sub.join(broadcast(cb), "s")
+    sub.withColumn("xx", vec.dot(col("xs"), col("xs")))
+      .join(broadcast(cb.withColumn("cc", vec.dot(col("cs"), col("cs")))), "s")
       .withColumn("d2", round(
-        vec.dot(col("xs"), col("xs")) - lit(2.0) * vec.dot(col("xs"), col("cs")) +
-          vec.dot(col("cs"), col("cs")), roundTo))
+        col("xx") - lit(2.0) * vec.dot(col("xs"), col("cs")) + col("cc"),
+        roundTo))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       .select(col("vid"), col("s"), col("xs"), col("cid"), col("d2"))
   }
@@ -393,14 +405,20 @@ object Similarity {
     val spacing = sqrtSpacing(corpus, codewordEvery, corpusN)
     val cb1 = e.filter(col("vid") % spacing === 0)
       .select(col("vid").as("cid1"), col("v").as("c1"))
+    // r14-opt: self-terms (v·v, c·c, r·r) hoisted below the pair joins —
+    // once per row/codeword instead of per pair, identical summation
+    // order ⇒ identical d2/d2r (the pqAssign discipline; full-dim RQ
+    // vectors make the per-pair waste 3× of a 64-wide dot)
     val w1 = Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid1"))
-    val a1 = e.crossJoin(broadcast(cb1))
+    val a1 = e.withColumn("vv", vec.dot(col("v"), col("v")))
+      .crossJoin(broadcast(cb1.withColumn("c11", vec.dot(col("c1"), col("c1")))))
       .withColumn("d2", round(
-        vec.dot(col("v"), col("v")) - lit(2.0) * vec.dot(col("v"), col("c1")) +
-          vec.dot(col("c1"), col("c1")), roundTo))
+        col("vv") - lit(2.0) * vec.dot(col("v"), col("c1")) + col("c11"),
+        roundTo))
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("vid"), col("cid1"), col("d2"),
         zip_with(col("v"), col("c1"), (a, b) => a - b).as("r"))
+      .withColumn("rr", vec.dot(col("r"), col("r")))
       .localCheckpoint()
     val zero = e.orderBy(col("vid")).limit(1)
       .select(lit(-1L).as("cid2"),
@@ -409,10 +427,10 @@ object Similarity {
       .select(col("vid").as("cid2"), col("r").as("c2"))
       .unionByName(zero)
     val w2 = Window.partitionBy(col("vid")).orderBy(col("d2r"), col("cid2"))
-    val a2 = a1.crossJoin(broadcast(cb2))
+    val a2 = a1.crossJoin(broadcast(cb2.withColumn("c22", vec.dot(col("c2"), col("c2")))))
       .withColumn("d2r", round(
-        vec.dot(col("r"), col("r")) - lit(2.0) * vec.dot(col("r"), col("c2")) +
-          vec.dot(col("c2"), col("c2")), roundTo))
+        col("rr") - lit(2.0) * vec.dot(col("r"), col("c2")) + col("c22"),
+        roundTo))
       .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
       .select(col("vid"), col("cid1"), col("cid2"), col("d2"), col("d2r"))
     (cb1, cb2, a2)
@@ -452,13 +470,20 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     val (_, _, a2) = rqParts(corpus, idCol, vecCol, roundTo,
       codewordEvery, corpusN)
-    val m1 = a2.agg(round(sum(col("d2").cast(DecimalType(20, 10)))
-      .cast("double") / count(lit(1)), roundTo).as("mse"))
-      .select(lit(1).as("level"), col("mse"))
-    val m2 = a2.agg(round(sum(col("d2r").cast(DecimalType(20, 10)))
-      .cast("double") / count(lit(1)), roundTo).as("mse"))
-      .select(lit(2).as("level"), col("mse"))
-    m1.unionByName(m2).orderBy(col("level"))
+    // r14-opt: both levels' MSEs from ONE aggregation pass — the old
+    // m1 ∪ m2 pair of aggregates re-executed a2's level-2 assignment
+    // (cross join + rank window) twice for two numbers computed from
+    // the same rows. Same sums, same rounding ⇒ identical output.
+    a2.agg(
+        round(sum(col("d2").cast(DecimalType(20, 10)))
+          .cast("double") / count(lit(1)), roundTo).as("mse1"),
+        round(sum(col("d2r").cast(DecimalType(20, 10)))
+          .cast("double") / count(lit(1)), roundTo).as("mse2"))
+      .select(explode(array(
+        struct(lit(1).as("level"), col("mse1").as("mse")),
+        struct(lit(2).as("level"), col("mse2").as("mse")))).as("r"))
+      .select(col("r.level").as("level"), col("r.mse").as("mse"))
+      .orderBy(col("level"))
   }
 
   /** IVF→PQ→exact-rerank — the production ANN serving composition
@@ -1445,11 +1470,15 @@ object Similarity {
                      beamWidth: Int = 8, hops: Int = 3,
                      roundTo: Int = 6, dim: Int = 64,
                      index: Option[(DataFrame, DataFrame)] = None,
-                     corpusN: Long = 0L): DataFrame = {
+                     corpusN: Long = 0L,
+                     normedCorpus: Option[DataFrame] = None): DataFrame = {
     // a production serving path builds the navigable index ONCE per
     // corpus snapshot and amortizes it across queries — callers pass the
-    // memoized (already-checkpointed) (edges, reps); ad-hoc calls build
-    // inline
+    // memoized (already-checkpointed) (edges, reps) and, optionally, the
+    // normed-corpus frame (cid, cv, ncv) from the same snapshot (the
+    // scoring side re-reads it once per hop — re-deriving it per CALL
+    // paid one full corpus materialization per query); ad-hoc calls
+    // build both inline
     val (edges, reps) = index.getOrElse {
       val (e0, r0) = nswIndex(corpus, idCol, vecCol, m, numPlanes,
         roundTo, dim, corpusN)
@@ -1459,11 +1488,16 @@ object Similarity {
       org.apache.spark.sql.types.DoubleType))
     val qd = col(qVecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
-    val c = corpus.select(col(idCol).as("cid"), vd.as("cv"))
-      .withColumn("ncv", vec.norm(col("cv")))
-      .localCheckpoint()
+    val c = normedCorpus.getOrElse(
+      corpus.select(col(idCol).as("cid"), vd.as("cv"))
+        .withColumn("ncv", vec.norm(col("cv")))
+        .localCheckpoint())
+    // the query frame is broadcast-joined at the seed stage and at every
+    // hop (~2+hops references) — checkpoint it so a non-literal query
+    // source (e.g. a parquet-backed filter) is scanned once, not per hop
     val q = queries.select(col(qIdCol).as("qid"), qd.as("qv"))
       .withColumn("nq", vec.norm(col("qv")))
+      .localCheckpoint()
     val score = round(when(col("ncv") * col("nq") === 0, 0.0)
       .otherwise(vec.dot(col("cv"), col("qv")) /
         (col("ncv") * col("nq"))), roundTo)
@@ -1491,24 +1525,47 @@ object Similarity {
     var beam = sel.join(c, "cid").join(broadcast(q), "qid")
       .select(col("qid"), col("cid"), score.as("score"))
       .localCheckpoint()
-    var visited = beam
+    // Dedup + top-N fused into ONE window pass (r14-opt): duplicates are
+    // always IDENTICAL (qid, cid, score) triples (score is a function of
+    // (qid, cid)), so under the (score desc, cid) total order they sit
+    // adjacent — `lag(cid)` marks the first copy, and a ROWS-framed
+    // running count of firsts is exactly "row_number over the deduped
+    // set". The old distinct() + row_number() chain paid two shuffles
+    // per hop for the same answer; this pays one (both window functions
+    // share the single partition/order spec → one WindowExec, one sort).
+    val prevCid = lag(col("cid"), 1).over(wB)
+    val dedupRank = sum(when(prevCid.isNull || prevCid =!= col("cid"), 1L)
+      .otherwise(0L))
+      .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def topDeduped(in: DataFrame, n: Int): DataFrame =
+      in.withColumn("__first", prevCid.isNull || prevCid =!= col("cid"))
+        .withColumn("rn", dedupRank)
+        .filter(col("__first") && col("rn") <= n)
+    // VISITED accumulates lazily: each hop's scored frame hangs off the
+    // PREVIOUS hop's checkpointed beam (a shallow, bounded subtree), so
+    // only the beam needs an eager per-hop materialization — the old
+    // per-hop visited.distinct().localCheckpoint() was `hops` extra
+    // eager jobs + `hops` extra distinct shuffles whose only consumer is
+    // the single final top-k, which dedups once anyway.
+    var visitedParts = List(beam)
     for (_ <- 1 to hops) {
+      // no exp.distinct(): duplicate expansion targets re-score the same
+      // (qid, cid) to the same value and the window dedups them — the
+      // distinct's shuffle cost more than the few duplicate dot products
+      // it saved (frontier ≤ beam·degree rows per query, at any scale)
       val exp = beam.select(col("qid"), col("cid"))
         .join(edges, col("cid") === col("src"))
-        .select(col("qid"), col("dst").as("cid")).distinct()
+        .select(col("qid"), col("dst").as("cid"))
       val scored = exp.join(c, "cid").join(broadcast(q), "qid")
         .select(col("qid"), col("cid"), score.as("score"))
-      beam = scored.unionByName(beam).distinct()
-        .withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= beamWidth)
+      beam = topDeduped(scored.unionByName(beam), beamWidth)
         .select(col("qid"), col("cid"), col("score"))
         .localCheckpoint()
-      visited = visited.unionByName(scored).distinct().localCheckpoint()
+      visitedParts ::= scored
     }
-    visited
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid").as("cand"), col("score"), col("rn"))
+    topDeduped(visitedParts.reduce(_ unionByName _), k)
+      .select(col("qid"), col("cid").as("cand"), col("score"),
+        col("rn").cast("int").as("rn"))
   }
 
   /** Single-query [[nswTopKQueries]] over a literal query vector:
@@ -1518,12 +1575,13 @@ object Similarity {
               numPlanes: Int = 0, beamWidth: Int = 8, hops: Int = 3,
               roundTo: Int = 6,
               index: Option[(DataFrame, DataFrame)] = None,
-              corpusN: Long = 0L): DataFrame = {
+              corpusN: Long = 0L,
+              normedCorpus: Option[DataFrame] = None): DataFrame = {
     val q = corpus.sparkSession.range(1)
       .select(lit(0L).as("qid"), typedlit(queryVec).as("qv"))
     nswTopKQueries(corpus, idCol, vecCol, q, "qid", "qv", k, m,
         numPlanes, beamWidth, hops, roundTo, dim = queryVec.length,
-        index = index, corpusN = corpusN)
+        index = index, corpusN = corpusN, normedCorpus = normedCorpus)
       .select(col("cand").as(idCol), col("score"))
   }
 }

@@ -1652,16 +1652,24 @@ object PipelineQueries {
     * convention): built once per (session, sfDir), shared by q_ann_nsw
     * and q_ann_nsw_recall — a production NSW index is a per-snapshot
     * artifact, not a per-query build. Bit-deterministic, so sharing
-    * cannot change any result. */
+    * cannot change any result. r14-opt: the memo also carries the
+    * normed-corpus scoring frame (cid, cv, ncv) — the beam search reads
+    * it every hop, and deriving it per QUERY paid one full corpus
+    * materialization each for q_ann_nsw and q_ann_nsw_recall. */
   private val nswGraphMemo =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   private def nswIndexShared(s: org.apache.spark.sql.SparkSession,
-                             dir: String): (DataFrame, DataFrame) =
+                             dir: String): (DataFrame, DataFrame, DataFrame) =
     nswGraphMemo.getOrElseUpdate((s, dir), {
-      val (e, r) = Similarity.nswIndex(Tables(s, dir, "embeddings"),
+      import org.apache.spark.sql.functions.col
+      val emb = Tables(s, dir, "embeddings")
+      val (e, r) = Similarity.nswIndex(emb,
         "vec_id", "embedding", m = NswM,
         corpusN = Tables.rowCount(s, dir, "embeddings"))
-      (e.localCheckpoint(), r.localCheckpoint())
+      val c = emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cv"))
+        .withColumn("ncv", graft.functions.vec.norm(col("cv")))
+      (e.localCheckpoint(), r.localCheckpoint(), c.localCheckpoint())
     })
 
   /** Unrolled-CTE replay of Similarity.nswGraph + fixed-hop beam search:
@@ -1767,10 +1775,11 @@ object PipelineQueries {
     "q_ann_nsw",
     (s, dir) => {
       import s.implicits._
+      val (ie, ir, ic) = nswIndexShared(s, dir)
       Similarity.nswTopK(Tables(s, dir, "embeddings"), "vec_id",
           "embedding", VectorQueries.queryVec, k = 10, m = NswM,
           beamWidth = NswBeam, hops = NswHops,
-          index = Some(nswIndexShared(s, dir)))
+          index = Some((ie, ir)), normedCorpus = Some(ic))
         .orderBy($"score".desc, $"vec_id")
     },
     Some {
@@ -1793,10 +1802,11 @@ object PipelineQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val e = Tables(s, dir, "embeddings")
+      val (ie, ir, ic) = nswIndexShared(s, dir)
       val approx = Similarity.nswTopKQueries(e, "vec_id", "embedding",
           e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, m = NswM,
           beamWidth = NswBeam, hops = NswHops,
-          index = Some(nswIndexShared(s, dir)))
+          index = Some((ie, ir)), normedCorpus = Some(ic))
         .select($"qid", $"cand".as("cid"))
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("qid"),
@@ -4239,8 +4249,12 @@ object PipelineQueries {
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
       val n = Tables.rowCount(s, dir, "embeddings")
+      // r14-opt: the permuted re-layout feeds THREE consumers (the Lloyd
+      // trainer's subvector table, its spaced seed codebook, and the
+      // final MSE pass) — materialize it once instead of replaying the
+      // variance ranking + snake allocation + re-layout per consumer
       val permuted = Similarity.permuteBalanced(e, "vec_id", "embedding",
-        dim = 64, m = 8)
+        dim = 64, m = 8).localCheckpoint()
       val permCb = Similarity.pqCodebookTrained(permuted, "vec_id",
         "embedding", dim = 64, m = 8, iters = 2, corpusN = n)
       Similarity.pqMse(e, "vec_id", "embedding",

@@ -784,8 +784,12 @@ object ScaleQueries {
     (s, dir) => {
       import s.implicits._
       val edges = sparseEdges(s, dir)
+      // r14-opt: one shared both-ways adjacency for LPA + the modularity
+      // score (each stage re-derived and re-materialized it before)
+      val ee = GraphAnalytics.bothWaysCheckpointed(edges)
       GraphAnalytics.modularity(edges,
-          GraphAnalytics.labelPropagation(edges, iters = 3))
+          GraphAnalytics.labelPropagation(edges, iters = 3, prebuiltEe = ee),
+          prebuiltEe = ee)
         .orderBy($"label")
     },
     Some(s"""WITH $eeCte,
@@ -846,9 +850,15 @@ object ScaleQueries {
       // checkpoint the derived edge table once: LPA and the move round
       // each re-derive bothWays(edges), and without the checkpoint each
       // re-pays the events scan + JSON parse + distinct
-      val edges = sparseEdges(s, dir).localCheckpoint()
+      val edges = sparseEdges(s, dir)
+      // r14-opt: LPA and the move round share ONE both-ways adjacency
+      // (the former per-stage rebuild paid an extra edge-list
+      // materialization; the edges checkpoint it replaced is subsumed —
+      // every consumer reads ee, not the raw edge list)
+      val ee = GraphAnalytics.bothWaysCheckpointed(edges)
       GraphAnalytics.louvainMove(edges,
-          GraphAnalytics.labelPropagation(edges, iters = 3))
+          GraphAnalytics.labelPropagation(edges, iters = 3, prebuiltEe = ee),
+          prebuiltEe = ee)
         .orderBy($"node")
     },
     Some(s"""WITH $eeCte,
@@ -868,9 +878,13 @@ object ScaleQueries {
     (s, dir) => {
       import s.implicits._
       val edges = sparseEdges(s, dir).localCheckpoint()
+      // r14-opt: shared adjacency for LPA + move (coarsenGraph reads the
+      // DIRECTED edge list, so edges stays checkpointed too)
+      val ee = GraphAnalytics.bothWaysCheckpointed(edges)
       GraphAnalytics.coarsenGraph(edges,
           GraphAnalytics.louvainMove(edges,
-            GraphAnalytics.labelPropagation(edges, iters = 3)))
+            GraphAnalytics.labelPropagation(edges, iters = 3, prebuiltEe = ee),
+            prebuiltEe = ee))
         .orderBy($"c1", $"c2")
     },
     Some(s"""WITH $eeCte,
@@ -906,8 +920,10 @@ object ScaleQueries {
       val edges = sparseEdges(s, dir).localCheckpoint()
       // l1 feeds BOTH the coarsening and the final label join — checkpoint
       // once so the LPA+move chain isn't executed twice
+      val ee = GraphAnalytics.bothWaysCheckpointed(edges) // r14-opt: shared
       val l1 = GraphAnalytics.louvainMove(edges,
-        GraphAnalytics.labelPropagation(edges, iters = 3)).localCheckpoint()
+        GraphAnalytics.labelPropagation(edges, iters = 3, prebuiltEe = ee),
+        prebuiltEe = ee).localCheckpoint()
       val cg = GraphAnalytics.coarsenGraph(edges, l1)
       val l2 = GraphAnalytics.louvainMergeRound(cg)
       // |level-1 communities| rows — broadcast the level map, never

@@ -331,18 +331,57 @@ object TemporalQueries {
     (s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      // one row per calendar day (bounded by the time span) — the
-      // q_stats_acf daily-table convention; checkpointed so the
-      // recursion joins a cached 30-row table, not the events scan
-      graft.Tables(s, dir, "events")
+      // r14-opt: the recurrence is a SEQUENTIAL fold over a tiny daily
+      // series (≤ #days rows, bounded by the time span) — the old
+      // WITH RECURSIVE ran one UnionLoop level PER DAY, each a full
+      // Spark job over a 1-row frontier (~90 jobs at sf0.1, measured
+      // 3.4-5.0 s of pure scheduling). Collect the ordered series into
+      // ONE array row and evaluate the identical IEEE op sequence as a
+      // single `aggregate` fold expression: l_t = 0.5·x_t +
+      // 0.5·(l+b), b_t = 0.5·(l_t − l) + 0.5·b with l_t recomputed
+      // inline exactly as the oracle's recursive member writes it, so
+      // every intermediate double is bit-identical to the recursion's.
+      // One job, two shuffles (daily agg + rn window) instead of ~90.
+      val pr = graft.graph.NodeEmbedding.pround _
+      val daily = graft.Tables(s, dir, "events")
         .groupBy(col("ts").cast("date").as("d"))
         .agg(count(lit(1)).as("x"))
         .select(row_number().over(Window.orderBy(col("d")))
           .cast("long").as("t"), col("x"))
-        .localCheckpoint()
-        .createOrReplaceTempView("holt_daily")
-      s.sql(s"""WITH RECURSIVE ${holtCte("holt_daily")}
-                |$holtSelect""".stripMargin)
+      val stT = "array<struct<t:bigint,x:bigint,l:double,b:double>>"
+      val newL = (e: org.apache.spark.sql.Column,
+                  p: org.apache.spark.sql.Column) =>
+        lit(0.5) * e.getField("x") +
+          lit(0.5) * (p.getField("l") + p.getField("b"))
+      val folded = daily
+        .agg(array_sort(collect_list(struct(col("t"), col("x")))).as("xs"))
+        .select(when(size(col("xs")) < 2, array().cast(stT))
+          .otherwise(aggregate(
+            // fold over t = 2..n (1-based slice from index 2): the anchor
+            // array is the t = 1 row only — its b consumes x_2, but the
+            // t = 2 ROW still comes from the fold, exactly like the
+            // oracle's recursive member (d.t = hw.t + 1 from hw.t = 1)
+            slice(col("xs"), lit(2), size(col("xs")) - 1),
+            array(struct(
+              lit(1L).as("t"),
+              element_at(col("xs"), 1).getField("x").as("x"),
+              element_at(col("xs"), 1).getField("x").cast("double").as("l"),
+              (element_at(col("xs"), 2).getField("x") -
+                element_at(col("xs"), 1).getField("x")).cast("double").as("b"))),
+            (acc, e) => {
+              val p = element_at(acc, -1)
+              concat(acc, array(struct(
+                e.getField("t").as("t"), e.getField("x").as("x"),
+                newL(e, p).as("l"),
+                (lit(0.5) * (newL(e, p) - p.getField("l")) +
+                  lit(0.5) * p.getField("b")).as("b"))))
+            })).as("hw"))
+      folded.select(explode(col("hw")).as("r"))
+        .select(col("r.t").as("t"), col("r.x").as("x"),
+          pr(col("r.l"), 6).as("level"),
+          pr(col("r.b"), 6).as("trend"),
+          pr(col("r.l") + col("r.b"), 6).as("forecast_next"))
+        .orderBy(col("t"))
     },
     Some(s"""WITH RECURSIVE daily0 AS MATERIALIZED (
          |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
